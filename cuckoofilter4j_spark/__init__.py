@@ -1,0 +1,41 @@
+"""PySpark-native distributed Cuckoo-filter sketch library.
+
+A from-scratch re-expression of MGunlogson/CuckooFilter4J as a mergeable,
+shardable sketch over Spark DataFrames. See SURVEY.md for the design map.
+
+Public API:
+- CuckooFilter            — the single-node numpy kernel (build/probe/delete/merge)
+- sizing helpers          — bits_per_item_for_fp, buckets_needed, validate_params
+- spark operators         — cuckoofilter4j_spark.operators (build_filter, probes, merge)
+- pipeline functions      — cuckoofilter4j_spark.functions (dedup, text, similarity)
+"""
+
+from cuckoofilter4j_spark.core import (
+    BUCKET_SIZE,
+    DEFAULT_FP,
+    INSERT_ATTEMPTS,
+    LOAD_FACTOR,
+    CuckooFilter,
+    alt_index,
+    bits_per_item_for_fp,
+    buckets_needed,
+    encode_keys,
+    hash64,
+    validate_params,
+)
+
+__all__ = [
+    "BUCKET_SIZE",
+    "DEFAULT_FP",
+    "INSERT_ATTEMPTS",
+    "LOAD_FACTOR",
+    "CuckooFilter",
+    "alt_index",
+    "bits_per_item_for_fp",
+    "buckets_needed",
+    "encode_keys",
+    "hash64",
+    "validate_params",
+]
+
+__version__ = "0.1.0"

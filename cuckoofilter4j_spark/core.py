@@ -1,0 +1,682 @@
+"""Pure numpy cuckoo-filter kernel — the algorithmic core of the library.
+
+Re-implements (from scratch, vectorized) the semantics of
+MGunlogson/CuckooFilter4J:
+
+- sizing math          -> reference Utils.java:148-178
+- (index, tag) derivation + zero-tag rescue -> IndexTagCalc.java:136-229
+- altIndex involution  -> IndexTagCalc.java:231-252
+- 4-slot bucket table  -> FilterTable.java:93-230 (whole-element numpy array
+  instead of the reference's bit-packed LongBitSet — semantics only)
+- put / kick loop / victim cache -> CuckooFilter.java:413-532
+- mightContain / approximateCount / delete -> CuckooFilter.java:638-752
+- structural equality + serialization -> CuckooFilter.java:754-801
+
+Deviations from the reference (documented, intentional):
+- Hashing: the reference uses Guava xxHash64/Murmur3_128 with SecureRandom
+  seeds. We use a splitmix64-based vectorized mixer over 8-byte words with an
+  explicit user seed (deterministic, reproducible builds). Cross-filter
+  mergeability only requires all parties share (num_buckets, tag_bits, seed).
+- Kick slot choice: reference uses ThreadLocalRandom (nondeterministic); we
+  use a seeded np.random.Generator for checkpoint resumability.
+- The reference's `Algorithm.sha256` enum actually constructs SHA-1
+  (SerializableSaltedHasher.java:99-100 bug) — not reproduced.
+- merge(): the reference has NO merge at all (LongBitSet.or() is never called
+  by filter code and OR is not a valid cuckoo merge). We add merge by
+  fingerprint re-insertion, valid because altIndex is an involution
+  (TestIndexTagCalc.java:204-223): a stored (bucket, tag) pair is
+  self-describing.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Iterable, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constants (mirroring CuckooFilter.java:118-123)
+# ---------------------------------------------------------------------------
+BUCKET_SIZE = 4
+LOAD_FACTOR = 0.955
+DEFAULT_FP = 0.01
+INSERT_ATTEMPTS = 500  # CuckooFilter.java:118 — max kick attempts per insert
+
+# altIndex mixing constant — IndexTagCalc.java:231-243 (MurmurHash3 constant,
+# also used by the canonical efficient/cuckoofilter C++ implementation).
+ALT_INDEX_MIX = 0xC4CEB9FE1A85EC53
+
+_M64 = 0xFFFFFFFFFFFFFFFF
+_U64 = np.uint64
+_PHI64 = 0x9E3779B97F4A7C15
+_MIX_C1 = 0xBF58476D1CE4E5B9
+_MIX_C2 = 0x94D049BB133111EB
+_SHARD_SEED_MIX = 0x3C79AC492BA7B653
+
+MAGIC = b"CKF1"
+_DTYPE_CODES = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
+# ---------------------------------------------------------------------------
+# Sizing math (Utils.java:148-178)
+# ---------------------------------------------------------------------------
+def bits_per_item_for_fp(fpp: float, load_factor: float = LOAD_FACTOR) -> int:
+    """Tag bits needed for a target false-positive rate.
+
+    Reproduces Utils.java:148-154 literally: ceil(log2(1/fpp + 3) / lf).
+    (The code's variant of the Fan et al. formula — reproduce the code.)
+    """
+    return int(math.ceil(math.log2((1.0 / fpp) + 3.0) / load_factor))
+
+
+def buckets_needed(
+    max_keys: int,
+    load_factor: float = LOAD_FACTOR,
+    bucket_size: int = BUCKET_SIZE,
+) -> int:
+    """Power-of-two bucket count for max_keys (Utils.java:165-178)."""
+    needed = int(math.ceil((1.0 / load_factor) * max_keys / bucket_size))
+    # next power of two >= needed
+    bit_pos = 1 << (needed.bit_length() - 1)
+    if needed > bit_pos:
+        bit_pos <<= 1
+    return bit_pos
+
+
+def _tag_dtype(tag_bits: int):
+    for nbytes, dt in _DTYPE_CODES.items():
+        if tag_bits <= nbytes * 8:
+            return dt
+    raise ValueError(f"tag_bits too large: {tag_bits}")
+
+
+def validate_params(max_keys: int, fpp: float) -> Tuple[int, int]:
+    """Builder validation (CuckooFilter.java:186-229) -> (num_buckets, tag_bits)."""
+    if not (0.0 < fpp < 0.25):
+        raise ValueError(f"fpp must be in (0, 0.25), got {fpp}")
+    if max_keys < 2:
+        raise ValueError(f"max_keys must be > 1, got {max_keys}")
+    tag_bits = bits_per_item_for_fp(fpp)
+    if not (4 < tag_bits < 48):  # FilterTable.java:72-74
+        raise ValueError(f"tag_bits must be in (4, 48), got {tag_bits}")
+    num_buckets = buckets_needed(max_keys)
+    return num_buckets, tag_bits
+
+
+# ---------------------------------------------------------------------------
+# Vectorized hashing
+# ---------------------------------------------------------------------------
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array (bijective)."""
+    x = (x ^ (x >> _U64(30))) * _U64(_MIX_C1)
+    x = (x ^ (x >> _U64(27))) * _U64(_MIX_C2)
+    return x ^ (x >> _U64(31))
+
+
+def _mix64_int(x: int) -> int:
+    x &= _M64
+    x = ((x ^ (x >> 30)) * _MIX_C1) & _M64
+    x = ((x ^ (x >> 27)) * _MIX_C2) & _M64
+    return (x ^ (x >> 31)) & _M64
+
+
+def encode_keys(keys) -> np.ndarray:
+    """Encode keys into an (N, W) uint64 word matrix for hashing.
+
+    Accepted inputs (the analog of the reference's Funnel, CuckooFilter.java:107):
+    - numpy integer array           -> one word per key
+    - bytes / sequence of bytes     -> length word + padded 8-byte words
+    - str / sequence of str         -> utf-8 then as bytes
+    - pandas Series of bytes or str
+    """
+    if isinstance(keys, np.ndarray) and keys.dtype.kind in "iu":
+        w = keys.astype(np.int64, copy=False).view(np.uint64).reshape(-1, 1)
+        return np.ascontiguousarray(w)
+    if isinstance(keys, (int, np.integer)):
+        return np.array([[int(keys) & _M64]], dtype=np.uint64)
+    if isinstance(keys, (bytes, str)):
+        keys = [keys]
+    try:  # pandas Series -> numpy object array
+        import pandas as pd
+
+        if isinstance(keys, pd.Series):
+            keys = keys.to_numpy()
+    except ImportError:  # pragma: no cover
+        pass
+    seq = list(keys)
+    if not seq:
+        return np.empty((0, 1), dtype=np.uint64)
+    if isinstance(seq[0], (int, np.integer)):
+        return encode_keys(np.asarray(seq, dtype=np.int64))
+    if isinstance(seq[0], str):
+        seq = [s.encode("utf-8") for s in seq]
+    n = len(seq)
+    lens = np.fromiter((len(b) for b in seq), dtype=np.int64, count=n)
+    max_len = int(lens.max())
+    width = max(1, (max_len + 7) // 8)
+    if int(lens.min()) == max_len and max_len % 8 == 0:
+        buf = np.frombuffer(b"".join(seq), dtype=np.uint8)
+    else:
+        pad = width * 8
+        buf = np.frombuffer(b"".join(b.ljust(pad, b"\0") for b in seq), dtype=np.uint8)
+    data = buf.reshape(n, -1).view("<u8")
+    words = np.empty((n, width + 1), dtype=np.uint64)
+    words[:, 0] = lens.view(np.uint64)  # length word defeats padding collisions
+    words[:, 1:] = data
+    return words
+
+
+def hash64(words: np.ndarray, seed: int, salt: int = 0) -> np.ndarray:
+    """64-bit hash of each row of an (N, W) uint64 word matrix."""
+    n, w = words.shape
+    with np.errstate(over="ignore"):
+        init = _mix64_int((seed & _M64) ^ _mix64_int((salt * _PHI64 + w) & _M64))
+        h = np.full(n, init, dtype=np.uint64)
+        for j in range(w):
+            h = _mix64(h ^ _mix64(words[:, j] + _U64((_PHI64 * (j + 1)) & _M64)))
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Index/tag derivation (IndexTagCalc.java:136-252)
+# ---------------------------------------------------------------------------
+def alt_index(index: np.ndarray, tag: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Partner bucket: involution over (index, tag) — IndexTagCalc.java:231-243.
+
+    altIndex = hashIndex(flipIfNegative(index ^ (tag * 0xc4ceb9fe1a85ec53)))
+    Reproduced exactly (including the signed-negative bit-flip) so that merge
+    by re-insertion and distributed delete route identically everywhere.
+    """
+    idx = np.asarray(index, dtype=np.uint64)
+    tg = np.asarray(tag, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = idx ^ (tg * _U64(ALT_INDEX_MIX))
+    neg = (x >> _U64(63)).astype(bool)
+    x = np.where(neg, ~x, x)
+    return x & _U64(num_buckets - 1)
+
+
+class IndexTagGen:
+    """item words -> (bucket index, tag) — the reference's IndexTagCalc."""
+
+    def __init__(self, num_buckets: int, tag_bits: int, seed: int):
+        if num_buckets & (num_buckets - 1):
+            raise ValueError("num_buckets must be a power of two")
+        self.num_buckets = num_buckets
+        self.tag_bits = tag_bits
+        self.seed = int(seed) & _M64
+        self.index_bits = max(1, (num_buckets - 1).bit_length())
+        # hashLength selection (SerializableSaltedHasher.java:70-73 analog):
+        # 64-bit hash when index+tag bits fit, else split two independent 64s.
+        self.wide = (self.index_bits + tag_bits) > 64
+
+    def generate(self, words: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized IndexTagCalc.generate (IndexTagCalc.java:136-183).
+
+        Index comes from the ORIGINAL hash; only the tag is re-derived with
+        incrementing salts while zero (tag 0 is the empty-slot sentinel).
+        """
+        tag_mask = _U64((1 << self.tag_bits) - 1)
+        if not self.wide:
+            h = hash64(words, self.seed)
+            index = (h >> _U64(self.tag_bits)) & _U64(self.num_buckets - 1)
+            tag = h & tag_mask
+            salt = 1
+            while True:
+                zero = tag == 0
+                if not zero.any():
+                    break
+                tag[zero] = hash64(words[zero], self.seed, salt) & tag_mask
+                salt += 1
+        else:
+            h_lo = hash64(words, self.seed)
+            h_hi = hash64(words, self.seed ^ _SHARD_SEED_MIX)
+            index = h_lo & _U64(self.num_buckets - 1)
+            tag = h_hi & tag_mask
+            salt = 1
+            while True:
+                zero = tag == 0
+                if not zero.any():
+                    break
+                tag[zero] = hash64(words[zero], self.seed ^ _SHARD_SEED_MIX, salt) & tag_mask
+                salt += 1
+        return index.astype(np.int64), tag
+
+    def alt(self, index, tag) -> np.ndarray:
+        return alt_index(index, tag, self.num_buckets).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# The filter
+# ---------------------------------------------------------------------------
+class CuckooFilter:
+    """A cuckoo filter with 4-slot buckets and a one-slot victim cache.
+
+    Semantics mirror MGunlogson/CuckooFilter4J's CuckooFilter.java; storage is
+    a (num_buckets, 4) unsigned numpy array (slot value 0 == empty).
+    """
+
+    def __init__(
+        self,
+        num_buckets: int,
+        tag_bits: int,
+        seed: int = 42,
+        table: Optional[np.ndarray] = None,
+        count: int = 0,
+        has_victim: bool = False,
+        victim: Tuple[int, int, int] = (0, 0, 0),
+        rng_seed: Optional[int] = None,
+    ):
+        self.num_buckets = int(num_buckets)
+        self.tag_bits = int(tag_bits)
+        self.seed = int(seed) & _M64
+        dt = _tag_dtype(tag_bits)
+        if table is None:
+            table = np.zeros((self.num_buckets, BUCKET_SIZE), dtype=dt)
+        else:
+            table = np.asarray(table, dtype=dt).reshape(self.num_buckets, BUCKET_SIZE)
+        self.table = table
+        self.count = int(count)
+        self.has_victim = bool(has_victim)
+        self.victim_i1, self.victim_i2, self.victim_tag = (int(v) for v in victim)
+        # Deterministic kick RNG (deviation: reference uses ThreadLocalRandom)
+        self._rng = np.random.default_rng(
+            self.seed if rng_seed is None else rng_seed
+        )
+        self.gen = IndexTagGen(self.num_buckets, self.tag_bits, self.seed)
+        # lineage / metrics
+        self.kicks = 0
+        self.failed_inserts = 0
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        max_keys: int,
+        fpp: float = DEFAULT_FP,
+        seed: int = 42,
+        rng_seed: Optional[int] = None,
+    ) -> "CuckooFilter":
+        num_buckets, tag_bits = validate_params(max_keys, fpp)
+        return cls(num_buckets, tag_bits, seed=seed, rng_seed=rng_seed)
+
+    # -- derived properties (CuckooFilter.java:351-393) ----------------------
+    def get_count(self) -> int:
+        return self.count
+
+    def load_factor(self) -> float:
+        return self.count / (self.num_buckets * BUCKET_SIZE)
+
+    def actual_capacity(self) -> int:
+        return self.num_buckets * BUCKET_SIZE
+
+    def storage_bits(self) -> int:
+        return self.table.size * self.table.itemsize * 8
+
+    # -- key plumbing --------------------------------------------------------
+    def _index_tag(self, keys) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        words = keys if (isinstance(keys, np.ndarray) and keys.ndim == 2 and keys.dtype == np.uint64) else encode_keys(keys)
+        i1, tag = self.gen.generate(words)
+        i2 = self.gen.alt(i1, tag)
+        return i1, i2, tag
+
+    # -- put ------------------------------------------------------------------
+    def put(self, key) -> bool:
+        """Single insert, exact reference semantics (CuckooFilter.java:413-456)."""
+        i1, i2, tag = self._index_tag(encode_keys([key] if not _is_batch(key) else key))
+        return bool(self._put_one(int(i1[0]), int(i2[0]), int(tag[0])))
+
+    def put_batch(self, keys) -> np.ndarray:
+        """Vectorized batch insert. Returns per-item success booleans.
+
+        Phase 1: bulk slot placement (no kicks) — repeated passes over
+        (i1, i2), at most one placement per bucket per pass, until stall.
+        Phase 2: leftovers run the exact sequential kick-loop semantics.
+        Matches reference set-semantics; per-item placement may differ (the
+        reference's placement is itself RNG-dependent under kicks).
+        """
+        i1, i2, tag = self._index_tag(keys)
+        n = i1.shape[0]
+        ok = np.zeros(n, dtype=bool)
+        if n == 0:
+            return ok
+        pending = np.arange(n)
+        table = self.table
+        while pending.size:
+            placed_any = False
+            for idx_arr in (i1, i2):
+                if not pending.size:
+                    break
+                b = idx_arr[pending]
+                has_empty = (table[b] == 0).any(axis=1)
+                if not has_empty.any():
+                    continue
+                cand = pending[has_empty]
+                bc = idx_arr[cand]
+                uniq_b, first_pos = np.unique(bc, return_index=True)
+                chosen = cand[first_pos]
+                slots = np.argmax(table[uniq_b] == 0, axis=1)
+                table[uniq_b, slots] = tag[chosen].astype(table.dtype)
+                ok[chosen] = True
+                placed_any = True
+                keep = np.ones(pending.size, dtype=bool)
+                keep[np.searchsorted(pending, chosen)] = False
+                pending = pending[keep]
+            if not placed_any:
+                break
+        self.count += int(ok.sum())
+        # Phase 2: sequential kick loop for items whose buckets are both full
+        for k in pending:
+            if self._put_one(int(i1[k]), int(i2[k]), int(tag[k])):
+                ok[k] = True
+        return ok
+
+    def _put_one(self, i1: int, i2: int, tag: int) -> bool:
+        """CuckooFilter.java:413-456 — direct insert, else victim + kick loop."""
+        if self._insert_to_bucket(i1, tag) or self._insert_to_bucket(i2, tag):
+            self.count += 1
+            return True
+        if self.has_victim:
+            self.failed_inserts += 1
+            return False  # filter full (CuckooFilter.java:428-431)
+        self.victim_i1, self.victim_i2, self.victim_tag = i1, i2, tag
+        self.has_victim = True
+        for _ in range(INSERT_ATTEMPTS + 1):  # i <= INSERT_ATTEMPTS
+            if self._try_swap_victim_into_empty_spot():
+                break
+        self.count += 1  # item is in table or victim either way
+        return True
+
+    def _insert_to_bucket(self, idx: int, tag: int) -> bool:
+        """First empty (==0) slot write (FilterTable.java:93-102)."""
+        row = self.table[idx]
+        for s in range(BUCKET_SIZE):
+            if row[s] == 0:
+                row[s] = tag
+                return True
+        return False
+
+    def _try_swap_victim_into_empty_spot(self) -> bool:
+        """Kick-loop body (CuckooFilter.java:476-503)."""
+        cur_index = self.victim_i2
+        slot = int(self._rng.integers(BUCKET_SIZE))
+        cur_tag = int(self.table[cur_index, slot])
+        self.table[cur_index, slot] = self.victim_tag  # swapRandomTagInBucket
+        self.kicks += 1
+        alt = int(alt_index(np.array([cur_index], dtype=np.uint64),
+                            np.array([cur_tag], dtype=np.uint64),
+                            self.num_buckets)[0])
+        if self._insert_to_bucket(alt, cur_tag):
+            self.has_victim = False
+            return True
+        self.victim_tag = cur_tag
+        self.victim_i1 = cur_index
+        self.victim_i2 = alt
+        return False
+
+    # -- membership / count ---------------------------------------------------
+    def might_contain(self, key) -> bool:
+        return bool(self.contains_batch([key] if not _is_batch(key) else key)[0])
+
+    def contains_batch(self, keys) -> np.ndarray:
+        """Vectorized mightContain (CuckooFilter.java:638-651)."""
+        i1, i2, tag = self._index_tag(keys)
+        t = tag.astype(self.table.dtype)
+        found = (self.table[i1] == t[:, None]).any(axis=1) | (
+            self.table[i2] == t[:, None]
+        ).any(axis=1)
+        if self.has_victim:
+            found |= self._is_victim(i1, i2, tag)
+        return found
+
+    def approximate_count(self, key) -> int:
+        return int(self.count_batch([key] if not _is_batch(key) else key)[0])
+
+    def count_batch(self, keys) -> np.ndarray:
+        """Vectorized approximateCount (CuckooFilter.java:679-693)."""
+        i1, i2, tag = self._index_tag(keys)
+        t = tag.astype(self.table.dtype)
+        c = (self.table[i1] == t[:, None]).sum(axis=1) + (
+            self.table[i2] == t[:, None]
+        ).sum(axis=1)
+        if self.has_victim:
+            c = c + self._is_victim(i1, i2, tag).astype(c.dtype)
+        return c.astype(np.int64)
+
+    def _is_victim(self, i1, i2, tag) -> np.ndarray:
+        """checkIsVictim (CuckooFilter.java:605-627): tag matches and either
+        candidate index equals either victim index."""
+        vt, v1, v2 = self.victim_tag, self.victim_i1, self.victim_i2
+        tag_match = tag == _U64(vt)
+        pos_match = (i1 == v1) | (i1 == v2) | (i2 == v1) | (i2 == v2)
+        return tag_match & pos_match
+
+    # -- delete ---------------------------------------------------------------
+    def delete(self, key) -> bool:
+        """Single delete, exact reference semantics (CuckooFilter.java:716-752)."""
+        i1, i2, tag = self._index_tag(encode_keys([key] if not _is_batch(key) else key))
+        return self._delete_one(int(i1[0]), int(i2[0]), int(tag[0]))
+
+    def _delete_one(self, i1: int, i2: int, tag: int) -> bool:
+        if self._delete_from_bucket(i1, tag) or self._delete_from_bucket(i2, tag):
+            self.count -= 1
+            self._insert_if_victim()
+            return True
+        if self.has_victim and self.victim_tag == tag and (
+            self.victim_i1 == i1 or self.victim_i2 == i1
+            or self.victim_i1 == i2 or self.victim_i2 == i2
+        ):
+            # reference compares pos.index to victim i1/i2 only — but pos.index
+            # is i1 and altIndex is i2, and victim stores both of ITS indexes;
+            # since (i1,i2) and (v1,v2) are unordered pairs of the same
+            # involution the cross check is equivalent.
+            self.has_victim = False
+            self.count -= 1
+            return True
+        return False
+
+    def _delete_from_bucket(self, idx: int, tag: int) -> bool:
+        """Clear first matching slot (FilterTable.java:153-161)."""
+        row = self.table[idx]
+        for s in range(BUCKET_SIZE):
+            if row[s] == tag:
+                row[s] = 0
+                return True
+        return False
+
+    def _insert_if_victim(self) -> None:
+        """Opportunistic victim drain after delete (CuckooFilter.java:511-532).
+        Does NOT change count — victim items are already counted."""
+        if not self.has_victim:
+            return
+        if self._insert_to_bucket(self.victim_i1, self.victim_tag) or \
+           self._insert_to_bucket(self.victim_i2, self.victim_tag):
+            self.has_victim = False
+
+    def delete_batch(self, keys) -> np.ndarray:
+        """Batch delete with exact sequential per-item semantics (hashing is
+        vectorized; the slot-clear walk is per-item because deletes interact
+        with the victim cache one at a time, CuckooFilter.java:716-752)."""
+        i1, i2, tag = self._index_tag(keys)
+        n = i1.shape[0]
+        ok = np.zeros(n, dtype=bool)
+        for k in range(n):
+            ok[k] = self._delete_one(int(i1[k]), int(i2[k]), int(tag[k]))
+        return ok
+
+    # -- merge (new capability; see module docstring) --------------------------
+    def fingerprints(self) -> Tuple[np.ndarray, np.ndarray]:
+        """All stored (bucket_index, tag) pairs, excluding the victim."""
+        b, s = np.nonzero(self.table)
+        return b.astype(np.int64), self.table[b, s].astype(np.uint64)
+
+    def merge_in_place(self, other: "CuckooFilter") -> int:
+        """Fold `other`'s fingerprints into self by re-insertion.
+
+        Requires identical (num_buckets, tag_bits, seed). Returns the number
+        of fingerprints DROPPED (0 on clean merge). Valid because altIndex is
+        an involution: for a stored (b, tag), the pair {b, altIndex(b, tag)}
+        is exactly the original candidate pair.
+        """
+        if (self.num_buckets, self.tag_bits, self.seed) != (
+            other.num_buckets, other.tag_bits, other.seed
+        ):
+            raise ValueError("merge requires identical (num_buckets, tag_bits, seed)")
+        b, tags = other.fingerprints()
+        alts = self.gen.alt(b, tags)
+        dropped = self._insert_fingerprints(b, alts, tags)
+        if other.has_victim:
+            v1 = np.array([other.victim_i1], dtype=np.int64)
+            v2 = np.array([other.victim_i2], dtype=np.int64)
+            vt = np.array([other.victim_tag], dtype=np.uint64)
+            dropped += self._insert_fingerprints(v1, v2, vt)
+        self.count += other.count - dropped
+        self.kicks += other.kicks
+        self.failed_inserts += other.failed_inserts + dropped
+        return dropped
+
+    def _insert_fingerprints(self, i1: np.ndarray, i2: np.ndarray, tag: np.ndarray) -> int:
+        """Bulk insert of known (i1, i2, tag) triples; returns dropped count."""
+        n = i1.shape[0]
+        if n == 0:
+            return 0
+        pending = np.arange(n)
+        table = self.table
+        while pending.size:
+            placed_any = False
+            for idx_arr in (i1, i2):
+                if not pending.size:
+                    break
+                b = idx_arr[pending]
+                has_empty = (table[b] == 0).any(axis=1)
+                if not has_empty.any():
+                    continue
+                cand = pending[has_empty]
+                uniq_b, first_pos = np.unique(idx_arr[cand], return_index=True)
+                chosen = cand[first_pos]
+                slots = np.argmax(table[uniq_b] == 0, axis=1)
+                table[uniq_b, slots] = tag[chosen].astype(table.dtype)
+                placed_any = True
+                keep = np.ones(pending.size, dtype=bool)
+                keep[np.searchsorted(pending, chosen)] = False
+                pending = pending[keep]
+            if not placed_any:
+                break
+        dropped = 0
+        for k in pending:
+            # reuse put machinery minus count bookkeeping (caller accounts)
+            if self._insert_to_bucket(int(i1[k]), int(tag[k])) or \
+               self._insert_to_bucket(int(i2[k]), int(tag[k])):
+                continue
+            if self.has_victim:
+                dropped += 1
+                continue
+            self.victim_i1, self.victim_i2, self.victim_tag = int(i1[k]), int(i2[k]), int(tag[k])
+            self.has_victim = True
+            for _ in range(INSERT_ATTEMPTS + 1):
+                if self._try_swap_victim_into_empty_spot():
+                    break
+        return dropped
+
+    def merge(self, other: "CuckooFilter") -> "CuckooFilter":
+        out = self.copy()
+        out.merge_in_place(other)
+        return out
+
+    def semantic_fingerprints(self) -> np.ndarray:
+        """Placement-invariant content signature: sorted array of
+        (canonical_bucket, tag) pairs, canonical_bucket = min(b, altIndex(b, tag)),
+        victim included. A kick relocates a tag from b to altIndex(b, tag), so
+        this multiset is invariant under kick order / bucket choice — it is
+        the right equality for 'two filters hold the same items' (e.g. merge
+        associativity), whereas __eq__ is structural like the reference's."""
+        b, tags = self.fingerprints()
+        if self.has_victim:
+            b = np.concatenate([b, [self.victim_i1]])
+            tags = np.concatenate([tags, [np.uint64(self.victim_tag)]])
+        alts = self.gen.alt(b, tags)
+        canon = np.minimum(b, alts)
+        pairs = np.stack([canon.astype(np.uint64), tags], axis=1)
+        order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+        return pairs[order]
+
+    def semantically_equal(self, other: "CuckooFilter") -> bool:
+        return (
+            (self.num_buckets, self.tag_bits, self.seed, self.count)
+            == (other.num_buckets, other.tag_bits, other.seed, other.count)
+            and np.array_equal(self.semantic_fingerprints(), other.semantic_fingerprints())
+        )
+
+    # -- equality / copy / serialization ---------------------------------------
+    def canonical_table(self) -> np.ndarray:
+        """Slot-order-canonical form: tags sorted ascending within each bucket
+        (empties-first). Makes byte equality valid across merge orders."""
+        return np.sort(self.table, axis=1)
+
+    def copy(self) -> "CuckooFilter":
+        out = CuckooFilter(
+            self.num_buckets, self.tag_bits, self.seed,
+            table=self.table.copy(), count=self.count,
+            has_victim=self.has_victim,
+            victim=(self.victim_i1, self.victim_i2, self.victim_tag),
+        )
+        out.kicks, out.failed_inserts = self.kicks, self.failed_inserts
+        return out
+
+    def __eq__(self, other) -> bool:  # CuckooFilter.java:762-786
+        if not isinstance(other, CuckooFilter):
+            return NotImplemented
+        same = (
+            self.num_buckets == other.num_buckets
+            and self.tag_bits == other.tag_bits
+            and self.seed == other.seed
+            and self.count == other.count
+            and self.has_victim == other.has_victim
+            and np.array_equal(self.canonical_table(), other.canonical_table())
+        )
+        if not same:
+            return False
+        if self.has_victim:
+            # victim equality is order-insensitive on (i1, i2) (Utils.java:125-134)
+            return self.victim_tag == other.victim_tag and {
+                self.victim_i1, self.victim_i2
+            } == {other.victim_i1, other.victim_i2}
+        return True
+
+    def __hash__(self):
+        return hash((self.num_buckets, self.tag_bits, self.seed, self.count,
+                     self.canonical_table().tobytes()))
+
+    _HDR = struct.Struct("<4sBBqqqqBqqq")
+
+    def to_bytes(self) -> bytes:
+        """Deterministic codec (analog of Java serialization,
+        CuckooFilter.java:754-759). Header + raw slot array."""
+        hdr = self._HDR.pack(
+            MAGIC, 1, self.tag_bits,
+            self.num_buckets, int(self.seed) if self.seed < 2**63 else int(self.seed) - 2**64,
+            self.count, self.table.itemsize,
+            1 if self.has_victim else 0,
+            self.victim_i1, self.victim_i2, self.victim_tag,
+        )
+        return hdr + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CuckooFilter":
+        hdr = cls._HDR.unpack_from(data, 0)
+        (magic, _ver, tag_bits, num_buckets, seed, count, itemsize,
+         has_victim, v1, v2, vt) = hdr
+        if magic != MAGIC:
+            raise ValueError("bad sketch bytes: wrong magic")
+        dt = _DTYPE_CODES[itemsize]
+        table = np.frombuffer(
+            data, dtype=dt, offset=cls._HDR.size
+        ).reshape(num_buckets, BUCKET_SIZE).copy()
+        return cls(num_buckets, tag_bits, seed & _M64, table=table, count=count,
+                   has_victim=bool(has_victim), victim=(v1, v2, vt))
+
+
+def _is_batch(key) -> bool:
+    return isinstance(key, (list, tuple, np.ndarray)) and not isinstance(key, (bytes, str))

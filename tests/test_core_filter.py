@@ -1,0 +1,266 @@
+"""pytest mirror of the reference JUnit suite TestCuckooFilter.java.
+
+Each test cites the JUnit test it reproduces. Statistical bounds identical.
+"""
+
+import numpy as np
+import pytest
+
+from cuckoofilter4j_spark.core import (
+    BUCKET_SIZE,
+    CuckooFilter,
+    bits_per_item_for_fp,
+    buckets_needed,
+    validate_params,
+)
+
+
+def keys(a, b):
+    return np.arange(a, b, dtype=np.int64)
+
+
+# -- argument validation (TestCuckooFilter.java:34-70) -----------------------
+@pytest.mark.parametrize("fpp", [0.0, -0.1, 0.25, 0.9, 1.0])
+def test_invalid_fpp(fpp):
+    with pytest.raises(ValueError):
+        validate_params(100000, fpp)
+
+
+@pytest.mark.parametrize("max_keys", [0, 1, -5])
+def test_invalid_max_keys(max_keys):
+    with pytest.raises(ValueError):
+        validate_params(max_keys, 0.01)
+
+
+def test_sizing_math():
+    # Utils.java:148-154 — fpp=0.01 -> ceil(log2(103)/0.955) = 8 tag bits
+    assert bits_per_item_for_fp(0.01) == 8
+    # Utils.java:165-178 — 130000 keys -> nextpow2(ceil(130000/0.955/4)) = 65536
+    assert buckets_needed(130000) == 65536
+    assert validate_params(130000, 0.01) == (65536, 8)
+    # power-of-two invariant
+    for mk in [2, 3, 100, 12345, 10**6]:
+        nb = buckets_needed(mk)
+        assert nb & (nb - 1) == 0
+        assert nb * BUCKET_SIZE * 0.955 >= mk - BUCKET_SIZE  # holds max_keys at design load
+
+
+# -- sanityFalseNegative (TestCuckooFilter.java:92-110) -----------------------
+def test_zero_false_negatives():
+    f = CuckooFilter.create(130000, 0.01, seed=1)
+    ks = keys(0, 100000)
+    assert f.put_batch(ks).all()
+    assert f.contains_batch(ks).all()  # exactly 0 false negatives
+
+
+# -- sanityApproimateCount (TestCuckooFilter.java:112-139) --------------------
+def test_approximate_count_through_victim():
+    f = CuckooFilter.create(130000, 0.01, seed=1)
+    for i in range(8):
+        assert f.put(42)
+        assert f.approximate_count(42) == i + 1
+    assert f.put(42)  # fills victim
+    assert f.approximate_count(42) == 9
+    assert not f.put(42)  # victim occupied -> filter reports full
+    assert f.approximate_count(42) == 9
+    assert f.delete(42) and f.delete(42)
+    assert f.approximate_count(42) == 7  # victim drained back opportunistically
+    for i in range(7, 0, -1):
+        assert f.delete(42)
+        assert f.approximate_count(42) == i - 1
+    assert not f.might_contain(42)
+
+
+# -- sanityOverFillFilter (TestCuckooFilter.java:141-179) ---------------------
+@pytest.mark.parametrize("filter_keys", [100000, 300000])
+def test_overfill_load_factor(filter_keys):
+    f = CuckooFilter.create(filter_keys, 0.01, seed=2)
+    i = 0
+    inserted = 0
+    failed = False
+    while not failed:
+        ok = f.put_batch(keys(i, i + 1000))
+        if not ok.all():
+            inserted += int(np.argmin(ok))  # successes before first failure
+            failed = True
+        else:
+            inserted += 1000
+        i += 1000
+        assert i <= filter_keys * 2 + 1000
+    # count reflects puts that returned True up to the first failure point,
+    # plus any later in-chunk successes; the reference asserts count==inserts
+    # for strictly sequential insertion — chunked insertion preserves >=.
+    assert f.count >= inserted
+    lf_at_failure = inserted / f.actual_capacity()
+    assert 0.95 < f.load_factor() < 0.995
+    assert lf_at_failure > 0.90  # chunk granularity slack on the 0.95 bound
+    assert inserted <= filter_keys * 2 + 1
+
+
+# -- sanityOverFillBucketMoreThan2B (TestCuckooFilter.java:181-195) -----------
+def test_duplicate_insert_limit_is_nine():
+    f = CuckooFilter.create(100000, 0.01, seed=3)
+    failed_at = None
+    for i in range(30):
+        if not f.put(2):
+            failed_at = i
+            break
+    assert failed_at == 9  # 2 buckets x 4 slots + victim cache
+
+
+def test_duplicate_limit_batch_path():
+    f = CuckooFilter.create(100000, 0.01, seed=3)
+    ok = f.put_batch(np.full(30, 2, dtype=np.int64))
+    assert ok.sum() == 9
+
+
+# -- sanityFailedDelete (TestCuckooFilter.java:198-221) -----------------------
+def test_zero_false_deletes_of_present_items():
+    f = CuckooFilter.create(130000, 0.01, seed=4)
+    ks = keys(0, 100000)
+    assert f.put_batch(ks).all()
+    assert f.delete_batch(ks).all()
+
+
+# -- sanityFalseDeleteRate (TestCuckooFilter.java:219-243) --------------------
+def test_false_delete_rate_below_bound():
+    f = CuckooFilter.create(130000, 0.01, seed=5)
+    assert f.put_batch(keys(0, 100000)).all()
+    absent = keys(100001, 110001)
+    rate = f.delete_batch(absent).mean()
+    assert rate < 0.02
+
+
+# -- sanityFalsePositiveRate (TestCuckooFilter.java:245-266) ------------------
+def test_false_positive_rate_below_bound():
+    f = CuckooFilter.create(130000, 0.01, seed=6)
+    assert f.put_batch(keys(0, 100000)).all()
+    absent = keys(100001, 200001)
+    rate = f.contains_batch(absent).mean()
+    assert rate < 0.02
+
+
+# -- sanityTestVictimCache (TestCuckooFilter.java:268-287) --------------------
+def test_victim_cache_fill_and_drain():
+    f = CuckooFilter.create(130000, 0.01, seed=7)
+    for _ in range(9):
+        assert f.put(42)
+    assert f.count == 9
+    for _ in range(9):
+        assert f.might_contain(42)
+        assert f.delete(42)
+    assert not f.delete(42)
+    assert not f.might_contain(42)
+    assert f.count == 0
+
+
+# -- testVictimCacheTagComparison (TestCuckooFilter.java:289-299) -------------
+def test_victim_tag_comparison_on_both_indexes():
+    f = CuckooFilter.create(130000, 0.01, seed=8)
+    f.has_victim = True
+    f.victim_i1, f.victim_i2, f.victim_tag = 1, 2, 42
+    i = np.array([1, 2], dtype=np.int64)
+    t = np.array([42, 42], dtype=np.uint64)
+    assert f._is_victim(i, i, t).all()
+
+
+# -- sanityFillDeleteAllAndCheckABunchOfStuff / stressFillDrainCheck
+#    (TestCuckooFilter.java:301-359) ------------------------------------------
+def test_fill_drain_cycles():
+    f = CuckooFilter.create(50000, 0.01, seed=9)
+    ks = keys(0, 40000)
+    for _cycle in range(3):
+        assert f.put_batch(ks).all()
+        assert f.contains_batch(ks).all()
+        assert f.delete_batch(ks).all()
+        assert f.count == 0
+        # empty filter: no false positives at all
+        assert not f.contains_batch(keys(50000, 60000)).any()
+
+
+def test_delete_half_then_retained_all_present():
+    f = CuckooFilter.create(130000, 0.01, seed=10)
+    ks = keys(0, 100000)
+    assert f.put_batch(ks).all()
+    assert f.delete_batch(ks[::2]).all()
+    assert f.contains_batch(ks[1::2]).all()  # zero false negatives on retained
+    assert f.count == 50000
+
+
+# -- equality / copy / serialization (TestCuckooFilter.java:361-457) ----------
+def test_copy_eq_and_serde_roundtrip():
+    f = CuckooFilter.create(130000, 0.01, seed=11)
+    f.put_batch(keys(0, 100000))
+    c = f.copy()
+    assert c == f and c is not f
+    r = CuckooFilter.from_bytes(f.to_bytes())
+    assert r == f
+    # behavioral equivalence after round-trip
+    assert r.contains_batch(keys(0, 100000)).all()
+
+
+def test_serde_roundtrip_full_filter_with_victim():
+    f = CuckooFilter.create(1000, 0.01, seed=12)
+    i = 0
+    while not f.has_victim and i < 10000:
+        f.put_batch(keys(i, i + 100))
+        i += 100
+    assert f.has_victim
+    r = CuckooFilter.from_bytes(f.to_bytes())
+    assert r == f and r.has_victim
+
+
+def test_unequal_filters():
+    a = CuckooFilter.create(130000, 0.01, seed=13)
+    b = CuckooFilter.create(130000, 0.01, seed=13)
+    a.put(1)
+    assert a != b
+    c = CuckooFilter.create(130000, 0.01, seed=14)  # different seed
+    assert b != c
+
+
+# -- merge (new capability; linchpin of the distributed design) ---------------
+def test_merge_equals_direct_build_semantically():
+    nb, tb, seed = 65536, 8, 21
+    parts = [CuckooFilter(nb, tb, seed) for _ in range(4)]
+    direct = CuckooFilter(nb, tb, seed)
+    for p, lo in zip(parts, range(0, 200000, 50000)):
+        assert p.put_batch(keys(lo, lo + 50000)).all()
+    direct.put_batch(keys(0, 200000))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert merged.semantically_equal(direct)
+    assert merged.count == 200000
+    assert merged.contains_batch(keys(0, 200000)).all()
+
+
+def test_merge_associative_and_commutative():
+    nb, tb, seed = 32768, 8, 22
+    a, b, c = (CuckooFilter(nb, tb, seed) for _ in range(3))
+    a.put_batch(keys(0, 20000))
+    b.put_batch(keys(20000, 40000))
+    c.put_batch(keys(40000, 60000))
+    left = a.merge(b).merge(c)
+    right = a.merge(b.merge(c))
+    swapped = c.merge(a.merge(b))
+    assert left.semantically_equal(right)
+    assert left.semantically_equal(swapped)
+
+
+def test_merge_param_mismatch_raises():
+    a = CuckooFilter(1024, 8, 1)
+    b = CuckooFilter(2048, 8, 1)
+    with pytest.raises(ValueError):
+        a.merge(b)
+
+
+def test_merge_carries_victims():
+    nb, tb, seed = 1024, 8, 23
+    a = CuckooFilter(nb, tb, seed)
+    b = CuckooFilter(nb, tb, seed)
+    for _ in range(9):  # b gets a victim (9 dups of one key)
+        b.put(42)
+    m = a.merge(b)
+    assert m.count == 9
+    assert m.approximate_count(42) == 9

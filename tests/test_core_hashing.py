@@ -1,0 +1,135 @@
+"""pytest mirror of TestIndexTagCalc.java + TestSerializableSaltedHasher.java
+(hash/index layer) and TestFilterTable.java (slot table layer)."""
+
+import numpy as np
+import pytest
+
+from cuckoofilter4j_spark.core import (
+    BUCKET_SIZE,
+    CuckooFilter,
+    IndexTagGen,
+    alt_index,
+    encode_keys,
+    hash64,
+)
+
+
+# -- altIndex involution (TestIndexTagCalc.java:204-223) ----------------------
+@pytest.mark.parametrize("num_buckets", [64, 1024, 65536, 2**24])
+def test_alt_index_is_involution(num_buckets):
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, num_buckets, size=10000).astype(np.uint64)
+    tag = rng.integers(1, 256, size=10000).astype(np.uint64)
+    a1 = alt_index(idx, tag, num_buckets)
+    a2 = alt_index(a1, tag, num_buckets)
+    assert np.array_equal(a2.astype(np.int64), idx.astype(np.int64))
+
+
+def test_alt_index_usually_differs():
+    # partner bucket should almost always differ from home bucket
+    num_buckets = 65536
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, num_buckets, size=10000).astype(np.uint64)
+    tag = rng.integers(1, 256, size=10000).astype(np.uint64)
+    assert (alt_index(idx, tag, num_buckets).astype(np.int64) != idx.astype(np.int64)).mean() > 0.99
+
+
+# -- generate: tags never zero, index in range (IndexTagCalc.java:136-183) ----
+def test_generate_zero_tag_rescue_and_ranges():
+    gen = IndexTagGen(num_buckets=4096, tag_bits=8, seed=5)
+    words = encode_keys(np.arange(200000, dtype=np.int64))
+    idx, tag = gen.generate(words)
+    assert (tag != 0).all()  # zero is the empty-slot sentinel
+    assert (tag < 256).all()
+    assert (idx >= 0).all() and (idx < 4096).all()
+    # deterministic
+    idx2, tag2 = gen.generate(words)
+    assert np.array_equal(idx, idx2) and np.array_equal(tag, tag2)
+
+
+def test_generate_wide_hash_path():
+    # index_bits + tag_bits > 64 forces the split-hash (128-bit analog) path
+    gen = IndexTagGen(num_buckets=2**30, tag_bits=40, seed=5)
+    assert gen.wide
+    words = encode_keys(np.arange(10000, dtype=np.int64))
+    idx, tag = gen.generate(words)
+    assert (tag != 0).all() and (tag < 2**40).all()
+    assert (idx < 2**30).all()
+
+
+# -- seed independence (TestSerializableSaltedHasher.java:45-85) --------------
+def test_different_seeds_give_different_hashes():
+    words = encode_keys(np.arange(1000, dtype=np.int64))
+    h1 = hash64(words, seed=1)
+    h2 = hash64(words, seed=2)
+    assert (h1 != h2).mean() > 0.999
+
+
+def test_salt_changes_hash():
+    words = encode_keys(np.arange(1000, dtype=np.int64))
+    assert (hash64(words, 1, salt=0) != hash64(words, 1, salt=1)).mean() > 0.999
+
+
+def test_hash_uniformity():
+    # crude bucket-occupancy uniformity check over 64 buckets
+    words = encode_keys(np.arange(64000, dtype=np.int64))
+    h = hash64(words, seed=9)
+    counts = np.bincount((h & np.uint64(63)).astype(int), minlength=64)
+    assert counts.min() > 800 and counts.max() < 1200  # expect ~1000 each
+
+
+# -- key encoding (the Funnel analog) -----------------------------------------
+def test_encode_keys_types_and_collision_safety():
+    ints = encode_keys(np.array([1, 2, 3], dtype=np.int64))
+    assert ints.shape == (3, 1)
+    b = encode_keys([b"abc", b"abcd", b"\n"])
+    assert b.shape[0] == 3
+    # padding must not collide: b"a" vs b"a\x00"
+    w1 = encode_keys([b"a"])
+    w2 = encode_keys([b"a\x00"])
+    assert not np.array_equal(hash64(w1, 0), hash64(w2, 0))
+    # str goes through utf-8
+    s = encode_keys(["abc"])
+    assert np.array_equal(hash64(s, 3), hash64(encode_keys([b"abc"]), 3))
+    # 32-byte sha256-like keys take the fast uniform path
+    import hashlib
+
+    digests = [hashlib.sha256(str(i).encode()).digest() for i in range(100)]
+    w = encode_keys(digests)
+    assert w.shape == (100, 5)  # length word + 4 data words
+    assert len(np.unique(hash64(w, 7))) == 100
+
+
+# -- slot-table semantics (TestFilterTable.java:53-202) ------------------------
+def test_bucket_holds_exactly_four_then_overflows():
+    f = CuckooFilter(1024, 8, seed=1)
+    # force-fill one bucket directly
+    for i in range(BUCKET_SIZE):
+        assert f._insert_to_bucket(5, 10 + i)
+    assert not f._insert_to_bucket(5, 99)  # 5th write fails
+    assert list(f.table[5]) == [10, 11, 12, 13]
+    # no bit-bleed into neighbors
+    assert (f.table[4] == 0).all() and (f.table[6] == 0).all()
+
+
+def test_delete_clears_single_matching_slot():
+    f = CuckooFilter(1024, 8, seed=1)
+    f._insert_to_bucket(7, 42)
+    f._insert_to_bucket(7, 42)
+    assert f._delete_from_bucket(7, 42)
+    assert (f.table[7] == 42).sum() == 1
+    assert f._delete_from_bucket(7, 42)
+    assert not f._delete_from_bucket(7, 42)
+
+
+def test_swap_random_slot_returns_old_tag():
+    f = CuckooFilter(1024, 8, seed=1)
+    for i in range(BUCKET_SIZE):
+        f._insert_to_bucket(3, 20 + i)
+    f.victim_i1, f.victim_i2, f.victim_tag = 0, 3, 77
+    f.has_victim = True
+    before = set(f.table[3])
+    f._try_swap_victim_into_empty_spot()
+    after = set(f.table[3])
+    assert 77 in after
+    assert len(before - after) == 1  # exactly one tag was kicked
