@@ -1,0 +1,35 @@
+"""Spark DataFrame operators for the distributed cuckoo filter."""
+
+from cuckoofilter4j_spark.operators.build import (
+    GROUP_ALL,
+    METRIC_FIELDS,
+    build_filter,
+    build_filter_salted,
+    build_partials_scan_local,
+    sha256_key,
+    sketch_schema,
+)
+from cuckoofilter4j_spark.operators.merge import merge_sketches, sketch_metrics, tree_merge
+from cuckoofilter4j_spark.operators.probe import (
+    approx_count,
+    collect_sketches,
+    delete_keys,
+    might_contain,
+)
+
+__all__ = [
+    "GROUP_ALL",
+    "METRIC_FIELDS",
+    "approx_count",
+    "build_filter",
+    "build_filter_salted",
+    "build_partials_scan_local",
+    "collect_sketches",
+    "delete_keys",
+    "merge_sketches",
+    "might_contain",
+    "sha256_key",
+    "sketch_metrics",
+    "sketch_schema",
+    "tree_merge",
+]

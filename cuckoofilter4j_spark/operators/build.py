@@ -1,0 +1,261 @@
+"""Spark build operators: DataFrame -> cuckoo-sketch DataFrame.
+
+The distributed analog of CuckooFilter.Builder + put (CuckooFilter.java:174-456),
+re-expressed Spark-first:
+
+- key derivation is pure Catalyst (`sha2`/`unhex`/`xxhash64`, whole-stage codegen)
+- the filter build is a grouped-map pandas UDF (Arrow batches, no per-row Python)
+- skew is handled with an explicit salt column + partial/final two-level build,
+  the same shape as Spark's own partial/final hash aggregation
+- the zero-shuffle path builds partials on scan partitions via mapInPandas and
+  merges only (tiny) sketch rows
+
+All partials for a group share (num_buckets, tag_bits, seed) — computed once
+from (max_keys, fpp, seed) — which is what makes fingerprint re-insertion
+merge valid (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from cuckoofilter4j_spark.core import (
+    BUCKET_SIZE,
+    DEFAULT_FP,
+    CuckooFilter,
+    validate_params,
+)
+
+GROUP_ALL = "__global__"
+_SALT_COL = "__ckf_salt"
+
+# Metric/lineage fields carried on every sketch row (north rule: per-partition
+# lineage + load-factor/FPP metrics).
+METRIC_FIELDS = [
+    StructField("sketch", BinaryType(), False),
+    StructField("num_buckets", LongType(), False),
+    StructField("tag_bits", IntegerType(), False),
+    StructField("seed", LongType(), False),
+    StructField("count", LongType(), False),
+    StructField("rows_in", LongType(), False),
+    StructField("kicks", LongType(), False),
+    StructField("failed_inserts", LongType(), False),
+    StructField("load_factor", DoubleType(), False),
+    StructField("storage_bits", LongType(), False),
+]
+
+
+def sha256_key(col: Union[str, Column]) -> Column:
+    """Canonical filter key: 32-byte sha256 digest of a column, computed by
+    Catalyst (satisfies the per-row invariant 'content sha256 equality')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unhex(F.sha2(c.cast("string"), 256))
+
+
+def _group_fields(df: DataFrame, group_cols: Sequence[str]) -> List[StructField]:
+    by_name = {f.name: f for f in df.schema.fields}
+    return [StructField(c, by_name[c].dataType, True) for c in group_cols]
+
+
+def sketch_schema(df: DataFrame, group_cols: Sequence[str]) -> StructType:
+    return StructType(_group_fields(df, group_cols) + METRIC_FIELDS)
+
+
+def _rng_seed_for(seed: int, *parts) -> int:
+    return (zlib.crc32(repr(tuple(parts)).encode()) ^ (seed & 0xFFFFFFFF)) & 0xFFFFFFFF
+
+
+def _sketch_row(group_vals: tuple, filt: CuckooFilter, rows_in: int) -> dict:
+    row = {f"__g{i}": v for i, v in enumerate(group_vals)}
+    row.update(
+        sketch=filt.to_bytes(),
+        num_buckets=filt.num_buckets,
+        tag_bits=filt.tag_bits,
+        seed=np.int64(np.uint64(filt.seed).astype(np.int64)),
+        count=filt.count,
+        rows_in=rows_in,
+        kicks=filt.kicks,
+        failed_inserts=filt.failed_inserts,
+        load_factor=filt.load_factor(),
+        storage_bits=filt.storage_bits(),
+    )
+    return row
+
+
+def _to_pdf(rows: List[dict], group_cols: Sequence[str]) -> pd.DataFrame:
+    pdf = pd.DataFrame(rows)
+    renames = {f"__g{i}": c for i, c in enumerate(group_cols)}
+    return pdf.rename(columns=renames)[
+        list(group_cols) + [f.name for f in METRIC_FIELDS]
+    ]
+
+
+def _resolve_max_keys(max_keys, group_vals: tuple):
+    if isinstance(max_keys, dict):
+        key = group_vals if len(group_vals) > 1 else group_vals[0]
+        if key not in max_keys:
+            if GROUP_ALL in max_keys:
+                return int(max_keys[GROUP_ALL])
+            raise KeyError(
+                f"max_keys dict has no entry for group {key!r} and no "
+                f"'{GROUP_ALL}' fallback — sizing must be explicit per group"
+            )
+        return int(max_keys[key])
+    return int(max_keys)
+
+
+def build_filter(
+    df: DataFrame,
+    key_col: str = "key",
+    group_cols: Optional[Sequence[str]] = None,
+    max_keys: Union[int, Dict] = None,
+    fpp: float = DEFAULT_FP,
+    seed: int = 42,
+    min_max_keys: int = 256,
+) -> DataFrame:
+    """One cuckoo filter per group via groupBy().applyInPandas.
+
+    `max_keys` is the GLOBAL expected key count per group (int for all groups
+    or dict group->int) — partials must share sizing (SURVEY.md §4).
+    Simple path; for skewed groups use `build_filter_salted`.
+
+    `min_max_keys` floors the sizing: groups smaller than this still get a
+    filter sized for it (512 bytes at the default 256). Tiny cuckoo tables
+    (<~8 buckets) overflow at well below the design load factor — the
+    reference never builds them (its tests start at 100k keys) — so the
+    floor keeps small groups loss-free at negligible cost.
+    """
+    if max_keys is None:
+        raise ValueError("max_keys is required (global sizing per group)")
+    group_cols = list(group_cols) if group_cols else []
+    grouped = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy(F.lit(0).alias("__dummy"))
+    out_schema = sketch_schema(df, group_cols)
+    fpp_, seed_ = float(fpp), int(seed)
+    mk, gcols, floor_ = max_keys, list(group_cols), int(min_max_keys)
+
+    def build(key_tuple, pdf):
+        gvals = tuple(key_tuple) if gcols else ()
+        m = _resolve_max_keys(mk, gvals if gcols else (GROUP_ALL,))
+        nb, tb = validate_params(max(m, floor_, 2), fpp_)
+        filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, gvals))
+        keys = pdf[key_col]
+        filt.put_batch(keys)
+        return _to_pdf([_sketch_row(gvals, filt, len(pdf))], gcols)
+
+    out = grouped.applyInPandas(build, out_schema)
+    return out
+
+
+def build_filter_salted(
+    df: DataFrame,
+    key_col: str = "key",
+    group_cols: Optional[Sequence[str]] = None,
+    max_keys: Union[int, Dict] = None,
+    fpp: float = DEFAULT_FP,
+    seed: int = 42,
+    salt_buckets: int = 32,
+    min_max_keys: int = 256,
+) -> DataFrame:
+    """Skew-safe two-level build: explicit salt column bounds per-task input
+    (the distributed replacement for the reference's SegmentedBucketLocker
+    concurrency, SegmentedBucketLocker.java:35-164).
+
+    level 1: groupBy(group, salt) -> partial sketches (parallelism = salt
+    even for a single hot group); level 2: merge partials per group.
+    Only (group, key) columns are shuffled — project before calling for
+    minimal shuffle volume (done here via select).
+    """
+    group_cols = list(group_cols) if group_cols else []
+    proj = df.select(*group_cols, F.col(key_col))
+    salted = proj.withColumn(
+        _SALT_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets)).cast("int")
+    )
+    if isinstance(max_keys, dict):
+        # sizing is per GROUP; expand over salt values so (group..., salt)
+        # lookups resolve to the group's global size (partials must share it)
+        expanded = {}
+        for k, v in max_keys.items():
+            kt = k if isinstance(k, tuple) else (k,)
+            for s in range(salt_buckets):
+                ks = kt + (s,)
+                expanded[ks if len(ks) > 1 else ks[0]] = v
+        max_keys = expanded
+    partials = build_filter(
+        salted,
+        key_col=key_col,
+        group_cols=group_cols + [_SALT_COL],
+        max_keys=max_keys,
+        fpp=fpp,
+        seed=seed,
+        min_max_keys=min_max_keys,
+    ).drop(_SALT_COL)
+    from cuckoofilter4j_spark.operators.merge import merge_sketches
+
+    return merge_sketches(partials, group_cols)
+
+
+def build_partials_scan_local(
+    df: DataFrame,
+    key_col: str = "key",
+    group_cols: Optional[Sequence[str]] = None,
+    max_keys: Union[int, Dict] = None,
+    fpp: float = DEFAULT_FP,
+    seed: int = 42,
+    min_max_keys: int = 256,
+) -> DataFrame:
+    """Zero-shuffle partial build: mapInPandas over scan partitions, one
+    partial sketch row per (group, partition). The raw data never shuffles;
+    only sketch rows do (into the merge). The 100 TB-friendly path when the
+    number of groups per scan partition is modest.
+    """
+    if max_keys is None:
+        raise ValueError("max_keys is required (global sizing per group)")
+    group_cols = list(group_cols) if group_cols else []
+    proj = df.select(*group_cols, F.col(key_col))
+    out_schema = sketch_schema(df, group_cols)
+    fpp_, seed_ = float(fpp), int(seed)
+    mk, gcols, kc, floor_ = max_keys, list(group_cols), key_col, int(min_max_keys)
+
+    def build_parts(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        filters: Dict[tuple, CuckooFilter] = {}
+        rows_in: Dict[tuple, int] = {}
+        for pdf in batches:
+            if gcols:
+                grouped = pdf.groupby(gcols, dropna=False, sort=False)
+                items = [(k if isinstance(k, tuple) else (k,), g) for k, g in grouped]
+            else:
+                items = [((), pdf)]
+            for gvals, g in items:
+                filt = filters.get(gvals)
+                if filt is None:
+                    m = _resolve_max_keys(mk, gvals if gcols else (GROUP_ALL,))
+                    nb, tb = validate_params(max(m, floor_, 2), fpp_)
+                    filt = CuckooFilter(
+                        nb, tb, seed_, rng_seed=_rng_seed_for(seed_, gvals, pid)
+                    )
+                    filters[gvals] = filt
+                    rows_in[gvals] = 0
+                filt.put_batch(g[kc])
+                rows_in[gvals] += len(g)
+        if filters:
+            yield _to_pdf(
+                [_sketch_row(gv, f, rows_in[gv]) for gv, f in filters.items()], gcols
+            )
+
+    return proj.mapInPandas(build_parts, out_schema)

@@ -1,0 +1,113 @@
+"""Merge operators: fold partial sketch rows into per-group / global filters.
+
+The reference has no merge at all (SURVEY.md §1.3); fingerprint re-insertion
+merge is the new capability that makes the filter a distributed sketch. Merge
+is set-semantically associative and commutative (tests assert this via the
+placement-invariant fingerprint multiset), so it can run as a tree reduction.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from cuckoofilter4j_spark.core import CuckooFilter
+from cuckoofilter4j_spark.operators.build import METRIC_FIELDS, _sketch_row, _to_pdf, sketch_schema
+
+_BUCKET_COL = "__ckf_merge_bucket"
+
+
+def _merge_pdf(gvals: tuple, pdf: pd.DataFrame, gcols: Sequence[str]) -> pd.DataFrame:
+    filters = [CuckooFilter.from_bytes(b) for b in pdf["sketch"]]
+    acc = filters[0]
+    # restore lineage counters lost by serde (codec stores state, not metrics)
+    acc.kicks = int(pdf["kicks"].iloc[0])
+    acc.failed_inserts = int(pdf["failed_inserts"].iloc[0])
+    for f, kicks, fails in zip(filters[1:], pdf["kicks"].iloc[1:], pdf["failed_inserts"].iloc[1:]):
+        f.kicks = int(kicks)
+        f.failed_inserts = int(fails)
+        acc.merge_in_place(f)
+    return _to_pdf([_sketch_row(gvals, acc, int(pdf["rows_in"].sum()))], gcols)
+
+
+def merge_sketches(
+    partials: DataFrame, group_cols: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """One-level merge: groupBy(group).applyInPandas over sketch rows."""
+    gcols = list(group_cols) if group_cols else []
+    out_schema = sketch_schema(partials, gcols)
+    grouped = (
+        partials.groupBy(*gcols) if gcols else partials.groupBy(F.lit(0).alias("__d"))
+    )
+
+    def merge(key_tuple, pdf):
+        gvals = tuple(key_tuple) if gcols else ()
+        return _merge_pdf(gvals, pdf, gcols)
+
+    return grouped.applyInPandas(merge, out_schema)
+
+
+def tree_merge(
+    partials: DataFrame,
+    group_cols: Optional[Sequence[str]] = None,
+    fanout: int = 8,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Tree reduction of partials (treeAggregate analog, SURVEY.md §2.3).
+
+    Each round merges up to `fanout` partials per (group, bucket) task, so a
+    global merge over P partials takes ceil(log_fanout(P)) rounds with
+    parallelism P/fanout instead of one task doing P-1 sequential merges.
+    Work per round is O(total stored fingerprints) and rows shrink by fanout,
+    so rounds get cheaper; the shuffled payload is only sketch rows.
+    """
+    gcols = list(group_cols) if group_cols else []
+    df = partials.persist()
+    cached: List[DataFrame] = [df]
+    try:
+        for rnd in range(max_rounds):
+            # the count action also materializes this round's cache, so each
+            # round computes exactly once (no lineage recomputation)
+            n_partials = df.groupBy(*gcols).count().agg(F.max("count")).collect()[0][0]
+            if n_partials is None or n_partials <= fanout:
+                break
+            n_buckets = (int(n_partials) + fanout - 1) // fanout
+            # deterministic bucket from sketch bytes' xxhash — no RNG, resumable
+            bucketed = df.withColumn(
+                _BUCKET_COL,
+                F.pmod(F.xxhash64(F.col("sketch"), F.lit(rnd)), F.lit(n_buckets)).cast("int"),
+            )
+            df = merge_sketches(bucketed, gcols + [_BUCKET_COL]).drop(_BUCKET_COL).persist()
+            cached.append(df)
+        final = merge_sketches(df, gcols).persist()
+        final.count()  # materialize before releasing parents
+        return final
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
+def sketch_metrics(sketches: DataFrame, group_cols: Optional[Sequence[str]] = None) -> DataFrame:
+    """Observability projection (north rule: load-factor/FPP metrics)."""
+    gcols = list(group_cols) if group_cols else []
+    return sketches.select(
+        *gcols,
+        "num_buckets",
+        "tag_bits",
+        "count",
+        "rows_in",
+        "kicks",
+        "failed_inserts",
+        "load_factor",
+        "storage_bits",
+        (F.col("count") / (F.col("num_buckets") * 4)).alias("load_factor_check"),
+        # expected FPP at current load for 4-slot buckets and t-bit tags:
+        # ~ 2*4*load / (2^t - 1)
+        (
+            F.lit(8.0)
+            * F.col("load_factor")
+            / (F.pow(F.lit(2.0), F.col("tag_bits")) - F.lit(1.0))
+        ).alias("expected_fpp"),
+    )

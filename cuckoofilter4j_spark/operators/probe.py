@@ -1,0 +1,154 @@
+"""Probe operators: membership / approximate-count / delete queries against
+built sketches, as DataFrame transformations.
+
+Spark mapping of CuckooFilter.java:638-752 — the sketch DataFrame is collected
+and broadcast (sketches are small next to the data being probed), and the
+probe itself is a vectorized iterator-style mapInPandas: pure numpy gathers,
+no per-row Python, one sketch-dict lookup per (group × Arrow batch).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BooleanType, IntegerType, LongType, StructField, StructType
+
+from cuckoofilter4j_spark.core import CuckooFilter
+
+
+def collect_sketches(
+    sketches: DataFrame, group_cols: Optional[Sequence[str]] = None
+) -> Dict[tuple, bytes]:
+    """Collect a sketch DataFrame into {group_values_tuple: sketch_bytes}."""
+    gcols = list(group_cols) if group_cols else []
+    rows = sketches.select(*gcols, "sketch").collect()
+    return {tuple(r[c] for c in gcols): bytes(r["sketch"]) for r in rows}
+
+
+def _probe_map(
+    df: DataFrame,
+    sketches,
+    key_col: str,
+    group_cols: Optional[Sequence[str]],
+    result_col: str,
+    result_field,
+    mode: str,
+) -> DataFrame:
+    """Shared engine for contains/count probes.
+
+    `sketches` may be a sketch DataFrame or a pre-collected dict. The dict is
+    shipped once per executor via Spark's task broadcast of the UDF closure;
+    deserialized CuckooFilter objects are cached per worker process.
+    """
+    gcols = list(group_cols) if group_cols else []
+    if isinstance(sketches, DataFrame):
+        sketches = collect_sketches(sketches, gcols)
+    sketch_map = dict(sketches)
+    out_schema = StructType(df.schema.fields + [StructField(result_col, result_field, False)])
+    kc = key_col
+
+    def probe(batches):
+        cache: Dict[tuple, CuckooFilter] = {}
+
+        def filter_for(gvals: tuple) -> Optional[CuckooFilter]:
+            if gvals not in cache:
+                blob = sketch_map.get(gvals)
+                cache[gvals] = CuckooFilter.from_bytes(blob) if blob is not None else None
+            return cache[gvals]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[result_col] = pd.Series([], dtype="bool" if mode == "contains" else "int64")
+                yield pdf
+                continue
+            result = np.zeros(len(pdf), dtype=bool if mode == "contains" else np.int64)
+            if gcols:
+                for gvals, idx in pdf.groupby(gcols, dropna=False, sort=False).indices.items():
+                    gv = gvals if isinstance(gvals, tuple) else (gvals,)
+                    filt = filter_for(gv)
+                    if filt is None:
+                        continue
+                    keys = pdf[kc].iloc[idx]
+                    result[idx] = (
+                        filt.contains_batch(keys) if mode == "contains" else filt.count_batch(keys)
+                    )
+            else:
+                filt = filter_for(())
+                if filt is not None:
+                    result = (
+                        filt.contains_batch(pdf[kc])
+                        if mode == "contains"
+                        else filt.count_batch(pdf[kc])
+                    )
+            pdf = pdf.copy()
+            pdf[result_col] = result
+            yield pdf
+
+    return df.mapInPandas(probe, out_schema)
+
+
+def might_contain(
+    df: DataFrame,
+    sketches,
+    key_col: str = "key",
+    group_cols: Optional[Sequence[str]] = None,
+    result_col: str = "might_contain",
+) -> DataFrame:
+    """Adds a boolean membership column (CuckooFilter.mightContain analog).
+    Rows whose group has no sketch get False (nothing was inserted)."""
+    return _probe_map(df, sketches, key_col, group_cols, result_col, BooleanType(), "contains")
+
+
+def approx_count(
+    df: DataFrame,
+    sketches,
+    key_col: str = "key",
+    group_cols: Optional[Sequence[str]] = None,
+    result_col: str = "approx_count",
+) -> DataFrame:
+    """Adds an approximate-occurrence-count column (approximateCount analog;
+    never undercounts, may overcount at ~FPP)."""
+    return _probe_map(df, sketches, key_col, group_cols, result_col, LongType(), "count")
+
+
+def delete_keys(
+    sketches: DataFrame,
+    deletes: DataFrame,
+    key_col: str = "key",
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Distributed delete: fold delete rows into each group's sketch.
+
+    Deletes are routed to the group's filter (cogroup on the group columns)
+    and applied with exact reference semantics (CuckooFilter.java:716-752),
+    including victim drain. Returns the updated sketch DataFrame.
+    Order contract: all puts of an epoch precede its deletes (FIXTURES.md §4).
+    """
+    from cuckoofilter4j_spark.operators.build import _sketch_row, _to_pdf, sketch_schema
+
+    gcols = list(group_cols) if group_cols else []
+    out_schema = sketch_schema(sketches, gcols)
+    kc = key_col
+
+    left = sketches.groupBy(*gcols) if gcols else sketches.groupBy(F.lit(0).alias("__d"))
+    right = deletes.groupBy(*gcols) if gcols else deletes.groupBy(F.lit(0).alias("__d"))
+
+    def apply_deletes(key_tuple, sk_pdf, del_pdf):
+        gvals = tuple(key_tuple) if gcols else ()
+        if len(sk_pdf) == 0:
+            # deletes for a group that has no sketch: nothing to update
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        filt = CuckooFilter.from_bytes(sk_pdf["sketch"].iloc[0])
+        filt.kicks = int(sk_pdf["kicks"].iloc[0])
+        filt.failed_inserts = int(sk_pdf["failed_inserts"].iloc[0])
+        if len(sk_pdf) > 1:  # merge unexpected multiple sketch rows first
+            for b in sk_pdf["sketch"].iloc[1:]:
+                filt.merge_in_place(CuckooFilter.from_bytes(b))
+        if len(del_pdf):
+            filt.delete_batch(del_pdf[kc])
+        return _to_pdf([_sketch_row(gvals, filt, int(sk_pdf["rows_in"].sum()))], gcols)
+
+    return left.cogroup(right).applyInPandas(apply_deletes, out_schema)

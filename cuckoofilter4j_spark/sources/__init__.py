@@ -1,0 +1,24 @@
+"""Input sources: driver testdata loaders + deterministic fixtures."""
+
+from cuckoofilter4j_spark.sources.source_files import absent_source_files, source_files
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Load one driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+__all__ = ["TPCH_TABLES", "absent_source_files", "load_table", "source_files"]

@@ -1,0 +1,79 @@
+"""Deterministic synthetic source-code table (FIXTURES.md §1-2).
+
+The BASELINE.json input shape: (repo, path, commit, lang, content) — an
+Iceberg-style table of source files. Generated entirely with Catalyst
+expressions over spark.range (distributed, seedless-deterministic, no Python
+in the data path), so the same call always yields byte-identical rows at any
+partitioning and any scale.
+
+- `org0/repo0` holds ~30% of rows (the skew fixture for salted repartitioning)
+- `lang` weighted java/python/go/rust/ts = 40/25/15/10/10
+- `content` is unique per row (so sha256(content) keys are distinct) with
+  pseudo-random length 200-2000 chars
+- absent_source_files() draws from a disjoint index range (i + 10_000_000)
+  guaranteeing zero key overlap for FPP measurement
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_EXTS = {"java": "java", "python": "py", "go": "go", "rust": "rs", "ts": "ts"}
+
+
+def _gen(spark: SparkSession, start: int, rows: int, num_partitions: int) -> DataFrame:
+    df = spark.range(start, start + rows, 1, num_partitions)
+    i = F.col("id")
+    # ~30% of rows hit the hot repo; mixing constant decorrelates from id%N uses
+    hot = F.pmod(i * F.lit(2654435761), F.lit(10)) < 3
+    repo = F.when(hot, F.lit("org0/repo0")).otherwise(
+        F.concat(F.lit("org"), F.pmod(i, F.lit(7)), F.lit("/repo"), F.pmod(i, F.lit(23)))
+    )
+    w = F.pmod(i, F.lit(20))
+    lang = (
+        F.when(w < 8, "java")
+        .when(w < 13, "python")
+        .when(w < 16, "go")
+        .when(w < 18, "rust")
+        .otherwise("ts")
+    )
+    ext = (
+        F.when(w < 8, "java")
+        .when(w < 13, "py")
+        .when(w < 16, "go")
+        .when(w < 18, "rs")
+        .otherwise("ts")
+    )
+    path = F.concat(
+        F.lit("src/dir"), F.pmod(i, F.lit(17)), F.lit("/file"), i, F.lit("."), ext
+    )
+    commit = F.sha1(F.concat(F.lit("commit"), (i / 100).cast("long")).cast("binary"))
+    # unique-per-row content: header + deterministic body, length 200-2000
+    body_len = (F.pmod(i * F.lit(40503), F.lit(1801)) + F.lit(200)).cast("int")
+    body = F.substring(
+        F.repeat(F.sha2(F.concat(F.lit("body"), i).cast("binary"), 256), 32), 1, 2048
+    )
+    content = F.concat(
+        F.lit("// file "), i, F.lit("\n"), F.substring(body, 1, body_len)
+    )
+    return df.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def source_files(
+    spark: SparkSession, rows: int = 10_000, num_partitions: int = 8
+) -> DataFrame:
+    """The primary fixture table (FIXTURES.md §1). sf_small=10k, sf_bench=1M."""
+    return _gen(spark, 0, rows, num_partitions)
+
+
+def absent_source_files(
+    spark: SparkSession, rows: int = 10_000, num_partitions: int = 8
+) -> DataFrame:
+    """Known non-members (FIXTURES.md §2): disjoint index range, zero overlap."""
+    return _gen(spark, 10_000_000, rows, num_partitions)

@@ -1,0 +1,179 @@
+"""Spark-level tests: grouped/salted/scan-local builds, probes, deletes,
+merge invariance — against exact DataFrame oracles on the driver testdata
+and the synthetic source_files fixture (FIXTURES.md)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.operators import (
+    approx_count,
+    build_filter,
+    build_filter_salted,
+    build_partials_scan_local,
+    collect_sketches,
+    delete_keys,
+    merge_sketches,
+    might_contain,
+    sha256_key,
+    sketch_metrics,
+    tree_merge,
+)
+from cuckoofilter4j_spark.sources import source_files
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.select(
+        "l_returnflag",
+        sha256_key(F.concat_ws("|", "l_orderkey", "l_linenumber")).alias("key"),
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def srcfiles(spark):
+    df = source_files(spark, rows=10000).cache()
+    df.count()
+    return df
+
+
+def test_grouped_build_zero_false_negatives(spark, keyed):
+    n = keyed.count()
+    sk = build_filter(keyed, "key", ["l_returnflag"], max_keys=n, fpp=0.01, seed=42)
+    probed = might_contain(keyed, sk, "key", ["l_returnflag"])
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_counts_match_exact_group_counts(spark, keyed):
+    n = keyed.count()
+    sk = build_filter(keyed, "key", ["l_returnflag"], max_keys=n, fpp=0.01, seed=42)
+    got = {r["l_returnflag"]: r["count"] for r in sk.collect()}
+    exact = {
+        r["l_returnflag"]: r["c"]
+        for r in keyed.groupBy("l_returnflag").agg(F.count("*").alias("c")).collect()
+    }
+    assert got == exact
+
+
+def test_fpp_below_bound_absent_keys(spark, keyed):
+    n = keyed.count()
+    sk = build_filter(keyed, "key", None, max_keys=max(n, 130000), fpp=0.01, seed=42)
+    absent = spark.range(10_000_000, 10_100_000).select(
+        sha256_key(F.col("id")).alias("key")
+    )
+    probed = might_contain(absent, sk, "key", None)
+    fp = probed.filter(F.col("might_contain")).count()
+    assert fp / 100_000 < 0.02
+
+
+def test_salted_build_semantically_matches_grouped(spark, keyed):
+    n = keyed.count()
+    a = build_filter(keyed, "key", ["l_returnflag"], max_keys=n, fpp=0.01, seed=42)
+    b = build_filter_salted(
+        keyed, "key", ["l_returnflag"], max_keys=n, fpp=0.01, seed=42, salt_buckets=8
+    )
+    ca = {(r["l_returnflag"]): (r["count"], r["failed_inserts"]) for r in a.collect()}
+    cb = {(r["l_returnflag"]): (r["count"], r["failed_inserts"]) for r in b.collect()}
+    assert ca == cb
+    # salted filter also has zero false negatives
+    probed = might_contain(keyed, b, "key", ["l_returnflag"])
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_partition_count_invariance(spark, keyed):
+    """Same semantic filter at 2 vs 16 partitions (SURVEY.md §5)."""
+    from cuckoofilter4j_spark.core import CuckooFilter
+
+    n = keyed.count()
+    outs = []
+    for parts in (2, 16):
+        partials = build_partials_scan_local(
+            keyed.repartition(parts), "key", None, max_keys=n, fpp=0.01, seed=42
+        )
+        glob = tree_merge(partials, None, fanout=4)
+        blob = collect_sketches(glob, None)[()]
+        outs.append(CuckooFilter.from_bytes(blob))
+    a, b = outs
+    assert a.count == b.count == n
+    assert a.semantically_equal(b)
+
+
+def test_scan_local_partials_lineage(spark, keyed):
+    n = keyed.count()
+    partials = build_partials_scan_local(
+        keyed.repartition(6), "key", None, max_keys=n, fpp=0.01, seed=42
+    )
+    rows = partials.collect()
+    assert len(rows) == 6
+    assert sum(r["rows_in"] for r in rows) == n
+    assert sum(r["count"] for r in rows) == n
+    for r in rows:
+        assert r["failed_inserts"] == 0
+        assert 0 < r["load_factor"] < 1
+
+
+def test_approx_count_never_undercounts(spark, keyed):
+    # key on l_orderkey with <=3 duplicates per key and 2x sizing headroom:
+    # every put succeeds, so approximateCount must never undercount
+    # (CuckooFilter.java:679-693 — the guarantee covers inserted copies; >7
+    # duplicates at high load legitimately overflow, per the reference docs).
+    li = keyed.sparkSession.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    dup = li.filter(F.col("l_linenumber") <= 3).select(
+        sha256_key(F.col("l_orderkey")).alias("key")
+    )
+    n = dup.count()
+    sk = build_filter(dup, "key", None, max_keys=2 * n, fpp=0.01, seed=1)
+    assert sk.select("failed_inserts").collect()[0][0] == 0
+    counted = approx_count(dup.distinct(), sk, "key", None)
+    exact = dup.groupBy("key").agg(F.count("*").alias("exact"))
+    joined = counted.join(exact, "key")
+    under = joined.filter(F.col("approx_count") < F.col("exact")).count()
+    assert under == 0
+
+
+def test_delete_keys_distributed(spark, keyed):
+    n = keyed.count()
+    sk = build_filter(keyed, "key", ["l_returnflag"], max_keys=n, fpp=0.01, seed=42)
+    # delete every other row (FIXTURES.md §4 semantics)
+    dels = keyed.withColumn("rn", F.monotonically_increasing_id()).filter(
+        F.col("rn") % 2 == 0
+    ).drop("rn").cache()
+    kept = keyed.exceptAll(dels).cache()
+    d = dels.count()
+    sk2 = delete_keys(sk, dels, "key", ["l_returnflag"])
+    # count reconciles exactly: deletes of present keys always succeed
+    assert sk2.agg(F.sum("count")).collect()[0][0] == n - d
+    # retained keys: zero false negatives
+    probed = might_contain(kept, sk2, "key", ["l_returnflag"])
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_source_files_skewed_repo_build(spark, srcfiles):
+    """The BASELINE.json input shape: (repo,path,commit,lang,content) keyed on
+    sha256(content), grouped by (lang, repo), org0/repo0 skewed ~30%."""
+    keyed = srcfiles.select("lang", "repo", sha256_key(F.col("content")).alias("key"))
+    counts = {
+        (r["lang"], r["repo"]): r["c"]
+        for r in keyed.groupBy("lang", "repo").agg(F.count("*").alias("c")).collect()
+    }
+    sk = build_filter_salted(
+        keyed, "key", ["lang", "repo"], max_keys=counts, fpp=0.01, seed=42, salt_buckets=4
+    )
+    got = {(r["lang"], r["repo"]): r["count"] for r in sk.collect()}
+    assert got == counts
+    probed = might_contain(keyed, sk, "key", ["lang", "repo"])
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_metrics_projection(spark, keyed):
+    n = keyed.count()
+    sk = build_filter(keyed, "key", ["l_returnflag"], max_keys=n, fpp=0.01, seed=42)
+    m = sketch_metrics(sk, ["l_returnflag"]).collect()
+    for r in m:
+        assert abs(r["load_factor"] - r["load_factor_check"]) < 1e-12
+        assert 0 < r["expected_fpp"] < 0.25
