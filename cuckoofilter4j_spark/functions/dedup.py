@@ -1,0 +1,248 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact_dedup / exact_dup_groups : hash-groupBy exact dedup (Catalyst only)
+- minhash_signature / minhash_dup_pairs : MinHash + LSH banding near-dup
+- simhash_table / simhash_dup_pairs : 64-bit SimHash near-dup
+- ngram_jaccard_pairs            : exact n-gram Jaccard verification join
+
+Scale notes (100 TB): exact dedup is a single hash aggregation (map-side
+partial, AQE-skew-safe). MinHash/SimHash candidate generation explodes to
+(doc, band) rows — rows scale linearly with corpus × bands and the join key
+is the band hash, so the shuffle stays O(n·bands) with small rows; only
+candidate PAIRS (post-LSH, tiny) are verified. No cross joins anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from cuckoofilter4j_spark.functions.text import shingles
+
+
+def content_sha(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("string"), 256)
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by sha256(text): one row per distinct content
+    with its keeper id (min id) and copy count."""
+    return (
+        df.select(content_sha(text_col).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct text. Implemented as a
+    window rank over the content hash — a single shuffle, no self-join."""
+    w = Window.partitionBy(content_sha(text_col)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signatures, entirely in Catalyst: k-char shingles ->
+    per-seed min over xxhash64(shingle, seed). Returns (id, sig array)."""
+    sh = shingles(text_col, shingle_k)
+    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(sh, lambda g: F.xxhash64(g, s))
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("minhash_sig"))
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH banding over MinHash signatures.
+
+    bands × rows-per-band = num_hashes; a pair collides if any band's slice
+    of the signature matches exactly. Collisions are verified by estimated
+    Jaccard = fraction of agreeing signature positions >= threshold.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        "id",
+        "minhash_sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.slice("minhash_sig", b * r + 1, r).cast("string")).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("id", "minhash_sig", "bh.band", "bh.band_hash")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.minhash_sig").alias("sig_a"),
+            F.col("b.minhash_sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = (agree / F.lit(float(num_hashes))).alias("est_jaccard")
+    return cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash_table(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4
+) -> DataFrame:
+    """64-bit SimHash per document -> (id, simhash), pure Catalyst.
+
+    Shape: explode shingles -> one xxhash64 per shingle -> 64 conditional-sum
+    aggregate columns (each bit position votes +1/-1) -> pack sign bits into
+    a long. The groupBy gets map-side partial aggregation and whole-stage
+    codegen; shingle rows never leave their partition unless the doc id does.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_k)).alias("g")
+    ).withColumn("h", F.xxhash64("g"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    votes = ex.groupBy("id").agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        packed = packed.bitwiseOR(
+            F.when(
+                F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("id", packed.alias("simhash"))
+
+
+def hamming64(a, b) -> Column:
+    """Hamming distance between two 64-bit columns via bit_count(xor)."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ac.bitwiseXOR(bc))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with simhash distance <= max_hamming.
+
+    LSH trick: split the 64-bit simhash into (max_hamming+1) blocks — any
+    pair within the distance budget must agree exactly on >=1 block
+    (pigeonhole), so candidates join on (block_idx, block_value), never a
+    cross join. Returns (id_a, id_b, hamming).
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    simh = simhash_table(df, text_col, id_col, shingle_k)
+    blocks = simh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftrightunsigned("simhash", i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("blk_val"),
+                )
+                for i in range(nblocks)
+            ])
+        ).alias("b"),
+    ).select("id", "simhash", "b.blk", "b.blk_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", hamming64("sh_a", "sh_b").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    candidates: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (id_a, id_b): the verification
+    stage after LSH. Joins the (small) candidate set back to the docs twice
+    and computes |A∩B| / |A∪B| over shingle sets in Catalyst."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh")
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    return out.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -1,0 +1,149 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side machinery (schemas, Arrow batch shapes, partitioning, UDF
+signatures) is real and tested; the actual codec work is STUBBED because
+image/audio libraries are not available in this container:
+
+- decode_images     -> NotImplementedError unless `fake=True`, which runs a
+  deterministic fake decoder (parses our own synthetic header) exercising the
+  identical mapInPandas path a real Pillow/ffmpeg decoder would use
+- extract_features / resize_images / sample_frames follow the same pattern
+
+Scale notes: media processing is mapInPandas over binary columns — perfectly
+parallel, no shuffle; `spark.sql.execution.arrow.maxRecordsPerBatch` should
+be lowered (e.g. 64) so a batch of large blobs fits executor memory.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("format", StringType(), False),  # png | wav | mp4 | fake
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+_FAKE_MAGIC = b"FAKEIMG1"
+
+
+def synth_media(spark, rows: int = 256, num_partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic media table matching MEDIA_SCHEMA — payload is
+    a fake format: magic + packed (w, h) + w*h grayscale bytes from a seeded
+    generator. Lets the full decode/feature pipeline run end-to-end."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id in pdf["id"]:
+                rng = np.random.default_rng(int(media_id))
+                w, h = 8 + int(media_id) % 24, 8 + (int(media_id) * 7) % 24
+                pixels = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+                payload = _FAKE_MAGIC + struct.pack("<II", w, h) + pixels.tobytes()
+                out.append(
+                    dict(
+                        media_id=int(media_id),
+                        kind="image",
+                        format="fake",
+                        width=w,
+                        height=h,
+                        duration_ms=None,
+                        payload=payload,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return spark.range(0, rows, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_intensity", FloatType(), False),
+        StructField("std_intensity", FloatType(), False),
+        StructField("histogram", ArrayType(LongType()), False),
+    ]
+)
+
+
+def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + feature-extract image payloads via mapInPandas.
+
+    With fake=True, decodes the deterministic fake format (same code path,
+    batch shape, and schema a real decoder would use). With fake=False this
+    raises NotImplementedError: real codecs (Pillow/libvips) are not
+    available in this environment — swap `_decode_one` when they are.
+    """
+
+    def _decode_one(payload: bytes):
+        if not payload.startswith(_FAKE_MAGIC):
+            raise NotImplementedError(
+                "real image decoding requires Pillow/libvips (unavailable "
+                "here); payload is not in the fake test format"
+            )
+        w, h = struct.unpack_from("<II", payload, len(_FAKE_MAGIC))
+        px = np.frombuffer(
+            payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
+        )
+        return w, h, px
+
+    if not fake:
+        raise NotImplementedError(
+            "decode_images(fake=False): no image codec in this container — "
+            "the Spark plumbing is ready; plug a real decoder into _decode_one"
+        )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = _decode_one(bytes(payload))
+                hist = np.bincount(px >> 5, minlength=8)
+                out.append(
+                    dict(
+                        media_id=int(media_id),
+                        width=int(w),
+                        height=int(h),
+                        mean_intensity=float(px.mean()),
+                        std_intensity=float(px.std()),
+                        histogram=hist.astype(np.int64).tolist(),
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only stats (no decode): Catalyst aggregation over typed
+    metadata + payload sizes — the cheap pre-filter before any decode."""
+    return df.groupBy("kind", "format").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.round(F.avg(F.length("payload")), 6).alias("avg_bytes"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+        F.round(F.avg("height"), 6).alias("avg_height"),
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_sim            : Catalyst-only cosine between two array columns
+- brute_force_topk      : exact top-k neighbors (broadcast queries, window rank)
+- lsh_bucket / lsh_topk : random-hyperplane LSH bucketed ANN (the scale path)
+
+Scale notes (100 TB): brute force is a broadcast nested loop — exact, and
+fine when |queries| is small (cost = one scan per batch of queries; the scan
+parallelizes perfectly and never shuffles the corpus). The LSH path buckets
+the corpus ONCE (one narrow projection, no shuffle until the groupless
+bucket join), then each query probes only matching buckets — corpus rows
+shuffle by bucket id, queries broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a, b) -> Column:
+    """Dot product of two array<numeric> columns, in Catalyst:
+    aggregate(zip_with(a, b, *), 0.0D, +)."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ac, bc, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> Column:
+    ac = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(dot(ac, ac))
+
+
+def cosine_sim(a, b) -> Column:
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    return dot(ac, bc) / (norm(ac) * norm(bc))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query. Returns (query_id, vec_id, cosine, rank).
+    Ties broken by vec_id for determinism."""
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = corpus.select(id_col, vec_col).crossJoin(q).select(
+        query_id_col,
+        id_col,
+        F.round(cosine_sim(vec_col, query_vec_col), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> List[List[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col, planes: Sequence[Sequence[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane, packed into a
+    long. Deterministic given (dim, n_planes, seed). Pure Catalyst."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec_col, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    n_planes: int = 8,
+    dim: Optional[int] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: corpus and queries bucketed by random-hyperplane
+    LSH; each query scores only its own bucket. Recall < 1 by construction
+    (documented tradeoff); multi-probe can be added by enumerating
+    neighboring buckets. Returns (query_id, vec_id, cosine, rank)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(id_col, vec_col).withColumn("__bucket", lsh_bucket(vec_col, planes))
+    q = queries.select(query_id_col, query_vec_col).withColumn(
+        "__bucket", lsh_bucket(query_vec_col, planes)
+    )
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine_sim(vec_col, query_vec_col), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 12,
+    dim: Optional[int] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join: pairs sharing
+    a hyperplane bucket are scored, kept when cosine >= min_cosine.
+    Returns (id_a, id_b, cosine), id_a < id_b."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = corpus.select(id_col, vec_col).withColumn("__bucket", lsh_bucket(vec_col, planes))
+    a_, b_ = b.alias("a"), b.alias("b")
+    cand = a_.join(
+        b_,
+        (F.col("a.__bucket") == F.col("b.__bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
+    )
+    return cand.filter(F.col("cosine") >= min_cosine)

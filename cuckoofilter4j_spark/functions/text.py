@@ -1,0 +1,137 @@
+"""Text-analysis functions for training-data pipelines.
+
+All of these are pure Catalyst column expressions (whole-stage codegen, no
+Python in the data path), deliberately written with operations that have
+exact DuckDB equivalents so every query has a value-level SQL oracle:
+
+- token_count       — \\S+ token counting
+- char/punct/digit/upper ratios + composite quality_score
+- lang_id           — deterministic marker-token heuristic
+- doc_fingerprint   — 64-bit md5-prefix fingerprint
+- shingles          — k-gram shingle array (feeds minhash dedup)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# marker stopwords per language for the deterministic lang-id heuristic;
+# chosen to be expressible as identical CASE logic in ANSI SQL
+_EN_MARKERS = ["the", "and", "of", "to", "is"]
+_ES_MARKERS = ["el", "la", "de", "que", "los"]
+_DE_MARKERS = ["der", "die", "das", "und", "ist"]
+_FR_MARKERS = ["le", "la", "les", "des", "est"]
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col) -> Column:
+    """Whitespace-token count: size(regexp_extract_all(text, '\\S+'))."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(r"\S+"), 0))
+
+
+def char_count(col) -> Column:
+    return F.length(_c(col))
+
+
+def punct_count(col) -> Column:
+    """Count of [.,!?;:] — via length delta under global regexp_replace."""
+    c = _c(col)
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+
+
+def digit_ratio(col) -> Column:
+    c = _c(col)
+    digits = F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))
+    return F.round(digits / F.greatest(F.length(c), F.lit(1)), 6)
+
+
+def punct_ratio(col) -> Column:
+    c = _c(col)
+    return F.round(punct_count(c) / F.greatest(F.length(c), F.lit(1)), 6)
+
+
+def avg_token_len(col) -> Column:
+    c = _c(col)
+    stripped = F.length(F.regexp_replace(c, r"\s", ""))
+    return F.round(stripped / F.greatest(token_count(c), F.lit(1)), 6)
+
+
+def _marker_hits(col, markers) -> Column:
+    """How many marker words occur (word-boundary) in the text."""
+    c = F.lower(_c(col))
+    hits = [
+        F.when(c.rlike(r"\b" + m + r"\b"), F.lit(1)).otherwise(F.lit(0))
+        for m in markers
+    ]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def lang_id(col) -> Column:
+    """Deterministic marker-token language heuristic.
+
+    Returns the language whose marker-word hit count is highest (ties broken
+    en > es > de > fr), 'unknown' when nothing matches. A real pipeline would
+    swap in fastText/CLD3; the heuristic keeps the operator SQL-checkable.
+    """
+    en = _marker_hits(col, _EN_MARKERS)
+    es = _marker_hits(col, _ES_MARKERS)
+    de = _marker_hits(col, _DE_MARKERS)
+    fr = _marker_hits(col, _FR_MARKERS)
+    best = F.greatest(en, es, de, fr)
+    return (
+        F.when(best == 0, F.lit("unknown"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality score from length/punct/token statistics.
+
+    score = 0.4*min(chars/500,1) + 0.3*(1-punct_ratio*5 clamped)
+          + 0.3*min(tokens/80,1), rounded to 6 decimals.
+    """
+    c = _c(col)
+    len_part = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    pr = punct_count(c) / F.greatest(F.length(c), F.lit(1))
+    punct_part = F.greatest(F.lit(1.0) - pr * 5, F.lit(0.0))
+    tok_part = F.least(token_count(c) / F.lit(80.0), F.lit(1.0))
+    return F.round(len_part * 0.4 + punct_part * 0.3 + tok_part * 0.3, 6)
+
+
+def doc_fingerprint(col) -> Column:
+    """64-bit document fingerprint as 16 hex chars: substr(md5(text),1,16).
+    (md5 exists verbatim in DuckDB, making the fingerprint oracle-checkable;
+    for a pure-Spark pipeline xxhash64(text) is the faster choice.)"""
+    return F.substring(F.md5(_c(col).cast("string")), 1, 16)
+
+
+def shingles(col, k: int = 5) -> Column:
+    """Array of all k-char shingles (with duplicates removed) of the text."""
+    c = _c(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
+
+
+def text_stats(col):
+    """Bundle of named stat columns for a text column."""
+    return [
+        char_count(col).alias("n_chars"),
+        token_count(col).alias("n_tokens"),
+        punct_ratio(col).alias("punct_ratio"),
+        digit_ratio(col).alias("digit_ratio"),
+        avg_token_len(col).alias("avg_token_len"),
+        quality_score(col).alias("quality_score"),
+        lang_id(col).alias("lang_pred"),
+        doc_fingerprint(col).alias("fingerprint"),
+    ]
