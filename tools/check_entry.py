@@ -1,0 +1,99 @@
+"""Local simulation of the driver's correctness gate: run every queries()
+entry on Spark at sf0.01 and compare row count / column names / sorted values
+against the DuckDB oracle. Usage: python tools/check_entry.py [name ...]"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, ".")
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main():
+    only = set(sys.argv[1:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "6g")
+        .config("spark.ui.enabled", "false")
+        .appName("check-entry")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            cols = sorted(sdf.columns)
+            srows = sorted(tuple(norm(r[c]) for c in cols) for r in sdf.collect())
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols_raw = rel.columns
+            odata = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        ocols = sorted(ocols_raw)
+        if ocols != cols:
+            print(f"FAIL {name}: columns spark={cols} oracle={ocols}")
+            failures += 1
+            continue
+        order = [ocols_raw.index(c) for c in ocols]
+        orows = sorted(tuple(norm(row[i]) for i in order) for row in odata)
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            failures += 1
+            continue
+        bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(srows)} row mismatches; first: spark={bad[0][0]} oracle={bad[0][1]}")
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(srows)} rows match")
+    # smoke entry()
+    if not only:
+        n = E.entry(spark).count()
+        print(f"ok   entry(): {n} rows")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
