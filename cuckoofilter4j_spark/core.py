@@ -71,6 +71,16 @@ def bits_per_item_for_fp(fpp: float, load_factor: float = LOAD_FACTOR) -> int:
     return int(math.ceil(math.log2((1.0 / fpp) + 3.0) / load_factor))
 
 
+def bits_per_item_paper(fpp: float, bucket_size: int = BUCKET_SIZE) -> int:
+    """Fan et al. (CoNEXT'14) §5.1 sizing: f ≥ log2(2b/ε).
+
+    The reference's formula (above) drops the log2(2b) term, so its filters
+    measure ~2b·load/2^f ≈ 3× the configured fpp when run at design load;
+    this sizing actually delivers `observed fpp ≤ configured` at ≤95% load
+    (e.g. fpp=0.01 → 10 tag bits → ~0.0075 observed at load 0.955)."""
+    return int(math.ceil(math.log2(2.0 * bucket_size / fpp)))
+
+
 def buckets_needed(
     max_keys: int,
     load_factor: float = LOAD_FACTOR,
@@ -92,13 +102,24 @@ def _tag_dtype(tag_bits: int):
     raise ValueError(f"tag_bits too large: {tag_bits}")
 
 
-def validate_params(max_keys: int, fpp: float) -> Tuple[int, int]:
-    """Builder validation (CuckooFilter.java:186-229) -> (num_buckets, tag_bits)."""
+def validate_params(
+    max_keys: int, fpp: float, sizing: str = "reference"
+) -> Tuple[int, int]:
+    """Builder validation (CuckooFilter.java:186-229) -> (num_buckets, tag_bits).
+
+    sizing="reference" reproduces Utils.java:148-154 exactly;
+    sizing="paper" uses the Fan et al. formula (guarantees observed fpp ≤
+    configured at design load — see bits_per_item_paper)."""
     if not (0.0 < fpp < 0.25):
         raise ValueError(f"fpp must be in (0, 0.25), got {fpp}")
     if max_keys < 2:
         raise ValueError(f"max_keys must be > 1, got {max_keys}")
-    tag_bits = bits_per_item_for_fp(fpp)
+    if sizing == "paper":
+        tag_bits = bits_per_item_paper(fpp)
+    elif sizing == "reference":
+        tag_bits = bits_per_item_for_fp(fpp)
+    else:
+        raise ValueError(f"sizing must be 'reference' or 'paper', got {sizing!r}")
     if not (4 < tag_bits < 48):  # FilterTable.java:72-74
         raise ValueError(f"tag_bits must be in (4, 48), got {tag_bits}")
     num_buckets = buckets_needed(max_keys)
@@ -367,10 +388,185 @@ class CuckooFilter:
             if not placed_any:
                 break
         self.count += int(ok.sum())
-        # Phase 2: sequential kick loop for items whose buckets are both full
-        for k in pending:
-            if self._put_one(int(i1[k]), int(i2[k]), int(tag[k])):
-                ok[k] = True
+        # Phase 2: batched eviction walks for items whose buckets are both full
+        if pending.size:
+            ok2 = self._kick_insert_batch(i1, i2, tag, pending)
+            ok[pending] = ok2
+            self.count += int(ok2.sum())
+            self.failed_inserts += int(pending.size - ok2.sum())
+        return ok
+
+    def _kick_insert_batch(
+        self, i1: np.ndarray, i2: np.ndarray, tag: np.ndarray, pending: np.ndarray
+    ) -> np.ndarray:
+        """Batched eviction insert for items whose candidate buckets are both
+        full. Returns a success bool per entry of `pending` (no count/metric
+        bookkeeping — callers account).
+
+        Instead of the reference's write-through kick loop (swap first, carry
+        the displaced tag, CuckooFilter.java:476-503) — which cannot be run
+        for many items at once without stranding displaced tags when a walk
+        exhausts its budget — each item runs a READ-ONLY random-walk path
+        search (same displacement distribution, same ≤500-attempt budget),
+        then disjoint paths commit as vectorized slot shifts. Failure
+        semantics match the reference exactly: a failed item parks its OWN
+        fingerprint in the single victim slot; once the victim slot is
+        occupied every remaining both-buckets-full insert fails
+        (CuckooFilter.java:428-431). Set-semantics (which items are findable)
+        are identical; only physical slot placement differs, which the
+        reference itself does not pin down (ThreadLocalRandom kicks).
+        """
+        m = pending.size
+        ok = np.zeros(m, dtype=bool)
+        if m == 0:
+            return ok
+        # bound concurrent walks: fewer conflicts, and a victim-parking
+        # failure in chunk k correctly fails later chunks at entry
+        CHUNK = 1024
+        if m > CHUNK:
+            for lo in range(0, m, CHUNK):
+                ok[lo : lo + CHUNK] = self._kick_insert_batch(
+                    i1, i2, tag, pending[lo : lo + CHUNK]
+                )
+            return ok
+        if self.has_victim:
+            return ok  # filter full for all both-buckets-full inserts
+        table = self.table
+        budget = np.full(m, INSERT_ATTEMPTS, dtype=np.int64)
+        alive = np.arange(m)
+        item_tag = tag[pending]
+        start = i2[pending].astype(np.int64)
+
+        while alive.size:
+            n = alive.size
+            cur = start[alive].copy()
+            # path buffers grow on demand; depths beyond ~16 are rare
+            cap = 16
+            pb = np.zeros((n, cap), dtype=np.int64)   # kicked bucket per depth
+            ps = np.zeros((n, cap), dtype=np.int8)    # kicked slot per depth
+            pt = np.zeros((n, cap), dtype=np.uint64)  # displaced tag per depth
+            plen = np.zeros(n, dtype=np.int64)
+            term_b = np.full(n, -1, dtype=np.int64)
+            term_s = np.full(n, -1, dtype=np.int64)
+            status = np.zeros(n, dtype=np.int8)  # 0 searching 1 found 2 retry 3 out-of-budget
+            searching = np.arange(n)
+            d = 0
+            while searching.size:
+                if d >= cap:
+                    cap *= 2
+                    pb = np.concatenate([pb, np.zeros_like(pb)], axis=1)
+                    ps = np.concatenate([ps, np.zeros_like(ps)], axis=1)
+                    pt = np.concatenate([pt, np.zeros_like(pt)], axis=1)
+                s = searching
+                rows = table[cur[s]]                       # (k, 4)
+                empty = rows == 0
+                has_empty = empty.any(axis=1)
+                if has_empty.any():
+                    f = s[has_empty]
+                    term_b[f] = cur[f]
+                    term_s[f] = np.argmax(empty[has_empty], axis=1)
+                    status[f] = 1
+                    plen[f] = d
+                    s = s[~has_empty]
+                if s.size == 0:
+                    break
+                out = budget[alive[s]] <= 0
+                if out.any():
+                    status[s[out]] = 3
+                    s = s[~out]
+                    if s.size == 0:
+                        break
+                slot = self._rng.integers(0, BUCKET_SIZE, size=s.size)
+                displaced = table[cur[s], slot].astype(np.uint64)
+                # a path may not revisit a (bucket, slot) it already displaced
+                # (the recorded tag would be stale at commit) -> retry fresh
+                if d > 0:
+                    revisit = (
+                        (pb[s, :d] == cur[s, None]) & (ps[s, :d] == slot[:, None])
+                    ).any(axis=1)
+                    if revisit.any():
+                        r = s[revisit]
+                        status[r] = 2
+                        plen[r] = d
+                        s = s[~revisit]
+                        slot = slot[~revisit]
+                        displaced = displaced[~revisit]
+                        if s.size == 0:
+                            break
+                pb[s, d] = cur[s]
+                ps[s, d] = slot
+                pt[s, d] = displaced
+                budget[alive[s]] -= 1
+                cur[s] = alt_index(
+                    cur[s].astype(np.uint64), displaced, self.num_buckets
+                ).astype(np.int64)
+                plen[s] = d + 1
+                searching = s
+                d += 1
+
+            found = np.nonzero(status == 1)[0]
+            committed = np.zeros(n, dtype=bool)
+            if found.size:
+                # greedy bucket-disjoint winners: a walk commits iff it holds
+                # the minimum rank claim on every bucket its path touches
+                order = found  # ascending walk index == ascending batch order
+                claims_w, claims_b = [], []
+                for w in order:
+                    L = int(plen[w])
+                    bs = np.concatenate([pb[w, :L], [term_b[w]]])
+                    claims_w.append(np.full(bs.size, w, dtype=np.int64))
+                    claims_b.append(bs)
+                cw = np.concatenate(claims_w)
+                cb = np.concatenate(claims_b)
+                # min walk-rank per bucket
+                srt = np.lexsort((cw, cb))
+                cb_s, cw_s = cb[srt], cw[srt]
+                first = np.ones(cb_s.size, dtype=bool)
+                first[1:] = cb_s[1:] != cb_s[:-1]
+                bucket_ids = cb_s[first]
+                min_rank = cw_s[first]
+                rank_of = dict(zip(bucket_ids.tolist(), min_rank.tolist()))
+                for w in order:
+                    L = int(plen[w])
+                    bs = pb[w, :L]
+                    if all(rank_of[b] == w for b in bs.tolist()) and rank_of[int(term_b[w])] == w:
+                        committed[w] = True
+                    else:
+                        # conflict loser: refund search budget (it re-searches
+                        # next round; only committed/cycled steps are charged,
+                        # so the per-item 500-attempt bound matches reference)
+                        budget[alive[w]] += int(plen[w])
+                winners = np.nonzero(committed)[0]
+                if winners.size:
+                    # vectorized slot shifts, depth by depth
+                    movein = item_tag[alive[winners]].copy()
+                    active = winners
+                    dmax = int(plen[winners].max()) if winners.size else 0
+                    for dd in range(dmax):
+                        sel = active[plen[active] > dd]
+                        if sel.size == 0:
+                            break
+                        table[pb[sel, dd], ps[sel, dd]] = movein[
+                            np.searchsorted(winners, sel)
+                        ].astype(table.dtype)
+                        movein[np.searchsorted(winners, sel)] = pt[sel, dd]
+                    table[term_b[winners], term_s[winners]] = movein.astype(table.dtype)
+                    self.kicks += int(plen[winners].sum())
+                    ok[alive[winners]] = True
+
+            failed = np.nonzero(status == 3)[0]
+            if failed.size:
+                # first failure (batch order) parks its fingerprint in the
+                # victim slot and succeeds; everything still in flight fails
+                w = int(failed[0])
+                k = int(pending[alive[w]])
+                self.victim_i1 = int(i1[k])
+                self.victim_i2 = int(i2[k])
+                self.victim_tag = int(tag[k])
+                self.has_victim = True
+                ok[alive[w]] = True
+                return ok
+            alive = alive[~committed]
         return ok
 
     def _put_one(self, i1: int, i2: int, tag: int) -> bool:
@@ -496,14 +692,59 @@ class CuckooFilter:
             self.has_victim = False
 
     def delete_batch(self, keys) -> np.ndarray:
-        """Batch delete with exact sequential per-item semantics (hashing is
-        vectorized; the slot-clear walk is per-item because deletes interact
-        with the victim cache one at a time, CuckooFilter.java:716-752)."""
+        """Vectorized batch delete (CuckooFilter.java:716-752 semantics).
+
+        Table clears run as conflict-free rounds (one clear per unique bucket
+        per pass, looped to a fixed point — duplicate deletes of the same tag
+        each consume a distinct stored copy, as sequential deletes would).
+        Items with no table match fall through to the victim check, then the
+        victim is drained opportunistically; deferring the drain to the end
+        is outcome-equivalent to the reference's drain-after-each-delete
+        because deletes only free space (monotone) and the single victim tag
+        is removed at most once either way."""
         i1, i2, tag = self._index_tag(keys)
         n = i1.shape[0]
         ok = np.zeros(n, dtype=bool)
-        for k in range(n):
-            ok[k] = self._delete_one(int(i1[k]), int(i2[k]), int(tag[k]))
+        if n == 0:
+            return ok
+        table = self.table
+        pending = np.arange(n)
+        while pending.size:
+            progressed = False
+            for idx_arr in (i1, i2):
+                if not pending.size:
+                    break
+                b = idx_arr[pending]
+                match = table[b] == tag[pending].astype(table.dtype)[:, None]
+                has = match.any(axis=1)
+                if not has.any():
+                    continue
+                cand = pending[has]
+                uniq_b, first_pos = np.unique(idx_arr[cand], return_index=True)
+                chosen = cand[first_pos]
+                slots = np.argmax(
+                    table[uniq_b] == tag[chosen].astype(table.dtype)[:, None], axis=1
+                )
+                table[uniq_b, slots] = 0
+                ok[chosen] = True
+                progressed = True
+                keep = np.ones(pending.size, dtype=bool)
+                keep[np.searchsorted(pending, chosen)] = False
+                pending = pending[keep]
+            if not progressed:
+                break
+        self.count -= int(ok.sum())
+        # leftovers: victim-cache match (at most one can claim it)
+        for k in pending:
+            if self.has_victim and self.victim_tag == int(tag[k]) and (
+                self.victim_i1 == int(i1[k]) or self.victim_i2 == int(i1[k])
+                or self.victim_i1 == int(i2[k]) or self.victim_i2 == int(i2[k])
+            ):
+                self.has_victim = False
+                self.count -= 1
+                ok[k] = True
+        if ok.any():
+            self._insert_if_victim()
         return ok
 
     # -- merge (new capability; see module docstring) --------------------------
@@ -565,19 +806,9 @@ class CuckooFilter:
             if not placed_any:
                 break
         dropped = 0
-        for k in pending:
-            # reuse put machinery minus count bookkeeping (caller accounts)
-            if self._insert_to_bucket(int(i1[k]), int(tag[k])) or \
-               self._insert_to_bucket(int(i2[k]), int(tag[k])):
-                continue
-            if self.has_victim:
-                dropped += 1
-                continue
-            self.victim_i1, self.victim_i2, self.victim_tag = int(i1[k]), int(i2[k]), int(tag[k])
-            self.has_victim = True
-            for _ in range(INSERT_ATTEMPTS + 1):
-                if self._try_swap_victim_into_empty_spot():
-                    break
+        if pending.size:
+            ok2 = self._kick_insert_batch(i1, i2, tag, pending)
+            dropped = int(pending.size - ok2.sum())
         return dropped
 
     def merge(self, other: "CuckooFilter") -> "CuckooFilter":

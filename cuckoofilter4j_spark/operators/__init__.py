@@ -3,32 +3,42 @@
 from cuckoofilter4j_spark.operators.build import (
     GROUP_ALL,
     METRIC_FIELDS,
+    SHARD_COL,
     build_filter,
     build_filter_salted,
+    build_filter_sharded,
     build_partials_scan_local,
     sha256_key,
+    shard_column,
     sketch_schema,
 )
 from cuckoofilter4j_spark.operators.merge import merge_sketches, sketch_metrics, tree_merge
 from cuckoofilter4j_spark.operators.probe import (
     approx_count,
+    approx_count_sharded,
     collect_sketches,
     delete_keys,
     might_contain,
+    might_contain_sharded,
 )
 
 __all__ = [
     "GROUP_ALL",
     "METRIC_FIELDS",
+    "SHARD_COL",
     "approx_count",
+    "approx_count_sharded",
     "build_filter",
     "build_filter_salted",
+    "build_filter_sharded",
     "build_partials_scan_local",
     "collect_sketches",
     "delete_keys",
     "merge_sketches",
     "might_contain",
+    "might_contain_sharded",
     "sha256_key",
+    "shard_column",
     "sketch_metrics",
     "sketch_schema",
     "tree_merge",

@@ -125,6 +125,7 @@ def build_filter(
     fpp: float = DEFAULT_FP,
     seed: int = 42,
     min_max_keys: int = 256,
+    sizing: str = "reference",
 ) -> DataFrame:
     """One cuckoo filter per group via groupBy().applyInPandas.
 
@@ -143,13 +144,13 @@ def build_filter(
     group_cols = list(group_cols) if group_cols else []
     grouped = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy(F.lit(0).alias("__dummy"))
     out_schema = sketch_schema(df, group_cols)
-    fpp_, seed_ = float(fpp), int(seed)
+    fpp_, seed_, sizing_ = float(fpp), int(seed), str(sizing)
     mk, gcols, floor_ = max_keys, list(group_cols), int(min_max_keys)
 
     def build(key_tuple, pdf):
         gvals = tuple(key_tuple) if gcols else ()
         m = _resolve_max_keys(mk, gvals if gcols else (GROUP_ALL,))
-        nb, tb = validate_params(max(m, floor_, 2), fpp_)
+        nb, tb = validate_params(max(m, floor_, 2), fpp_, sizing_)
         filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, gvals))
         keys = pdf[key_col]
         filt.put_batch(keys)
@@ -168,6 +169,7 @@ def build_filter_salted(
     seed: int = 42,
     salt_buckets: int = 32,
     min_max_keys: int = 256,
+    sizing: str = "reference",
 ) -> DataFrame:
     """Skew-safe two-level build: explicit salt column bounds per-task input
     (the distributed replacement for the reference's SegmentedBucketLocker
@@ -201,6 +203,7 @@ def build_filter_salted(
         fpp=fpp,
         seed=seed,
         min_max_keys=min_max_keys,
+        sizing=sizing,
     ).drop(_SALT_COL)
     from cuckoofilter4j_spark.operators.merge import merge_sketches
 
@@ -215,6 +218,7 @@ def build_partials_scan_local(
     fpp: float = DEFAULT_FP,
     seed: int = 42,
     min_max_keys: int = 256,
+    sizing: str = "reference",
 ) -> DataFrame:
     """Zero-shuffle partial build: mapInPandas over scan partitions, one
     partial sketch row per (group, partition). The raw data never shuffles;
@@ -226,7 +230,7 @@ def build_partials_scan_local(
     group_cols = list(group_cols) if group_cols else []
     proj = df.select(*group_cols, F.col(key_col))
     out_schema = sketch_schema(df, group_cols)
-    fpp_, seed_ = float(fpp), int(seed)
+    fpp_, seed_, sizing_ = float(fpp), int(seed), str(sizing)
     mk, gcols, kc, floor_ = max_keys, list(group_cols), key_col, int(min_max_keys)
 
     def build_parts(batches):
@@ -245,7 +249,7 @@ def build_partials_scan_local(
                 filt = filters.get(gvals)
                 if filt is None:
                     m = _resolve_max_keys(mk, gvals if gcols else (GROUP_ALL,))
-                    nb, tb = validate_params(max(m, floor_, 2), fpp_)
+                    nb, tb = validate_params(max(m, floor_, 2), fpp_, sizing_)
                     filt = CuckooFilter(
                         nb, tb, seed_, rng_seed=_rng_seed_for(seed_, gvals, pid)
                     )
@@ -259,3 +263,78 @@ def build_partials_scan_local(
             )
 
     return proj.mapInPandas(build_parts, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Sharded global filter — the 100 TB path
+# ---------------------------------------------------------------------------
+SHARD_COL = "__ckf_shard"
+_SHARD_HASH_SEED = 0x5CA1AB1E  # independent of the in-filter key hash
+
+
+def shard_column(key_col: Union[str, Column], num_shards: int) -> Column:
+    """Deterministic shard id for a key: pmod(xxhash64(key, seed), S).
+    Independent of the filter's internal fingerprint hash, so shard routing
+    does not bias in-shard placement."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(F.xxhash64(c, F.lit(_SHARD_HASH_SEED)), F.lit(num_shards)).cast("int")
+
+
+def build_filter_sharded(
+    df: DataFrame,
+    key_col: str = "key",
+    num_shards: int = 64,
+    max_keys: int = None,
+    fpp: float = DEFAULT_FP,
+    seed: int = 42,
+    fanout: int = 8,
+    shard_headroom: float = 0.05,
+    min_max_keys: int = 256,
+    sizing: str = "reference",
+    method: str = "direct",
+) -> DataFrame:
+    """Global filter as S independent shard filters (one sketch row per shard,
+    column `__ckf_shard`).
+
+    A single global cuckoo table cannot scale: at 10^12 keys the table alone
+    is terabytes and the final tree-merge is one sequential task (Amdahl). A
+    sharded filter keeps every stage parallel — per-shard builds/merges run
+    S-wide, probes route by the shard hash — while per-key semantics (zero
+    false negatives, fpp bound, delete) are identical because every key
+    belongs to exactly one shard.
+
+    method="direct" (default): one shuffle of (key, shard) rows — Spark's
+    hash-aggregation shape — then each shard's filter is built whole in one
+    task. The shuffled payload is just the 32-byte keys; partials would
+    instead shuffle P×S sketch tables, which loses badly as the partition
+    count P grows (measured 7× slower at S=64, P=128 already).
+
+    method="scan_local": zero key shuffle — per-partition partials + per-shard
+    single-level merge. Only preferable when keys are much wider than sketch
+    tables or the scan is extremely partition-skewed.
+
+    `max_keys` is the GLOBAL expected key count; each shard is sized for
+    expected/S × (1+shard_headroom) to absorb binomial routing skew; shard
+    counts and headroom should keep per-shard load ≤ the 0.955 design load.
+    """
+    if max_keys is None:
+        raise ValueError("max_keys is required (global expected key count)")
+    per_shard = max(int(max_keys / num_shards * (1.0 + shard_headroom)) + 1, 2)
+    sharded = df.select(F.col(key_col), shard_column(key_col, num_shards).alias(SHARD_COL))
+    common = dict(
+        key_col=key_col,
+        group_cols=[SHARD_COL],
+        max_keys=per_shard,
+        fpp=fpp,
+        seed=seed,
+        min_max_keys=min_max_keys,
+        sizing=sizing,
+    )
+    if method == "direct":
+        return build_filter(sharded, **common)
+    if method != "scan_local":
+        raise ValueError(f"method must be 'direct' or 'scan_local', got {method!r}")
+    partials = build_partials_scan_local(sharded, **common)
+    from cuckoofilter4j_spark.operators.merge import merge_sketches
+
+    return merge_sketches(partials, [SHARD_COL])

@@ -152,3 +152,41 @@ def delete_keys(
         return _to_pdf([_sketch_row(gvals, filt, int(sk_pdf["rows_in"].sum()))], gcols)
 
     return left.cogroup(right).applyInPandas(apply_deletes, out_schema)
+
+
+def might_contain_sharded(
+    df: DataFrame,
+    sketches,
+    key_col: str = "key",
+    result_col: str = "might_contain",
+) -> DataFrame:
+    """Membership probe against a sharded global filter (build_filter_sharded):
+    routes each key to its shard with the same hash and probes that shard."""
+    from cuckoofilter4j_spark.operators.build import SHARD_COL, shard_column
+
+    num_shards = None
+    if not isinstance(sketches, DataFrame):
+        num_shards = len(sketches)
+    else:
+        num_shards = sketches.count()
+    routed = df.withColumn(SHARD_COL, shard_column(key_col, num_shards))
+    out = _probe_map(
+        routed, sketches, key_col, [SHARD_COL], result_col, BooleanType(), "contains"
+    )
+    return out.drop(SHARD_COL)
+
+
+def approx_count_sharded(
+    df: DataFrame,
+    sketches,
+    key_col: str = "key",
+    result_col: str = "approx_count",
+) -> DataFrame:
+    from cuckoofilter4j_spark.operators.build import SHARD_COL, shard_column
+
+    num_shards = len(sketches) if not isinstance(sketches, DataFrame) else sketches.count()
+    routed = df.withColumn(SHARD_COL, shard_column(key_col, num_shards))
+    out = _probe_map(
+        routed, sketches, key_col, [SHARD_COL], result_col, LongType(), "count"
+    )
+    return out.drop(SHARD_COL)
