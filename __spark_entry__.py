@@ -197,6 +197,42 @@ def q_ckf_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ckf_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resumable build (north rule): build per-lang via per-unit
+    checkpointed partials, simulate losing two units, resume, and verify the
+    resumed filter answers every membership probe — counts exact per lang."""
+    import shutil
+    import tempfile
+
+    from cuckoofilter4j_spark.operators import checkpointed_build, completed_units
+
+    keyed = _docs_keyed(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ckf_ckpt_")
+    try:
+        checkpointed_build(
+            keyed, ckpt, "key", ["lang"], max_keys=MAX_KEYS, fpp=FPP, seed=SEED,
+            num_units=8,
+        ).count()
+        # lose two units, then resume
+        kept = spark.read.parquet(ckpt).filter(~F.col("__ckf_unit").isin([1, 6]))
+        ckpt2 = tempfile.mkdtemp(prefix="ckf_ckpt2_")
+        kept.write.mode("overwrite").parquet(ckpt2)
+        resumed = checkpointed_build(
+            keyed, ckpt2, "key", ["lang"], max_keys=MAX_KEYS, fpp=FPP, seed=SEED,
+            num_units=8,
+        )
+        probed = might_contain(keyed, resumed, "key", ["lang"])
+        out = probed.groupBy("lang").agg(
+            F.count("*").alias("n_probed"),
+            (F.sum(F.col("might_contain").cast("long")) == F.count("*")).alias("all_found"),
+        )
+        out = out.cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_ckf_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialization round-trip (TestCuckooFilter.java:433-457 analog): the
     probe path itself deserializes via from_bytes(to_bytes(...)) — assert a
@@ -346,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_delete_drain": q_ckf_delete_drain,
         "ckf_salted_build": q_ckf_salted_build,
         "ckf_merge_invariance": q_ckf_merge_invariance,
+        "ckf_checkpoint_resume": q_ckf_checkpoint_resume,
         "ckf_serde_roundtrip": q_ckf_serde_roundtrip,
         "text_stats": q_text_stats,
         "text_rollup": q_text_rollup,
@@ -442,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "ckf_delete_drain": "SELECT lang, CAST(0 AS BIGINT) AS remaining FROM documents GROUP BY lang",
         "ckf_salted_build": "SELECT lang, count(*) AS n_inserted, CAST(0 AS BIGINT) AS n_failed FROM documents GROUP BY lang",
         "ckf_merge_invariance": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
+        "ckf_checkpoint_resume": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
         "ckf_serde_roundtrip": "SELECT lang, TRUE AS roundtrip_ok FROM (SELECT DISTINCT lang FROM documents)",
         "text_stats": _TEXT_STATS_SQL,
         "text_rollup": f"""

@@ -271,14 +271,26 @@ def main():
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         scaling = {}
-        for cores in SCALE_CORES:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--insert-throughput",
-                 str(cores), str(SCALE_ROWS)],
-                capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
-            scaling[cores] = json.loads(last[-1]) if last else {"error": proc.stderr[-500:]}
+        # best-of-2 per level, interleaved (4,16,4,16): the sandbox host's
+        # effective CPU capacity drifts between runs, so a single-shot pair
+        # can misstate efficiency badly in either direction
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        for _ in range(reps):
+            for cores in SCALE_CORES:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--insert-throughput",
+                     str(cores), str(SCALE_ROWS)],
+                    capture_output=True, text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+                if not last:
+                    scaling.setdefault(cores, {"error": proc.stderr[-500:]})
+                    continue
+                run = json.loads(last[-1])
+                best = scaling.get(cores)
+                if not best or "items_per_sec" not in best or run["items_per_sec"] > best["items_per_sec"]:
+                    scaling[cores] = run
         lo, hi = SCALE_CORES
         if "items_per_sec" in scaling.get(lo, {}) and "items_per_sec" in scaling.get(hi, {}):
             tlo, thi = scaling[lo]["items_per_sec"], scaling[hi]["items_per_sec"]

@@ -352,11 +352,14 @@ class CuckooFilter:
     def put_batch(self, keys) -> np.ndarray:
         """Vectorized batch insert. Returns per-item success booleans.
 
-        Phase 1: bulk slot placement (no kicks) — repeated passes over
-        (i1, i2), at most one placement per bucket per pass, until stall.
-        Phase 2: leftovers run the exact sequential kick-loop semantics.
-        Matches reference set-semantics; per-item placement may differ (the
-        reference's placement is itself RNG-dependent under kicks).
+        Phase 1: bulk slot placement (no kicks) — one sorted pass over each
+        of (i1, i2): items are ordered by bucket, each bucket's items take
+        its empty slots in first-empty order (up to all 4 in one pass).
+        Sorting makes the scatter sequential in memory (cache-friendly).
+        Phase 2: leftovers run batched eviction walks with exact reference
+        failure semantics. Matches reference set-semantics; per-item
+        placement may differ (the reference's placement is itself
+        RNG-dependent under kicks).
         """
         i1, i2, tag = self._index_tag(keys)
         n = i1.shape[0]
@@ -365,28 +368,22 @@ class CuckooFilter:
             return ok
         pending = np.arange(n)
         table = self.table
+        # balanced two-choice placement: each pass targets the currently
+        # emptier candidate bucket (power-of-two-choices keeps the eviction
+        # tail small near design load), looped to a fixed point. A leftover
+        # item then provably has both buckets full: its final pass targeted
+        # its emptier bucket and placed nothing anywhere.
         while pending.size:
-            placed_any = False
-            for idx_arr in (i1, i2):
-                if not pending.size:
-                    break
-                b = idx_arr[pending]
-                has_empty = (table[b] == 0).any(axis=1)
-                if not has_empty.any():
-                    continue
-                cand = pending[has_empty]
-                bc = idx_arr[cand]
-                uniq_b, first_pos = np.unique(bc, return_index=True)
-                chosen = cand[first_pos]
-                slots = np.argmax(table[uniq_b] == 0, axis=1)
-                table[uniq_b, slots] = tag[chosen].astype(table.dtype)
-                ok[chosen] = True
-                placed_any = True
-                keep = np.ones(pending.size, dtype=bool)
-                keep[np.searchsorted(pending, chosen)] = False
-                pending = pending[keep]
-            if not placed_any:
+            occ1 = (table[i1[pending]] != 0).sum(axis=1)
+            occ2 = (table[i2[pending]] != 0).sum(axis=1)
+            target = np.where(occ1 <= occ2, i1[pending], i2[pending])
+            # one placement per bucket per pass: preserves two-choice balance
+            # (fewer eviction walks near design load than bulk-filling)
+            placed = self._scatter_pass(target, tag, pending, max_per_bucket=1)
+            if not placed.any():
                 break
+            ok[pending[placed]] = True
+            pending = pending[~placed]
         self.count += int(ok.sum())
         # Phase 2: batched eviction walks for items whose buckets are both full
         if pending.size:
@@ -395,6 +392,38 @@ class CuckooFilter:
             self.count += int(ok2.sum())
             self.failed_inserts += int(pending.size - ok2.sum())
         return ok
+
+    def _scatter_pass(
+        self, targets: np.ndarray, tag: np.ndarray, pending: np.ndarray,
+        max_per_bucket: int = BUCKET_SIZE,
+    ) -> np.ndarray:
+        """One bulk placement pass: fill each target bucket's empty slots (in
+        first-empty order, FilterTable.java:93-102) with up to
+        `max_per_bucket` pending items. `targets` is the chosen bucket per
+        pending item (aligned with `pending`). Returns a bool mask over
+        `pending`."""
+        table = self.table
+        order = np.argsort(targets, kind="stable")
+        p = pending[order]
+        b = targets[order]
+        rows = table[b]
+        empty = rows == 0
+        n_empty = np.minimum(empty.sum(axis=1), max_per_bucket)
+        # rank of this item within its bucket's run (0-based)
+        first = np.ones(p.size, dtype=bool)
+        first[1:] = b[1:] != b[:-1]
+        run_start = np.maximum.accumulate(np.where(first, np.arange(p.size), 0))
+        rank = np.arange(p.size) - run_start
+        fits = rank < n_empty
+        if fits.any():
+            # empty slot positions in ascending order: stable argsort of
+            # occupied-flags puts empty slots first, in slot order
+            empty_order = np.argsort(~empty[fits], axis=1, kind="stable")
+            slots = empty_order[np.arange(int(fits.sum())), rank[fits]]
+            table[b[fits], slots] = tag[p[fits]].astype(table.dtype)
+        placed = np.zeros(pending.size, dtype=bool)
+        placed[order] = fits
+        return placed
 
     def _kick_insert_batch(
         self, i1: np.ndarray, i2: np.ndarray, tag: np.ndarray, pending: np.ndarray
@@ -786,25 +815,13 @@ class CuckooFilter:
         pending = np.arange(n)
         table = self.table
         while pending.size:
-            placed_any = False
-            for idx_arr in (i1, i2):
-                if not pending.size:
-                    break
-                b = idx_arr[pending]
-                has_empty = (table[b] == 0).any(axis=1)
-                if not has_empty.any():
-                    continue
-                cand = pending[has_empty]
-                uniq_b, first_pos = np.unique(idx_arr[cand], return_index=True)
-                chosen = cand[first_pos]
-                slots = np.argmax(table[uniq_b] == 0, axis=1)
-                table[uniq_b, slots] = tag[chosen].astype(table.dtype)
-                placed_any = True
-                keep = np.ones(pending.size, dtype=bool)
-                keep[np.searchsorted(pending, chosen)] = False
-                pending = pending[keep]
-            if not placed_any:
+            occ1 = (table[i1[pending]] != 0).sum(axis=1)
+            occ2 = (table[i2[pending]] != 0).sum(axis=1)
+            target = np.where(occ1 <= occ2, i1[pending], i2[pending])
+            placed = self._scatter_pass(target, tag, pending, max_per_bucket=1)
+            if not placed.any():
                 break
+            pending = pending[~placed]
         dropped = 0
         if pending.size:
             ok2 = self._kick_insert_batch(i1, i2, tag, pending)

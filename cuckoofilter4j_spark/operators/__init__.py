@@ -12,6 +12,12 @@ from cuckoofilter4j_spark.operators.build import (
     shard_column,
     sketch_schema,
 )
+from cuckoofilter4j_spark.operators.checkpoint import (
+    checkpoint_lineage,
+    checkpointed_build,
+    completed_units,
+    unit_column,
+)
 from cuckoofilter4j_spark.operators.merge import merge_sketches, sketch_metrics, tree_merge
 from cuckoofilter4j_spark.operators.probe import (
     approx_count,
@@ -32,7 +38,10 @@ __all__ = [
     "build_filter_salted",
     "build_filter_sharded",
     "build_partials_scan_local",
+    "checkpoint_lineage",
+    "checkpointed_build",
     "collect_sketches",
+    "completed_units",
     "delete_keys",
     "merge_sketches",
     "might_contain",
@@ -42,4 +51,5 @@ __all__ = [
     "sketch_metrics",
     "sketch_schema",
     "tree_merge",
+    "unit_column",
 ]

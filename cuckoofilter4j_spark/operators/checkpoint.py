@@ -1,0 +1,114 @@
+"""Checkpoint-resumable builds: per-work-unit lineage on parquet.
+
+North-rule capability (BASELINE.json): 'resumable from checkpoint with
+per-partition lineage + metrics'. Design (SURVEY.md §7.4):
+
+- the input is split into `num_units` deterministic work units by key hash
+  (stable across reruns and repartitioning, unlike physical partition ids)
+- each unit's partial sketch row — with full lineage/metrics columns
+  (rows_in, kicks, failed_inserts, load_factor, ...) plus (unit, epoch) —
+  is appended to a parquet checkpoint as soon as it is built
+- resume = left-anti join of the unit universe against the checkpoint:
+  only missing units are recomputed. Because the build is deterministic
+  (seeded kernel RNG keyed by group values), a unit rebuilt after a crash
+  is byte-identical to the lost one, so duplicate unit rows (crash between
+  write and commit) dedupe safely.
+- the final filter = fingerprint re-insertion merge of all unit partials
+  per group (merge_sketches), exactly as the non-checkpointed scale path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cuckoofilter4j_spark.operators.build import (
+    build_filter,
+    sketch_schema,
+)
+from cuckoofilter4j_spark.operators.merge import merge_sketches
+
+UNIT_COL = "__ckf_unit"
+EPOCH_COL = "__ckf_epoch"
+_UNIT_HASH_SEED = 0x0C0FFEE
+
+
+def unit_column(key_col, num_units: int):
+    """Deterministic work-unit id for a key (stable across reruns)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(F.xxhash64(c, F.lit(_UNIT_HASH_SEED)), F.lit(num_units)).cast("int")
+
+
+def completed_units(spark: SparkSession, checkpoint_dir: str, epoch: int) -> DataFrame:
+    """Unit ids already checkpointed for this epoch (empty DF if no checkpoint)."""
+    try:
+        done = spark.read.parquet(checkpoint_dir)
+    except Exception:  # noqa: BLE001 — first run: path does not exist yet
+        return spark.range(0).select(F.col("id").cast("int").alias(UNIT_COL))
+    return (
+        done.filter(F.col(EPOCH_COL) == epoch).select(UNIT_COL).distinct()
+    )
+
+
+def checkpointed_build(
+    df: DataFrame,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    group_cols: Optional[Sequence[str]] = None,
+    max_keys=None,
+    fpp: float = 0.01,
+    seed: int = 42,
+    num_units: int = 64,
+    epoch: int = 0,
+    min_max_keys: int = 256,
+    sizing: str = "reference",
+) -> DataFrame:
+    """Resumable grouped filter build. Returns the merged per-group sketch
+    DataFrame; all per-unit partials (with lineage) live in `checkpoint_dir`.
+
+    Re-running after a crash recomputes ONLY units missing from the
+    checkpoint — the anti-join prunes completed work before any shuffle of
+    the raw keys, so resume cost is proportional to the lost fraction.
+    `max_keys` sizes each partial for the group's GLOBAL expected keys
+    (partials must share (num_buckets, tag_bits, seed) to merge).
+    """
+    spark = df.sparkSession
+    gcols = list(group_cols) if group_cols else []
+    keyed = df.select(*gcols, F.col(key_col)).withColumn(
+        UNIT_COL, unit_column(key_col, num_units)
+    )
+    done = completed_units(spark, checkpoint_dir, epoch)
+    todo = keyed.join(F.broadcast(done), UNIT_COL, "left_anti")
+    n_todo = todo.select(UNIT_COL).distinct().count()
+    if n_todo:
+        partials = build_filter(
+            todo,
+            key_col=key_col,
+            group_cols=gcols + [UNIT_COL],
+            max_keys=max_keys,
+            fpp=fpp,
+            seed=seed,
+            min_max_keys=min_max_keys,
+            sizing=sizing,
+        ).withColumn(EPOCH_COL, F.lit(int(epoch)))
+        partials.write.mode("append").parquet(checkpoint_dir)
+    # the checkpoint is now complete for this epoch: merge all unit partials.
+    all_parts = (
+        spark.read.parquet(checkpoint_dir)
+        .filter(F.col(EPOCH_COL) == epoch)
+        # crash between write and commit can duplicate a unit row; the build
+        # is deterministic so duplicates are identical — keep one
+        .dropDuplicates(gcols + [UNIT_COL])
+        .drop(EPOCH_COL)
+    )
+    return merge_sketches(all_parts.drop(UNIT_COL), gcols)
+
+
+def checkpoint_lineage(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Per-unit lineage/metrics view of a checkpoint (north-rule metrics)."""
+    done = spark.read.parquet(checkpoint_dir)
+    return done.select(
+        *[c for c in done.columns if c != "sketch"],
+        F.length("sketch").alias("sketch_bytes"),
+    )

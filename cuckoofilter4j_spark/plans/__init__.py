@@ -1,0 +1,17 @@
+"""Physical-plan inspection utilities (pushdown / pruning / shuffle checks)."""
+
+from cuckoofilter4j_spark.plans.explain import (
+    codegen_stage_count,
+    plan_string,
+    read_columns,
+    scan_reports,
+    shuffle_count,
+)
+
+__all__ = [
+    "codegen_stage_count",
+    "plan_string",
+    "read_columns",
+    "scan_reports",
+    "shuffle_count",
+]

@@ -1,0 +1,73 @@
+"""Physical-plan inspection helpers (Catalyst-awareness utilities).
+
+The library has no custom Catalyst rules (SURVEY.md §4) — everything rides
+on built-in operators — but at 100 TB the PLAN is the product: a scan that
+fails to push filters, prune columns, or avoid shuffles costs more than any
+kernel optimization. These helpers turn `explain()` output into assertable
+facts, and the test suite pins the plan shapes we rely on:
+
+- sketch builds read only (group, key) columns from the source (pruning)
+- probes are mapInPandas over the scan — zero shuffles
+- exact dedup is a single shuffle
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as text (same as df.explain(mode) but returned)."""
+    jqe = df._jdf.queryExecution()  # noqa: SLF001 — no public accessor
+    jvm = df.sparkSession._jvm  # noqa: SLF001
+    return jqe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the physical plan
+    (ReusedExchange does not count — it is a free re-read)."""
+    plan = plan_string(df, "simple")
+    return len(re.findall(r"\bExchange\b", plan))
+
+
+def scan_reports(df: DataFrame) -> List[Dict[str, str]]:
+    """Per-parquet-scan report: pushed filters and read schema."""
+    plan = plan_string(df, "formatted")
+    out = []
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if not block.startswith("Scan parquet") and "Scan parquet" not in block.split("\n")[0]:
+            continue
+        rep = {}
+        m = re.search(r"PushedFilters: \[(.*?)\]", block)
+        if m:
+            rep["pushed_filters"] = m.group(1)
+        m = re.search(r"ReadSchema: (.*)", block)
+        if m:
+            rep["read_schema"] = m.group(1).strip()
+        m = re.search(r"Location:.*\[(.*?)\]", block)
+        if m:
+            rep["location"] = m.group(1)
+        if rep:
+            out.append(rep)
+    return out
+
+
+def read_columns(df: DataFrame) -> List[List[str]]:
+    """Column names actually read by each parquet scan (pruning check)."""
+    cols = []
+    for rep in scan_reports(df):
+        schema = rep.get("read_schema", "")
+        cols.append(re.findall(r"(\w+):", schema))
+    return cols
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans (wider is better for JVM-side work)."""
+    plan = plan_string(df, "simple")
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    return len(ids)

@@ -1,0 +1,5 @@
+"""Structured Streaming extensions: incremental sketch maintenance."""
+
+from cuckoofilter4j_spark.streaming.incremental import StreamingFilterMaintainer
+
+__all__ = ["StreamingFilterMaintainer"]

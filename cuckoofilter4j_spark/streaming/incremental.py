@@ -1,0 +1,118 @@
+"""Structured Streaming maintenance of cuckoo sketches.
+
+The reference is a single-node in-memory object updated by put()/delete()
+calls; the streaming analog is a continuously-maintained sketch STORE:
+
+    events stream ──▶ foreachBatch ──▶ per-group partial build (batch ops)
+                                        └▶ merge into the parquet sketch store
+
+Each micro-batch builds partial filters for its rows with the SAME
+(num_buckets, tag_bits, seed) as the store, merges them into the current
+per-group sketches by fingerprint re-insertion, and atomically replaces the
+store (write-new + swap). Restart safety comes from the streaming
+checkpoint: foreachBatch re-delivers an epoch after a crash, and the swap is
+per-epoch idempotent (an epoch directory is only promoted once).
+
+This is deliberately foreachBatch + batch operators rather than
+applyInPandasWithState: the sketch is a cross-partition aggregate (one row
+per group), not per-key state, and the batch merge path is already
+associative and parallel. applyInPandasWithState would shard state by group
+key and keep it on executors — appropriate for per-key session state, wrong
+shape for a mergeable global sketch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cuckoofilter4j_spark.operators.build import build_filter
+from cuckoofilter4j_spark.operators.merge import merge_sketches
+
+
+class StreamingFilterMaintainer:
+    """Maintains per-group cuckoo sketches from a streaming DataFrame.
+
+    Usage::
+
+        m = StreamingFilterMaintainer(store_dir, key_col="key",
+                                      group_cols=["lang"], max_keys=1_000_000)
+        q = (events.writeStream.foreachBatch(m)
+             .option("checkpointLocation", ckpt).start())
+        ...
+        sketches = m.current(spark)   # queryable snapshot at any time
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        key_col: str = "key",
+        group_cols: Optional[Sequence[str]] = None,
+        max_keys: int = None,
+        fpp: float = 0.01,
+        seed: int = 42,
+        min_max_keys: int = 256,
+        sizing: str = "reference",
+    ):
+        if max_keys is None:
+            raise ValueError("max_keys is required (global sizing per group)")
+        self.store_dir = store_dir
+        self.key_col = key_col
+        self.group_cols = list(group_cols) if group_cols else []
+        self.max_keys = max_keys
+        self.fpp = fpp
+        self.seed = seed
+        self.min_max_keys = min_max_keys
+        self.sizing = sizing
+
+    # -- store layout: store_dir/epoch=<n>/  + store_dir/_CURRENT ------------
+    def _current_path(self) -> str:
+        return os.path.join(self.store_dir, "_CURRENT")
+
+    def _read_current_epoch(self) -> int:
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def current(self, spark: SparkSession) -> Optional[DataFrame]:
+        """The latest committed sketch DataFrame (None before first batch)."""
+        epoch = self._read_current_epoch()
+        if epoch < 0:
+            return None
+        return spark.read.parquet(os.path.join(self.store_dir, f"epoch={epoch}"))
+
+    # -- foreachBatch entrypoint ----------------------------------------------
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        out_dir = os.path.join(self.store_dir, f"epoch={epoch_id}")
+        cur = self._read_current_epoch()
+        if cur >= epoch_id:
+            return  # replayed epoch after restart: already promoted — skip
+        spark = batch_df.sparkSession
+        partials = build_filter(
+            batch_df.select(*self.group_cols, self.key_col),
+            key_col=self.key_col,
+            group_cols=self.group_cols,
+            max_keys=self.max_keys,
+            fpp=self.fpp,
+            seed=self.seed,
+            min_max_keys=self.min_max_keys,
+            sizing=self.sizing,
+        )
+        prev = self.current(spark)
+        merged = (
+            merge_sketches(prev.unionByName(partials), self.group_cols)
+            if prev is not None
+            else partials
+        )
+        merged.write.mode("overwrite").parquet(out_dir)
+        # atomic-enough promotion: single small file rename-free write; a
+        # crash between write and promote leaves _CURRENT on the old epoch
+        # and the replayed epoch rebuilds out_dir (overwrite) then promotes
+        tmp = self._current_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, self._current_path())

@@ -1,0 +1,103 @@
+"""Checkpoint/resume tests (SURVEY.md §7.4, north rule: resumable with
+per-partition lineage): interrupted builds resume computing only missing
+units and yield a filter semantically identical to an uninterrupted one."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.core import CuckooFilter
+from cuckoofilter4j_spark.operators import (
+    build_filter,
+    checkpoint_lineage,
+    checkpointed_build,
+    collect_sketches,
+    completed_units,
+    might_contain,
+    sha256_key,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = docs.select("lang", sha256_key("text").alias("key")).cache()
+    df.count()
+    return df
+
+
+def test_checkpointed_build_matches_direct(spark, keyed, tmp_path):
+    ckpt = str(tmp_path / "ckpt1")
+    n = keyed.count()
+    out = checkpointed_build(
+        keyed, ckpt, "key", ["lang"], max_keys=1024, fpp=0.01, seed=42, num_units=8
+    )
+    direct = build_filter(keyed, "key", ["lang"], max_keys=1024, fpp=0.01, seed=42)
+    got = collect_sketches(out, ["lang"])
+    want = collect_sketches(direct, ["lang"])
+    assert set(got) == set(want)
+    for g in got:
+        a = CuckooFilter.from_bytes(got[g])
+        b = CuckooFilter.from_bytes(want[g])
+        assert a.semantically_equal(b), f"group {g} differs from direct build"
+    # zero false negatives through the checkpointed path
+    probed = might_contain(keyed, out, "key", ["lang"])
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_resume_recomputes_only_missing_units(spark, keyed, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    full = checkpointed_build(
+        keyed, ckpt, "key", ["lang"], max_keys=1024, seed=42, num_units=8
+    )
+    want = {g: CuckooFilter.from_bytes(b) for g, b in collect_sketches(full, ["lang"]).items()}
+    # simulate a crash: delete some checkpointed unit rows
+    done_before = {r[0] for r in completed_units(spark, ckpt, 0).collect()}
+    assert done_before == set(range(8))
+    # rewrite the checkpoint without 3 units to simulate lost work
+    kept = spark.read.parquet(ckpt).filter(~F.col("__ckf_unit").isin([0, 3, 5]))
+    tmp2 = str(tmp_path / "ckpt2b")
+    kept.write.parquet(tmp2)
+    done_after = {r[0] for r in completed_units(spark, tmp2, 0).collect()}
+    assert done_after == set(range(8)) - {0, 3, 5}
+    # resume against the truncated checkpoint
+    resumed = checkpointed_build(
+        keyed, tmp2, "key", ["lang"], max_keys=1024, seed=42, num_units=8
+    )
+    done_final = {r[0] for r in completed_units(spark, tmp2, 0).collect()}
+    assert done_final == set(range(8))
+    got = {g: CuckooFilter.from_bytes(b) for g, b in collect_sketches(resumed, ["lang"]).items()}
+    assert set(got) == set(want)
+    for g in got:
+        assert got[g].semantically_equal(want[g]), f"group {g}: resume != uninterrupted"
+
+
+def test_rerun_on_complete_checkpoint_is_idempotent(spark, keyed, tmp_path):
+    ckpt = str(tmp_path / "ckpt3")
+    a = checkpointed_build(keyed, ckpt, "key", ["lang"], max_keys=1024, seed=42, num_units=4)
+    blob_a = collect_sketches(a, ["lang"])
+    files_before = sorted(os.listdir(ckpt))
+    b = checkpointed_build(keyed, ckpt, "key", ["lang"], max_keys=1024, seed=42, num_units=4)
+    blob_b = collect_sketches(b, ["lang"])
+    # no new work was written, and results identical
+    assert sorted(os.listdir(ckpt)) == files_before
+    assert set(blob_a) == set(blob_b)
+    for g in blob_a:
+        fa = CuckooFilter.from_bytes(blob_a[g])
+        fb = CuckooFilter.from_bytes(blob_b[g])
+        assert fa.semantically_equal(fb)
+
+
+def test_lineage_metrics_exposed(spark, keyed, tmp_path):
+    ckpt = str(tmp_path / "ckpt4")
+    checkpointed_build(keyed, ckpt, "key", ["lang"], max_keys=1024, seed=42, num_units=4)
+    lin = checkpoint_lineage(spark, ckpt)
+    rows = lin.collect()
+    assert {"rows_in", "kicks", "failed_inserts", "load_factor", "sketch_bytes"} <= set(lin.columns)
+    assert sum(r["rows_in"] for r in rows) == keyed.count()
+    assert all(r["sketch_bytes"] > 0 for r in rows)

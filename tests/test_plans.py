@@ -1,0 +1,60 @@
+"""Plan-shape tests: the properties that matter at 100 TB, pinned.
+
+A correct answer with a bad plan fails at scale — these assert that the
+sketch build prunes columns at the parquet scan, probes add no shuffle,
+filters push down, and dedup uses the minimum number of exchanges."""
+
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import exact_dedup
+from cuckoofilter4j_spark.operators import (
+    build_filter,
+    might_contain,
+    sha256_key,
+)
+from cuckoofilter4j_spark.plans import (
+    plan_string,
+    read_columns,
+    scan_reports,
+    shuffle_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_build_prunes_scan_to_needed_columns(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select("lang", sha256_key("text").alias("key"))
+    sk = build_filter(keyed, "key", ["lang"], max_keys=1024)
+    cols = read_columns(sk)
+    assert cols, "no parquet scan found in plan"
+    assert set(cols[0]) == {"lang", "text"}, f"scan reads {cols[0]}, want only lang+text"
+
+
+def test_probe_adds_no_shuffle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select("lang", sha256_key("text").alias("key"))
+    sk = build_filter(keyed, "key", ["lang"], max_keys=1024)
+    sketch_map = {tuple(r[c] for c in ["lang"]): bytes(r["sketch"]) for r in sk.collect()}
+    probed = might_contain(keyed, sketch_map, "key", ["lang"])
+    assert shuffle_count(probed) == 0, plan_string(probed, "simple")
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id")
+    reps = scan_reports(q)
+    assert reps and "lang" in reps[0].get("pushed_filters", ""), reps
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = exact_dedup(docs, "text", "doc_id")
+    assert shuffle_count(out) == 1, plan_string(out, "simple")
+
+
+def test_grouped_build_is_single_shuffle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select("lang", sha256_key("text").alias("key"))
+    sk = build_filter(keyed, "key", ["lang"], max_keys=1024)
+    assert shuffle_count(sk) == 1, plan_string(sk, "simple")

@@ -1,0 +1,60 @@
+"""Streaming maintenance test: micro-batched inserts through foreachBatch
+accumulate into the same sketch a single batch build would produce."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.core import CuckooFilter
+from cuckoofilter4j_spark.operators import build_filter, collect_sketches, might_contain, sha256_key
+from cuckoofilter4j_spark.streaming import StreamingFilterMaintainer
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_maintenance_matches_batch(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select("lang", sha256_key("text").alias("key")).cache()
+    n = keyed.count()
+
+    # stage the stream as 4 parquet files consumed with availableNow
+    src_dir = str(tmp_path / "stream_src")
+    keyed.withColumn("part", F.pmod(F.xxhash64("key"), F.lit(4))).write.partitionBy(
+        "part"
+    ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("lang string, key binary, part int")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src_dir)
+        .drop("part")
+    )
+    store = str(tmp_path / "sketch_store")
+    m = StreamingFilterMaintainer(
+        store, key_col="key", group_cols=["lang"], max_keys=1024, fpp=0.01, seed=42
+    )
+    q = (
+        stream.writeStream.foreachBatch(m)
+        .option("checkpointLocation", str(tmp_path / "stream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    sk = m.current(spark)
+    assert sk is not None
+    # every streamed key is found; counts per group exact
+    probed = might_contain(keyed, sk, "key", ["lang"])
+    assert probed.filter(~F.col("might_contain")).count() == 0
+    got = {r["lang"]: r["count"] for r in sk.collect()}
+    exact = {r["lang"]: r["c"] for r in keyed.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert got == exact
+    # semantically identical to a one-shot batch build
+    direct = build_filter(keyed, "key", ["lang"], max_keys=1024, fpp=0.01, seed=42)
+    want = collect_sketches(direct, ["lang"])
+    have = collect_sketches(sk, ["lang"])
+    for g in want:
+        assert CuckooFilter.from_bytes(have[g]).semantically_equal(
+            CuckooFilter.from_bytes(want[g])
+        )
