@@ -147,3 +147,84 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.round(F.avg("width"), 6).alias("avg_width"),
         F.round(F.avg("height"), 6).alias("avg_height"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 16, fake: bool = False) -> DataFrame:
+    """Downscale image payloads via mapInPandas (nearest-neighbor).
+
+    Same contract as decode_images: fake=True runs the deterministic fake
+    codec end-to-end; fake=False raises (no Pillow/libvips here) — the Spark
+    plumbing (schema, batching, partition parallelism) is identical either way.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "resize_images(fake=False): no image codec in this container — "
+            "plug Pillow into the decode/encode steps below"
+        )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                w, h = struct.unpack_from("<II", payload, len(_FAKE_MAGIC))
+                px = np.frombuffer(
+                    payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
+                ).reshape(h, w)
+                scale = max(1, (max(w, h) + max_side - 1) // max_side)
+                small = px[::scale, ::scale]
+                nh, nw = small.shape
+                blob = _FAKE_MAGIC + struct.pack("<II", nw, nh) + small.tobytes()
+                out.append(dict(media_id=int(media_id), width=int(nw), height=int(nh), payload=blob))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, fake: bool = False) -> DataFrame:
+    """Explode video payloads into sampled frames via mapInPandas (1 -> many).
+
+    The fake 'video' treats each pixel ROW of the fake image as a frame —
+    exercising the real shape of frame sampling (one input row fanning out to
+    multiple output rows inside an Arrow batch) without an actual codec.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "sample_frames(fake=False): no video codec in this container — "
+            "plug ffmpeg/PyAV into the frame iterator below"
+        )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                w, h = struct.unpack_from("<II", payload, len(_FAKE_MAGIC))
+                px = np.frombuffer(
+                    payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
+                ).reshape(h, w)
+                for idx in range(0, h, every_n):
+                    out.append(dict(media_id=int(media_id), frame_idx=int(idx),
+                                    frame=px[idx].tobytes()))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)

@@ -1,0 +1,56 @@
+"""Multimodal plumbing tests: decode / resize / frame-sample over binary
+media columns via mapInPandas (codecs stubbed; Spark shapes real)."""
+
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import (
+    decode_images,
+    media_stats,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+
+
+def test_decode_and_stats(spark):
+    media = synth_media(spark, rows=32, num_partitions=2).cache()
+    dec = decode_images(media, fake=True)
+    rows = dec.collect()
+    assert len(rows) == 32
+    assert all(0 <= r["mean_intensity"] <= 255 for r in rows)
+    st = media_stats(media).collect()
+    assert st[0]["n"] == 32 and st[0]["total_bytes"] > 0
+
+
+def test_resize_bounds_dimensions(spark):
+    media = synth_media(spark, rows=16)
+    small = resize_images(media, max_side=8, fake=True).collect()
+    assert len(small) == 16
+    assert all(r["width"] <= 8 and r["height"] <= 8 for r in small)
+    # resized payloads still decode
+    import struct as S
+    for r in small:
+        w, h = S.unpack_from("<II", bytes(r["payload"]), 8)
+        assert (w, h) == (r["width"], r["height"])
+
+
+def test_sample_frames_fanout(spark):
+    media = synth_media(spark, rows=8)
+    frames = sample_frames(media, every_n=4, fake=True)
+    per = frames.groupBy("media_id").count().collect()
+    assert len(per) == 8
+    heights = {r["media_id"]: r["height"] for r in media.collect()}
+    for r in per:
+        expect = (heights[r["media_id"]] + 3) // 4
+        assert r["count"] == expect
+
+
+def test_real_codec_paths_raise(spark):
+    media = synth_media(spark, rows=2)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        decode_images(media, fake=False)
+    with pytest.raises(NotImplementedError):
+        resize_images(media, fake=False)
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, fake=False)

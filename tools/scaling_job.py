@@ -1,0 +1,77 @@
+"""Standalone scaling job for `spark-submit --py-files` (north-rule protocol).
+
+Usage:
+    zip -r /tmp/ckf.zip cuckoofilter4j_spark
+    spark-submit --master local[4]  --py-files /tmp/ckf.zip tools/scaling_job.py 7600000 256
+    spark-submit --master local[16] --py-files /tmp/ckf.zip tools/scaling_job.py 7600000 256
+
+Builds a sharded global cuckoo filter over N synthetic source files keyed on
+sha256(content), prints one JSON line with items/sec, load factor, observed
+FPP, and failed-insert count. The same job at two parallelism levels is the
+sandbox stand-in for N vs 4N executors.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 7_600_000
+    shards = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from cuckoofilter4j_spark.operators import (
+        build_filter_sharded,
+        might_contain_sharded,
+        sha256_key,
+    )
+    from cuckoofilter4j_spark.sources import absent_source_files, source_files
+
+    spark = SparkSession.builder.appName("ckf-scaling").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    src = source_files(spark, rows=rows, num_partitions=128)
+    keyed = src.select(sha256_key("content").alias("key")).cache()
+    keyed.agg(F.max(F.crc32("key"))).collect()  # materialize keys into cache
+
+    t0 = time.perf_counter()
+    sharded = build_filter_sharded(
+        keyed, "key", num_shards=shards, max_keys=rows, fpp=0.01, seed=42,
+        sizing="paper",
+    ).cache()
+    stats = sharded.agg(
+        F.sum("count").alias("n"),
+        F.sum("failed_inserts").alias("failed"),
+        (F.sum("count") / F.sum(F.col("num_buckets") * 4)).alias("lf"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+
+    absent = absent_source_files(spark, rows=200_000, num_partitions=32).select(
+        sha256_key("content").alias("key")
+    )
+    n_fp = (
+        might_contain_sharded(absent, sharded, "key")
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    print(json.dumps({
+        "cores": cores,
+        "rows": rows,
+        "shards": shards,
+        "sec": round(elapsed, 3),
+        "items_per_sec": round(rows / elapsed, 1),
+        "load_factor": round(float(stats["lf"]), 6),
+        "observed_fpp": round(n_fp / 200_000, 6),
+        "count": int(stats["n"]),
+        "failed_inserts": int(stats["failed"]),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
