@@ -25,11 +25,13 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 7,600,000 keys over 256 shards (5% routing headroom) -> 8192 buckets/shard
-# -> per-shard load ~0.906 (≤95%), no pow2 sizing jump; 256 tasks keeps
-# local[32] fully fed (8 waves) while local[8] runs the identical plan
-SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "7600000"))
-SCALE_SHARDS = int(os.environ.get("SPARK_GRAFT_SCALE_SHARDS", "256"))
+# 30,400,000 keys over 1024 shards (5% routing headroom) -> 8192 buckets/shard
+# -> per-shard load ~0.906 (≤95%), no pow2 sizing jump. Sized so the kernel
+# work dominates the fixed per-job costs (shuffle IO, Arrow setup, session),
+# which otherwise cap measurable scaling efficiency.
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "30400000"))
+SCALE_SHARDS = int(os.environ.get("SPARK_GRAFT_SCALE_SHARDS", "1024"))
+SCALE_STAGE = os.environ.get("SPARK_GRAFT_SCALE_STAGE", "/tmp/ckf_scale_keys")
 # N vs 4N parallelism pair for the scaling-efficiency evidence. This host
 # delivers ~21 effective cores for the numpy kernel (measured via
 # multiprocessing), so 8→32 can never reach 0.8 efficiency on hardware
@@ -82,14 +84,26 @@ def insert_throughput(cores: int, rows: int) -> dict:
 
     spark = _session(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    # partitions = 4×cores so local[8] and local[32] run the IDENTICAL plan
-    # (same partial count, same merge tree) — only parallelism differs
-    src = source_files(spark, rows=rows, num_partitions=128)
-    keyed = src.select(sha256_key("content").alias("key")).cache()
-    # warm-up must MATERIALIZE the keys into the cache (a bare count() would
-    # let Catalyst prune the content/sha256 computation entirely), so the
-    # timed section measures the sketch build, not synthetic data generation
+    stage_dir = f"{SCALE_STAGE}_{rows}"
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        # one-time staging: synthesize the source table, derive the sha256
+        # keys, persist ONLY the key column — the read-from-storage analog
+        # (both parallelism levels then time the identical build over the
+        # identical bytes; synthetic-content generation stays out of band)
+        src = source_files(spark, rows=rows, num_partitions=128)
+        src.select(sha256_key("content").alias("key")).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+    keyed = spark.read.parquet(stage_dir).cache()
+    # warm-up materializes the keys into the executor cache so the timed
+    # section measures the sketch build, not disk scan
     keyed.agg(F.max(F.crc32("key"))).collect()
+    # JIT-warm the full shuffle+Arrow+UDF pipeline on a 2% sample so the
+    # timed run measures steady-state throughput, not JVM compilation
+    build_filter_sharded(
+        keyed.sample(0.02, seed=1), "key", num_shards=64,
+        max_keys=max(rows // 50, 1000), fpp=FPP, seed=SEED, sizing="paper",
+    ).agg(F.sum("count")).collect()
     t0 = time.perf_counter()
     sharded = build_filter_sharded(
         keyed, "key", num_shards=SCALE_SHARDS, max_keys=rows, fpp=FPP,
@@ -102,9 +116,9 @@ def insert_throughput(cores: int, rows: int) -> dict:
     ).collect()[0]
     elapsed = time.perf_counter() - t0
 
-    absent = absent_source_files(spark, rows=200_000, num_partitions=32).select(
-        sha256_key("content").alias("key")
-    )
+    absent = absent_source_files(
+        spark, rows=200_000, num_partitions=32, offset=rows + 7_777_777
+    ).select(sha256_key("content").alias("key"))
     n_fp = (
         might_contain_sharded(absent, sharded, "key")
         .filter(F.col("might_contain"))

@@ -362,6 +362,20 @@ class CuckooFilter:
         RNG-dependent under kicks).
         """
         i1, i2, tag = self._index_tag(keys)
+        return self._put_triples(i1, i2, tag)
+
+    def put_fingerprints(self, index, tag) -> np.ndarray:
+        """Insert pre-derived (bucket index, tag) fingerprints with exact put
+        semantics (count, victim, failure accounting). The distributed scale
+        path derives fingerprints map-side (one vectorized pass over the
+        scan) and ships only these ints through the shuffle — the 32-byte
+        keys never leave their scan partition."""
+        i1 = np.asarray(index, dtype=np.int64)
+        tg = np.asarray(tag, dtype=self.table.dtype).astype(np.uint64)
+        i2 = self.gen.alt(i1, tg)
+        return self._put_triples(i1, i2, tg)
+
+    def _put_triples(self, i1: np.ndarray, i2: np.ndarray, tag: np.ndarray) -> np.ndarray:
         n = i1.shape[0]
         ok = np.zeros(n, dtype=bool)
         if n == 0:

@@ -7,6 +7,7 @@ from cuckoofilter4j_spark.operators.build import (
     build_filter,
     build_filter_salted,
     build_filter_sharded,
+    build_filter_sharded_fingerprints,
     build_partials_scan_local,
     sha256_key,
     shard_column,
@@ -37,6 +38,7 @@ __all__ = [
     "build_filter",
     "build_filter_salted",
     "build_filter_sharded",
+    "build_filter_sharded_fingerprints",
     "build_partials_scan_local",
     "checkpoint_lineage",
     "checkpointed_build",

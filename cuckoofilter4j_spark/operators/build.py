@@ -117,6 +117,45 @@ def _resolve_max_keys(max_keys, group_vals: tuple):
     return int(max_keys)
 
 
+def words_from_arrow_binary(col) -> "np.ndarray":
+    """pyarrow (Chunked)BinaryArray -> the (N, W+1) uint64 word matrix that
+    core.encode_keys produces for the same bytes — computed straight off the
+    Arrow offsets/data buffers, creating ZERO per-row Python objects.
+
+    This is why the build uses applyInArrow instead of applyInPandas: the
+    Arrow->pandas conversion of a binary column materializes one Python
+    `bytes` object per row, which dominates the UDF cost for wide scans and
+    contends across concurrent workers."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 1), dtype=np.uint64)
+    arr = col
+    if arr.null_count:
+        raise ValueError("null keys are not insertable")
+    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    offsets = np.frombuffer(off_buf, dtype=np.int32, count=n + 1, offset=arr.offset * 4)
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    lens = np.diff(offsets).astype(np.int64)
+    max_len = int(lens.max())
+    width = max(1, (max_len + 7) // 8)
+    pad = width * 8
+    if int(lens.min()) == max_len and max_len % 8 == 0 and (np.diff(offsets) == max_len).all():
+        block = data[offsets[0] : offsets[0] + n * max_len]
+        mat = block.reshape(n, max_len)
+    else:
+        idx = offsets[:-1, None].astype(np.int64) + np.arange(pad)[None, :]
+        mask = np.arange(pad)[None, :] < lens[:, None]
+        mat = np.where(mask, data[np.minimum(idx, data.size - 1)], 0).astype(np.uint8)
+    words = np.empty((n, width + 1), dtype=np.uint64)
+    words[:, 0] = lens.view(np.uint64) if lens.dtype == np.int64 else lens.astype(np.uint64)
+    words[:, 1:] = np.ascontiguousarray(mat).view("<u8")
+    return words
+
+
 def build_filter(
     df: DataFrame,
     key_col: str = "key",
@@ -127,7 +166,9 @@ def build_filter(
     min_max_keys: int = 256,
     sizing: str = "reference",
 ) -> DataFrame:
-    """One cuckoo filter per group via groupBy().applyInPandas.
+    """One cuckoo filter per group via groupBy().applyInArrow (binary keys
+    stay as raw Arrow buffers — no per-row Python objects; applyInPandas is
+    the fallback for non-binary key types).
 
     `max_keys` is the GLOBAL expected key count per group (int for all groups
     or dict group->int) — partials must share sizing (SURVEY.md §4).
@@ -146,18 +187,39 @@ def build_filter(
     out_schema = sketch_schema(df, group_cols)
     fpp_, seed_, sizing_ = float(fpp), int(seed), str(sizing)
     mk, gcols, floor_ = max_keys, list(group_cols), int(min_max_keys)
+    key_is_binary = isinstance(df.schema[key_col].dataType, BinaryType)
+    kc = key_col
 
-    def build(key_tuple, pdf):
-        gvals = tuple(key_tuple) if gcols else ()
+    def _build_one(gvals, keys, n_rows):
         m = _resolve_max_keys(mk, gvals if gcols else (GROUP_ALL,))
         nb, tb = validate_params(max(m, floor_, 2), fpp_, sizing_)
         filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, gvals))
-        keys = pdf[key_col]
         filt.put_batch(keys)
-        return _to_pdf([_sketch_row(gvals, filt, len(pdf))], gcols)
+        return _sketch_row(gvals, filt, n_rows)
 
-    out = grouped.applyInPandas(build, out_schema)
-    return out
+    if key_is_binary:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(out_schema)
+
+        # the (key, table) type hints are REQUIRED: applyInArrow infers the
+        # grouped-map eval type from them
+        def build_arrow(key_tuple: tuple, table: pa.Table) -> pa.Table:
+            gvals = tuple(v.as_py() if hasattr(v, "as_py") else v for v in key_tuple) if gcols else ()
+            words = words_from_arrow_binary(table.column(kc))
+            row = _build_one(gvals, words, table.num_rows)
+            pdf = _to_pdf([row], gcols)
+            return pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
+
+        return grouped.applyInArrow(build_arrow, out_schema)
+
+    def build(key_tuple, pdf):
+        gvals = tuple(key_tuple) if gcols else ()
+        row = _build_one(gvals, pdf[kc], len(pdf))
+        return _to_pdf([row], gcols)
+
+    return grouped.applyInPandas(build, out_schema)
 
 
 def build_filter_salted(
@@ -338,3 +400,106 @@ def build_filter_sharded(
     from cuckoofilter4j_spark.operators.merge import merge_sketches
 
     return merge_sketches(partials, [SHARD_COL])
+
+
+def build_filter_sharded_fingerprints(
+    df: DataFrame,
+    key_col: str = "key",
+    num_shards: int = 64,
+    max_keys: int = None,
+    fpp: float = DEFAULT_FP,
+    seed: int = 42,
+    shard_headroom: float = 0.05,
+    sizing: str = "reference",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Sharded global build that ships FINGERPRINTS, not keys, through the
+    shuffle — the minimal-bytes scale path.
+
+    Stage 1 (mapInArrow, no shuffle): each scan partition derives
+    (shard, bucket_index, tag) from its keys in one vectorized pass; the
+    32-byte keys never leave the partition. Stage 2 (repartition by shard,
+    no sort): 17-byte int rows shuffle. Stage 3 (mapInArrow): each task
+    assembles whole shard filters via put_fingerprints (exact put semantics).
+
+    Compared to the grouped-map build this removes the JVM-side per-row
+    binary->Arrow conversion on the reduce side, the grouped-map SORT of all
+    rows, and ~2/3 of the shuffled bytes. Semantics identical: same hash,
+    same shard routing (probe with might_contain_sharded), deterministic
+    per-shard RNG (partition-count invariant).
+    """
+    import pyarrow as pa
+    from typing import Iterator
+
+    from cuckoofilter4j_spark.core import IndexTagGen
+
+    if max_keys is None:
+        raise ValueError("max_keys is required (global expected key count)")
+    per_shard = max(int(max_keys / num_shards * (1.0 + shard_headroom)) + 1, 2)
+    nb, tb = validate_params(per_shard, fpp, sizing)
+    seed_ = int(seed)
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = min(num_shards, spark.sparkContext.defaultParallelism * 4)
+
+    sharded = df.select(
+        F.col(key_col).alias("key"), shard_column(key_col, num_shards).alias(SHARD_COL)
+    )
+
+    def derive(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        gen = IndexTagGen(nb, tb, seed_)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            words = words_from_arrow_binary(batch.column(0))
+            i1, tag = gen.generate(words)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(1),
+                    pa.array(i1, type=pa.int64()),
+                    pa.array(tag.astype(np.int64), type=pa.int64()),
+                ],
+                names=[SHARD_COL, "i1", "tag"],
+            )
+
+    fp = sharded.mapInArrow(derive, f"{SHARD_COL} int, i1 long, tag long")
+    routed = fp.repartition(num_partitions, F.col(SHARD_COL))
+    out_schema = StructType(
+        [StructField(SHARD_COL, IntegerType(), False)] + METRIC_FIELDS
+    )
+
+    def assemble(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pandas as pd
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        chunks = [
+            (
+                b.column(0).to_numpy(zero_copy_only=False),
+                b.column(1).to_numpy(zero_copy_only=False),
+                b.column(2).to_numpy(zero_copy_only=False),
+            )
+            for b in batches
+            if b.num_rows
+        ]
+        if not chunks:
+            return
+        shard = np.concatenate([c[0] for c in chunks])
+        i1 = np.concatenate([c[1] for c in chunks])
+        tag = np.concatenate([c[2] for c in chunks]).view(np.uint64)
+        order = np.argsort(shard, kind="stable")
+        shard, i1, tag = shard[order], i1[order], tag[order]
+        bounds = np.flatnonzero(np.diff(shard)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [shard.size]])
+        rows = []
+        for s, e in zip(starts, ends):
+            sh = int(shard[s])
+            filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, (sh,)))
+            filt.put_fingerprints(i1[s:e], tag[s:e])
+            rows.append(_sketch_row((sh,), filt, int(e - s)))
+        pdf = _to_pdf(rows, [SHARD_COL])
+        yield pa.RecordBatch.from_pandas(
+            pdf, schema=to_arrow_schema(out_schema), preserve_index=False
+        )
+
+    return routed.mapInArrow(assemble, out_schema)

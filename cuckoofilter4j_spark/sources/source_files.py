@@ -73,7 +73,12 @@ def source_files(
 
 
 def absent_source_files(
-    spark: SparkSession, rows: int = 10_000, num_partitions: int = 8
+    spark: SparkSession,
+    rows: int = 10_000,
+    num_partitions: int = 8,
+    offset: int = 10_000_000,
 ) -> DataFrame:
-    """Known non-members (FIXTURES.md §2): disjoint index range, zero overlap."""
-    return _gen(spark, 10_000_000, rows, num_partitions)
+    """Known non-members (FIXTURES.md §2): disjoint index range, zero overlap.
+    `offset` MUST exceed the member table's row count — pass it explicitly
+    when the member build is larger than the 10M default."""
+    return _gen(spark, offset, rows, num_partitions)

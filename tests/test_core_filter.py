@@ -264,3 +264,30 @@ def test_merge_carries_victims():
     m = a.merge(b)
     assert m.count == 9
     assert m.approximate_count(42) == 9
+
+
+# -- paper sizing option (Fan et al. log2(2b/eps)) ----------------------------
+def test_paper_sizing_meets_configured_fpp_at_design_load():
+    """sizing='paper' delivers observed fpp <= configured at ~design load,
+    which the reference's own formula cannot (documented deviation)."""
+    from cuckoofilter4j_spark.core import validate_params
+
+    nb, tb = validate_params(100_000, 0.01, sizing="paper")
+    assert tb == 10  # ceil(log2(2*4/0.01))
+    f = CuckooFilter(nb, tb, seed=11)
+    n = int(nb * 4 * 0.93)
+    assert f.put_batch(keys(0, n)).all()
+    absent = keys(10_000_000, 10_200_000)
+    fpp = f.contains_batch(absent).mean()
+    assert fpp <= 0.01, fpp
+    assert f.contains_batch(keys(0, n)).all()
+
+
+def test_reference_sizing_default_unchanged():
+    from cuckoofilter4j_spark.core import validate_params
+
+    assert validate_params(100_000, 0.01) == validate_params(100_000, 0.01, "reference")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        validate_params(100_000, 0.01, sizing="bogus")

@@ -1,0 +1,72 @@
+"""Sharded global filter tests: direct vs scan_local methods, routing
+consistency, zero false negatives, and FPP through the sharded probe."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.operators import (
+    approx_count_sharded,
+    build_filter_sharded,
+    might_contain_sharded,
+    sha256_key,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.select(
+        sha256_key(F.concat_ws("|", "l_orderkey", "l_linenumber")).alias("key")
+    ).cache()
+    df.count()
+    return df
+
+
+def test_sharded_direct_zero_false_negatives(spark, keyed):
+    n = keyed.count()
+    sk = build_filter_sharded(keyed, "key", num_shards=8, max_keys=n, fpp=0.01, seed=42)
+    assert sk.count() == 8
+    stats = sk.agg(F.sum("count").alias("n"), F.sum("failed_inserts").alias("f")).collect()[0]
+    assert stats["n"] == n and stats["f"] == 0
+    probed = might_contain_sharded(keyed, sk, "key")
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_sharded_fpp_bound(spark, keyed):
+    n = keyed.count()
+    sk = build_filter_sharded(
+        keyed, "key", num_shards=8, max_keys=n, fpp=0.01, seed=42, sizing="paper"
+    )
+    absent = spark.range(20_000_000, 20_100_000).select(sha256_key(F.col("id")).alias("key"))
+    fp = might_contain_sharded(absent, sk, "key").filter(F.col("might_contain")).count()
+    assert fp / 100_000 < 0.01
+
+
+def test_scan_local_method_matches_direct_counts(spark, keyed):
+    n = keyed.count()
+    a = build_filter_sharded(keyed, "key", num_shards=4, max_keys=n, seed=42, method="direct")
+    b = build_filter_sharded(keyed, "key", num_shards=4, max_keys=n, seed=42, method="scan_local")
+    ca = {r["__ckf_shard"]: r["count"] for r in a.collect()}
+    cb = {r["__ckf_shard"]: r["count"] for r in b.collect()}
+    assert ca == cb
+    probed = might_contain_sharded(keyed, b, "key")
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_approx_count_sharded_never_undercounts(spark, keyed):
+    # distinct keys first: (l_orderkey, l_linenumber) repeats in the fixture,
+    # and >9 copies of one key legitimately fail (duplicate limit)
+    uniq = keyed.distinct().cache()
+    n = uniq.count()
+    tripled = uniq.select(F.explode(F.sequence(F.lit(1), F.lit(3))).alias("i"), "key").select("key")
+    sk = build_filter_sharded(tripled, "key", num_shards=8, max_keys=4 * n, fpp=0.01, seed=42)
+    assert sk.agg(F.sum("failed_inserts")).collect()[0][0] == 0
+    counted = approx_count_sharded(uniq, sk, "key")
+    assert counted.filter(F.col("approx_count") < 3).count() == 0
+
+
+def test_bad_method_rejected(spark, keyed):
+    with pytest.raises(ValueError):
+        build_filter_sharded(keyed, "key", num_shards=4, max_keys=100, method="nope")

@@ -38,6 +38,11 @@ def main() -> None:
     src = source_files(spark, rows=rows, num_partitions=128)
     keyed = src.select(sha256_key("content").alias("key")).cache()
     keyed.agg(F.max(F.crc32("key"))).collect()  # materialize keys into cache
+    # JIT-warm the full shuffle+Arrow+UDF pipeline on a 2% sample
+    build_filter_sharded(
+        keyed.sample(0.02, seed=1), "key", num_shards=64,
+        max_keys=max(rows // 50, 1000), fpp=0.01, seed=42, sizing="paper",
+    ).agg(F.sum("count")).collect()
 
     t0 = time.perf_counter()
     sharded = build_filter_sharded(
@@ -51,9 +56,9 @@ def main() -> None:
     ).collect()[0]
     elapsed = time.perf_counter() - t0
 
-    absent = absent_source_files(spark, rows=200_000, num_partitions=32).select(
-        sha256_key("content").alias("key")
-    )
+    absent = absent_source_files(
+        spark, rows=200_000, num_partitions=32, offset=rows + 7_777_777
+    ).select(sha256_key("content").alias("key"))
     n_fp = (
         might_contain_sharded(absent, sharded, "key")
         .filter(F.col("might_contain"))
