@@ -98,6 +98,7 @@ def q_ckf_build_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "num_buckets",
         "tag_bits",
         (F.col("num_buckets") * BUCKET_SIZE).alias("capacity"),
+        F.col("storage_bits").alias("storage_bits"),
         F.col("failed_inserts").alias("n_failed"),
         F.round("load_factor", 6).alias("load_factor"),
     )
@@ -355,6 +356,26 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ckf_events_stream_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-table coverage: sharded global filter over sha256 of the event
+    identity; exact per-type membership totals via the sharded probe path."""
+    from cuckoofilter4j_spark.operators import build_filter_sharded, might_contain_sharded
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keyed = ev.select(
+        "event_type",
+        sha256_key(F.concat_ws("|", "event_id", "user_id")).alias("key"),
+    )
+    n = keyed.count()
+    sk = build_filter_sharded(keyed, "key", num_shards=4, max_keys=max(n, 1024),
+                              fpp=FPP, seed=SEED)
+    probed = might_contain_sharded(keyed, sk, "key")
+    return probed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("might_contain").cast("long")).alias("n_found"),
+    )
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media → mapInPandas decode →
     typed features. Deterministic but not SQL-expressible (rows-only check)."""
@@ -381,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_get_count": q_ckf_get_count,
         "ckf_delete_drain": q_ckf_delete_drain,
         "ckf_salted_build": q_ckf_salted_build,
+        "ckf_events_stream_keys": q_ckf_events_stream_keys,
         "ckf_merge_invariance": q_ckf_merge_invariance,
         "ckf_checkpoint_resume": q_ckf_checkpoint_resume,
         "ckf_serde_roundtrip": q_ckf_serde_roundtrip,
@@ -468,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST({NUM_BUCKETS} AS BIGINT) AS num_buckets,
                    {TAG_BITS} AS tag_bits,
                    CAST({CAPACITY} AS BIGINT) AS capacity,
+                   CAST({NUM_BUCKETS * 4 * 8} AS BIGINT) AS storage_bits,
                    CAST(0 AS BIGINT) AS n_failed,
                    round(count(*) / {float(CAPACITY)}, 6) AS load_factor
             FROM documents GROUP BY lang
@@ -478,6 +501,7 @@ def oracle_sql() -> dict[str, str]:
         "ckf_get_count": "SELECT CAST(3 * count(*) AS BIGINT) AS n_stored, CAST(0 AS BIGINT) AS n_failed FROM documents",
         "ckf_delete_drain": "SELECT lang, CAST(0 AS BIGINT) AS remaining FROM documents GROUP BY lang",
         "ckf_salted_build": "SELECT lang, count(*) AS n_inserted, CAST(0 AS BIGINT) AS n_failed FROM documents GROUP BY lang",
+        "ckf_events_stream_keys": "SELECT event_type, count(*) AS n_events, count(*) AS n_found FROM events GROUP BY event_type",
         "ckf_merge_invariance": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
         "ckf_checkpoint_resume": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
         "ckf_serde_roundtrip": "SELECT lang, TRUE AS roundtrip_ok FROM (SELECT DISTINCT lang FROM documents)",
