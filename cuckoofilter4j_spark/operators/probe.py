@@ -42,13 +42,29 @@ def _probe_map(
     `sketches` may be a sketch DataFrame or a pre-collected dict. The dict is
     shipped once per executor via Spark's task broadcast of the UDF closure;
     deserialized CuckooFilter objects are cached per worker process.
+
+    Binary keys with no / integer-typed group columns take a mapInArrow fast
+    path: key bytes go straight from Arrow buffers to the numpy word matrix
+    (no per-row Python objects) — this is the 100 TB probe path. Other key /
+    group types fall back to mapInPandas.
     """
+    from pyspark.sql.types import BinaryType, IntegerType, LongType, ShortType
+
     gcols = list(group_cols) if group_cols else []
     if isinstance(sketches, DataFrame):
         sketches = collect_sketches(sketches, gcols)
     sketch_map = dict(sketches)
     out_schema = StructType(df.schema.fields + [StructField(result_col, result_field, False)])
     kc = key_col
+
+    int_types = (IntegerType, LongType, ShortType)
+    arrow_ok = isinstance(df.schema[kc].dataType, BinaryType) and all(
+        isinstance(df.schema[c].dataType, int_types) for c in gcols
+    )
+    if arrow_ok:
+        return _probe_map_arrow(
+            df, sketch_map, kc, gcols, result_col, out_schema, mode
+        )
 
     def probe(batches):
         cache: Dict[tuple, CuckooFilter] = {}
@@ -88,6 +104,73 @@ def _probe_map(
             yield pdf
 
     return df.mapInPandas(probe, out_schema)
+
+
+def _probe_map_arrow(
+    df: DataFrame,
+    sketch_map: Dict[tuple, bytes],
+    key_col: str,
+    gcols: Sequence[str],
+    result_col: str,
+    out_schema: StructType,
+    mode: str,
+) -> DataFrame:
+    """mapInArrow probe: numpy end-to-end, zero per-row Python objects."""
+    import pyarrow as pa
+
+    from cuckoofilter4j_spark.operators.build import words_from_arrow_binary
+
+    key_idx = df.columns.index(key_col)
+    g_idx = [df.columns.index(c) for c in gcols]
+    res_dtype = bool if mode == "contains" else np.int64
+    pa_type = pa.bool_() if mode == "contains" else pa.int64()
+
+    def probe(batches):
+        cache: Dict[tuple, Optional[CuckooFilter]] = {}
+
+        def filter_for(gvals: tuple) -> Optional[CuckooFilter]:
+            if gvals not in cache:
+                blob = sketch_map.get(gvals)
+                cache[gvals] = CuckooFilter.from_bytes(blob) if blob is not None else None
+            return cache[gvals]
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            words = words_from_arrow_binary(batch.column(key_idx))
+            result = np.zeros(n, dtype=res_dtype)
+            if gcols:
+                gs = np.stack(
+                    [batch.column(i).to_numpy(zero_copy_only=False) for i in g_idx],
+                    axis=1,
+                )
+                order = np.lexsort(gs.T[::-1])
+                sorted_g = gs[order]
+                change = np.ones(n, dtype=bool)
+                change[1:] = (sorted_g[1:] != sorted_g[:-1]).any(axis=1)
+                starts = np.flatnonzero(change)
+                ends = np.concatenate([starts[1:], [n]])
+                for s, e in zip(starts, ends):
+                    idx = order[s:e]
+                    filt = filter_for(tuple(int(v) for v in sorted_g[s]))
+                    if filt is None:
+                        continue
+                    w = np.ascontiguousarray(words[idx])
+                    result[idx] = (
+                        filt.contains_batch(w) if mode == "contains" else filt.count_batch(w)
+                    )
+            else:
+                filt = filter_for(())
+                if filt is not None:
+                    result = (
+                        filt.contains_batch(words)
+                        if mode == "contains"
+                        else filt.count_batch(words)
+                    )
+            yield batch.append_column(result_col, pa.array(result, type=pa_type))
+
+    return df.mapInArrow(probe, out_schema)
 
 
 def might_contain(

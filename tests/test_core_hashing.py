@@ -133,3 +133,30 @@ def test_swap_random_slot_returns_old_tag():
     after = set(f.table[3])
     assert 77 in after
     assert len(before - after) == 1  # exactly one tag was kicked
+
+
+# -- Arrow word extraction parity ---------------------------------------------
+def test_words_from_arrow_binary_matches_encode_keys():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cuckoofilter4j_spark.core import encode_keys
+    from cuckoofilter4j_spark.operators.build import words_from_arrow_binary
+
+    rng = np.random.default_rng(0)
+    uniform = [rng.bytes(32) for _ in range(500)]
+    varlen = [rng.bytes(int(rng.integers(1, 40))) for _ in range(500)]
+    for keys in (uniform, varlen):
+        a = words_from_arrow_binary(pa.array(keys, type=pa.binary()))
+        b = encode_keys(pd.Series(keys))
+        assert np.array_equal(a, b)
+    # sliced (non-zero offset) arrays and chunked arrays
+    arr = pa.array(uniform, type=pa.binary()).slice(100, 300)
+    assert np.array_equal(
+        words_from_arrow_binary(arr), encode_keys(pd.Series(uniform[100:400]))
+    )
+    chunked = pa.chunked_array([uniform[:250], uniform[250:]], type=pa.binary())
+    assert np.array_equal(
+        words_from_arrow_binary(chunked), encode_keys(pd.Series(uniform))
+    )
