@@ -170,6 +170,27 @@ def q_ckf_delete_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.select("lang", F.col("count").alias("remaining"))
 
 
+def q_ckf_false_delete_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deleting ABSENT keys succeeds only at ~FPP — the false-delete count
+    after the batch is `count_before - count_after`, bounded < 2x configured
+    fpp over 10k probes (TestCuckooFilter.java:219-243). (Deleting absent
+    items MAY create false negatives — documented reference semantics — so
+    member integrity is intentionally not asserted here.)"""
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select("doc_id", sha256_key("text").alias("key"))
+    sk = build_filter(keyed, "key", None, max_keys=MAX_KEYS, fpp=FPP, seed=SEED)
+    absent = docs.select(
+        F.explode(F.sequence(F.lit(1), F.lit(20))).alias("i"), "text"
+    ).select(sha256_key(F.concat("text", F.lit("_del_"), F.col("i"))).alias("key"))
+    n_before = sk.agg(F.sum("count")).collect()[0][0]
+    drained = delete_keys(sk, absent, "key", None)
+    return drained.agg(
+        F.count("*").alias("n_filters"),
+        ((F.lit(int(n_before)) - F.sum("count")) <= F.lit(int(0.02 * 10000)))
+        .alias("false_delete_rate_ok"),
+    )
+
+
 def q_ckf_salted_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted two-level build: exact per-group counts survive the
     partial/merge path; zero failed inserts at this load."""
@@ -341,6 +362,23 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, q, k=10)
 
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH self-join on a
+    planted fixture (each vector ∪ a positively-scaled copy — same LSH bucket
+    by construction, cosine 1.0). Output projected to the planted pair set."""
+    from cuckoofilter4j_spark.functions import embedding_near_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    scaled = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(scaled)
+    pairs = embedding_near_dup_pairs(both, "vec_id", "embedding", min_cosine=0.95, n_planes=8)
+    return pairs.select("id_a", "id_b").filter(F.col("id_b") == F.col("id_a") + 10000)
+
+
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the 100 TB scale path) measured against the exact
     top-10: per-query recall is hash-seed-dependent, so expose the
@@ -401,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_approx_count": q_ckf_approx_count,
         "ckf_get_count": q_ckf_get_count,
         "ckf_delete_drain": q_ckf_delete_drain,
+        "ckf_false_delete_rate": q_ckf_false_delete_rate,
         "ckf_salted_build": q_ckf_salted_build,
         "ckf_events_stream_keys": q_ckf_events_stream_keys,
         "ckf_merge_invariance": q_ckf_merge_invariance,
@@ -415,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "emb_near_dup": q_emb_near_dup,
         "media_decode": q_media_decode,
     }
 
@@ -500,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
         "ckf_approx_count": "SELECT doc_id, TRUE AS count_ok FROM documents",
         "ckf_get_count": "SELECT CAST(3 * count(*) AS BIGINT) AS n_stored, CAST(0 AS BIGINT) AS n_failed FROM documents",
         "ckf_delete_drain": "SELECT lang, CAST(0 AS BIGINT) AS remaining FROM documents GROUP BY lang",
+        "ckf_false_delete_rate": "SELECT 1 AS n_filters, TRUE AS false_delete_rate_ok",
         "ckf_salted_build": "SELECT lang, count(*) AS n_inserted, CAST(0 AS BIGINT) AS n_failed FROM documents GROUP BY lang",
         "ckf_events_stream_keys": "SELECT event_type, count(*) AS n_events, count(*) AS n_found FROM events GROUP BY event_type",
         "ckf_merge_invariance": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
@@ -558,5 +599,6 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "ann_lsh_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
+        "emb_near_dup": "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
         # media_decode: deterministic numpy synthesis — rows-only check (no SQL form)
     }

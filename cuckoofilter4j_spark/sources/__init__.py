@@ -1,5 +1,6 @@
 """Input sources: driver testdata loaders + deterministic fixtures."""
 
+from cuckoofilter4j_spark.sources.sketch_store import load_sketches, save_sketches, store_meta
 from cuckoofilter4j_spark.sources.source_files import absent_source_files, source_files
 
 TPCH_TABLES = [
@@ -21,4 +22,4 @@ def load_table(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-__all__ = ["TPCH_TABLES", "absent_source_files", "load_table", "source_files"]
+__all__ = ["TPCH_TABLES", "absent_source_files", "load_sketches", "load_table", "save_sketches", "source_files", "store_meta"]

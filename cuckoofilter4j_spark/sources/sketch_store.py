@@ -1,0 +1,71 @@
+"""Sketch store: a parquet sink/source for sketch DataFrames with a params
+manifest, so filters built in one job can be probed by another.
+
+Layout:
+    <path>/data/        sketch rows (group cols + METRIC_FIELDS), parquet
+    <path>/_ckf_meta.json   {group_cols, fpp, seed, created_epoch, ...}
+
+The manifest pins the parameters a reader must agree on: probing with a
+different seed or sizing silently yields garbage, so `load_sketches`
+validates requested params against the stored ones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+META_FILE = "_ckf_meta.json"
+
+
+def save_sketches(
+    sketches: DataFrame,
+    path: str,
+    group_cols: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+    extra_meta: Optional[dict] = None,
+) -> None:
+    """Persist a sketch DataFrame plus its parameter manifest."""
+    gcols = list(group_cols) if group_cols else []
+    params = (
+        sketches.select("num_buckets", "tag_bits", "seed").distinct().collect()
+    )
+    meta = {
+        "group_cols": gcols,
+        "params": [
+            {"num_buckets": r["num_buckets"], "tag_bits": r["tag_bits"], "seed": r["seed"]}
+            for r in params
+        ],
+        "n_sketches": sketches.count(),
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    sketches.write.mode(mode).parquet(os.path.join(path, "data"))
+    with open(os.path.join(path, META_FILE), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+
+
+def load_sketches(
+    spark: SparkSession,
+    path: str,
+    expect_seed: Optional[int] = None,
+) -> DataFrame:
+    """Load a sketch store; optionally assert the seed it was built with."""
+    with open(os.path.join(path, META_FILE)) as f:
+        meta = json.load(f)
+    if expect_seed is not None:
+        seeds = {p["seed"] for p in meta["params"]}
+        if seeds != {expect_seed}:
+            raise ValueError(
+                f"sketch store at {path} was built with seed(s) {sorted(seeds)}, "
+                f"expected {expect_seed} — probes would silently return garbage"
+            )
+    return spark.read.parquet(os.path.join(path, "data"))
+
+
+def store_meta(path: str) -> dict:
+    with open(os.path.join(path, META_FILE)) as f:
+        return json.load(f)

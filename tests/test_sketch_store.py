@@ -1,0 +1,24 @@
+"""Sketch-store round trip: save → load → probe, with seed validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.operators import build_filter, might_contain, sha256_key
+from cuckoofilter4j_spark.sources import load_sketches, save_sketches, store_meta
+
+
+def test_store_roundtrip_and_seed_guard(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keyed = docs.select("lang", sha256_key("text").alias("key")).cache()
+    sk = build_filter(keyed, "key", ["lang"], max_keys=1024, fpp=0.01, seed=42)
+    path = str(tmp_path / "store")
+    save_sketches(sk, path, ["lang"], extra_meta={"source": "sf0.001/documents"})
+
+    meta = store_meta(path)
+    assert meta["group_cols"] == ["lang"] and meta["n_sketches"] == 5
+    loaded = load_sketches(spark, path, expect_seed=42)
+    probed = might_contain(keyed, loaded, "key", ["lang"])
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+    with pytest.raises(ValueError):
+        load_sketches(spark, path, expect_seed=7)
