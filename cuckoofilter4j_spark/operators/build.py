@@ -394,8 +394,14 @@ def build_filter_sharded(
     )
     if method == "direct":
         return build_filter(sharded, **common)
+    if method == "nosort":
+        nb, tb = validate_params(max(per_shard, min_max_keys, 2), fpp, sizing)
+        nparts = min(num_shards, df.sparkSession.sparkContext.defaultParallelism * 4)
+        return _build_sharded_nosort(sharded, nb, tb, seed, nparts)
     if method != "scan_local":
-        raise ValueError(f"method must be 'direct' or 'scan_local', got {method!r}")
+        raise ValueError(
+            f"method must be 'direct', 'nosort', or 'scan_local', got {method!r}"
+        )
     partials = build_partials_scan_local(sharded, **common)
     from cuckoofilter4j_spark.operators.merge import merge_sketches
 
@@ -496,6 +502,67 @@ def build_filter_sharded_fingerprints(
             sh = int(shard[s])
             filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, (sh,)))
             filt.put_fingerprints(i1[s:e], tag[s:e])
+            rows.append(_sketch_row((sh,), filt, int(e - s)))
+        pdf = _to_pdf(rows, [SHARD_COL])
+        yield pa.RecordBatch.from_pandas(
+            pdf, schema=to_arrow_schema(out_schema), preserve_index=False
+        )
+
+    return routed.mapInArrow(assemble, out_schema)
+
+
+def _build_sharded_nosort(
+    sharded: DataFrame,
+    nb: int,
+    tb: int,
+    seed: int,
+    num_partitions: int,
+) -> DataFrame:
+    """Shard build as repartition + mapInArrow with in-UDF numpy grouping.
+
+    groupBy().applyInArrow SORTS every row by group key JVM-side before the
+    UDF sees it — measured at ~2x the entire Python kernel cost for 30M rows
+    (and it contends super-linearly across task threads). Hash-repartitioning
+    moves the same bytes without sorting; a numpy argsort of the int32 shard
+    column inside the UDF replaces it at a fraction of the cost.
+    """
+    import pyarrow as pa
+    from typing import Iterator
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    seed_ = int(seed)
+    out_schema = StructType([StructField(SHARD_COL, IntegerType(), False)] + METRIC_FIELDS)
+    routed = sharded.repartition(num_partitions, F.col(SHARD_COL))
+
+    def assemble(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        words_chunks, shard_chunks = [], []
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            words_chunks.append(words_from_arrow_binary(b.column(0)))
+            shard_chunks.append(b.column(1).to_numpy(zero_copy_only=False))
+        if not words_chunks:
+            return
+        width = max(w.shape[1] for w in words_chunks)
+        if any(w.shape[1] != width for w in words_chunks):
+            # mixed key widths across batches: pad to the widest (encode_keys
+            # pads per batch; the length word keeps hashing identical)
+            words_chunks = [
+                np.pad(w, ((0, 0), (0, width - w.shape[1]))) for w in words_chunks
+            ]
+        words = np.concatenate(words_chunks)
+        shard = np.concatenate(shard_chunks)
+        order = np.argsort(shard, kind="stable")
+        words, shard = words[order], shard[order]
+        bounds = np.flatnonzero(np.diff(shard)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [shard.size]])
+        rows = []
+        for s, e in zip(starts, ends):
+            sh = int(shard[s])
+            filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, (sh,)))
+            filt.put_batch(np.ascontiguousarray(words[s:e]))
             rows.append(_sketch_row((sh,), filt, int(e - s)))
         pdf = _to_pdf(rows, [SHARD_COL])
         yield pa.RecordBatch.from_pandas(

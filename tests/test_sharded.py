@@ -70,3 +70,14 @@ def test_approx_count_sharded_never_undercounts(spark, keyed):
 def test_bad_method_rejected(spark, keyed):
     with pytest.raises(ValueError):
         build_filter_sharded(keyed, "key", num_shards=4, max_keys=100, method="nope")
+
+
+def test_nosort_method_matches_direct(spark, keyed):
+    n = keyed.count()
+    a = build_filter_sharded(keyed, "key", num_shards=4, max_keys=n, seed=42, method="direct")
+    b = build_filter_sharded(keyed, "key", num_shards=4, max_keys=n, seed=42, method="nosort")
+    ca = {r["__ckf_shard"]: r["count"] for r in a.collect()}
+    cb = {r["__ckf_shard"]: r["count"] for r in b.collect()}
+    assert ca == cb
+    probed = might_contain_sharded(keyed, b, "key")
+    assert probed.filter(~F.col("might_contain")).count() == 0
