@@ -36,6 +36,7 @@ from cuckoofilter4j_spark.operators import (
 )
 from cuckoofilter4j_spark.functions import (
     brute_force_topk,
+    brute_force_topk_vectorized,
     exact_dedup,
     exact_dup_groups,
     lsh_topk,
@@ -379,6 +380,16 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b").filter(F.col("id_b") == F.col("id_a") + 10000)
 
 
+def q_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy-matmul exact top-k (the fast scorer) — value-identical to the
+    Catalyst version and checked against the same SQL oracle."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk_vectorized(emb, q, k=10)
+
+
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the 100 TB scale path) measured against the exact
     top-10: per-query recall is hash-seed-dependent, so expose the
@@ -453,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
+        "ann_topk_vectorized": q_ann_topk_vectorized,
         "ann_lsh_recall": q_ann_lsh_recall,
         "emb_near_dup": q_emb_near_dup,
         "media_decode": q_media_decode,
@@ -522,7 +534,7 @@ _SH = lambda t, k: (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "ckf_build_metrics": f"""
             SELECT lang,
                    count(*) AS n_inserted,
@@ -602,3 +614,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup": "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
         # media_decode: deterministic numpy synthesis — rows-only check (no SQL form)
     }
+    out["ann_topk_vectorized"] = out["ann_topk"]  # identical result contract
+    return out

@@ -149,7 +149,7 @@ def headline_queries(spark) -> dict:
     from pyspark.sql import functions as F
 
     from cuckoofilter4j_spark.functions import (
-        brute_force_topk,
+        brute_force_topk_vectorized,
         minhash_dup_pairs,
         punct_count,
         token_count,
@@ -233,7 +233,7 @@ def headline_queries(spark) -> dict:
         q = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        out = brute_force_topk(emb, q, k=10)
+        out = brute_force_topk_vectorized(emb, q, k=10)
         _materialize(out)
         return out
 

@@ -152,3 +152,77 @@ def embedding_near_dup_pairs(
         F.round(cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
     )
     return cand.filter(F.col("cosine") >= min_cosine)
+
+
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k with a numpy-matmul scorer (mapInPandas).
+
+    Same results as brute_force_topk; this is the FAST path: Catalyst's
+    higher-order `aggregate`/`zip_with` lambdas are interpreted per element,
+    while one (batch × dim) @ (dim × nq) BLAS matmul per Arrow batch scores
+    thousands of pairs per microsecond. Queries ship via broadcast; each
+    batch emits only its local top-k per query, and a final per-query window
+    takes the global top-k — so the shuffle carries ≤ k rows per (query,
+    partition), never the full score matrix.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField(id_col, LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+    kk = int(k)
+
+    def score(batches):
+        q_ids_, q_mat_, q_norm_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            sims = (mat @ q_mat_.T) / (
+                np.linalg.norm(mat, axis=1)[:, None] * q_norm_[None, :]
+            )
+            out = []
+            for j, qid in enumerate(q_ids_):
+                col = sims[:, j]
+                top = np.argsort(-col, kind="stable")[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": int(qid),
+                            id_col: ids[top],
+                            "cosine": np.round(col[top], 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= kk)

@@ -25,6 +25,7 @@ from cuckoofilter4j_spark.operators.probe import (
     approx_count_sharded,
     collect_sketches,
     delete_keys,
+    delete_keys_sharded,
     might_contain,
     might_contain_sharded,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "collect_sketches",
     "completed_units",
     "delete_keys",
+    "delete_keys_sharded",
     "merge_sketches",
     "might_contain",
     "might_contain_sharded",

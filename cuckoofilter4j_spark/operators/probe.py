@@ -39,9 +39,11 @@ def _probe_map(
 ) -> DataFrame:
     """Shared engine for contains/count probes.
 
-    `sketches` may be a sketch DataFrame or a pre-collected dict. The dict is
-    shipped once per executor via Spark's task broadcast of the UDF closure;
-    deserialized CuckooFilter objects are cached per worker process.
+    `sketches` may be a sketch DataFrame or a pre-collected dict. The dict
+    ships via an explicit `SparkContext.broadcast` — once per executor, not
+    per task (a 1024-shard global filter is tens of MB; closure capture
+    would reserialize it into every task). Deserialized CuckooFilter
+    objects are additionally cached per worker process.
 
     Binary keys with no / integer-typed group columns take a mapInArrow fast
     path: key bytes go straight from Arrow buffers to the numpy word matrix
@@ -53,7 +55,7 @@ def _probe_map(
     gcols = list(group_cols) if group_cols else []
     if isinstance(sketches, DataFrame):
         sketches = collect_sketches(sketches, gcols)
-    sketch_map = dict(sketches)
+    bc = df.sparkSession.sparkContext.broadcast(dict(sketches))
     out_schema = StructType(df.schema.fields + [StructField(result_col, result_field, False)])
     kc = key_col
 
@@ -62,12 +64,11 @@ def _probe_map(
         isinstance(df.schema[c].dataType, int_types) for c in gcols
     )
     if arrow_ok:
-        return _probe_map_arrow(
-            df, sketch_map, kc, gcols, result_col, out_schema, mode
-        )
+        return _probe_map_arrow(df, bc, kc, gcols, result_col, out_schema, mode)
 
     def probe(batches):
         cache: Dict[tuple, CuckooFilter] = {}
+        sketch_map = bc.value
 
         def filter_for(gvals: tuple) -> Optional[CuckooFilter]:
             if gvals not in cache:
@@ -108,14 +109,15 @@ def _probe_map(
 
 def _probe_map_arrow(
     df: DataFrame,
-    sketch_map: Dict[tuple, bytes],
+    bc,
     key_col: str,
     gcols: Sequence[str],
     result_col: str,
     out_schema: StructType,
     mode: str,
 ) -> DataFrame:
-    """mapInArrow probe: numpy end-to-end, zero per-row Python objects."""
+    """mapInArrow probe: numpy end-to-end, zero per-row Python objects;
+    `bc` is the broadcast {group: sketch_bytes} dict."""
     import pyarrow as pa
 
     from cuckoofilter4j_spark.operators.build import words_from_arrow_binary
@@ -127,6 +129,7 @@ def _probe_map_arrow(
 
     def probe(batches):
         cache: Dict[tuple, Optional[CuckooFilter]] = {}
+        sketch_map = bc.value
 
         def filter_for(gvals: tuple) -> Optional[CuckooFilter]:
             if gvals not in cache:
@@ -273,3 +276,18 @@ def approx_count_sharded(
         routed, sketches, key_col, [SHARD_COL], result_col, LongType(), "count"
     )
     return out.drop(SHARD_COL)
+
+
+def delete_keys_sharded(
+    sketches: DataFrame,
+    deletes: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """Distributed delete against a sharded global filter: routes each delete
+    to its shard (same hash as build/probe) and folds it in with exact
+    reference semantics. Returns the updated sharded sketch DataFrame."""
+    from cuckoofilter4j_spark.operators.build import SHARD_COL, shard_column
+
+    num_shards = sketches.count()
+    routed = deletes.withColumn(SHARD_COL, shard_column(key_col, num_shards))
+    return delete_keys(sketches, routed, key_col, [SHARD_COL])

@@ -81,3 +81,13 @@ def test_nosort_method_matches_direct(spark, keyed):
     assert ca == cb
     probed = might_contain_sharded(keyed, b, "key")
     assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_sharded_delete_drains(spark, keyed):
+    from cuckoofilter4j_spark.operators import delete_keys_sharded
+
+    uniq = keyed.distinct()
+    n = uniq.count()
+    sk = build_filter_sharded(uniq, "key", num_shards=4, max_keys=n, seed=42)
+    drained = delete_keys_sharded(sk, uniq, "key")
+    assert drained.agg(F.sum("count")).collect()[0][0] == 0
