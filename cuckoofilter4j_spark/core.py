@@ -915,15 +915,18 @@ class CuckooFilter:
 
     def to_bytes(self) -> bytes:
         """Deterministic codec (analog of Java serialization,
-        CuckooFilter.java:754-759). Header + raw slot array."""
+        CuckooFilter.java:754-759). Header + tag_bits-wide bit-packed slot
+        stream (same space profile as the reference's LongBitSet packing —
+        e.g. 10-bit tags serialize 37.5% smaller than their uint16 in-memory
+        form). ver=2; ver=1 (raw slot array) still deserializes."""
         hdr = self._HDR.pack(
-            MAGIC, 1, self.tag_bits,
+            MAGIC, 2, self.tag_bits,
             self.num_buckets, int(self.seed) if self.seed < 2**63 else int(self.seed) - 2**64,
             self.count, self.table.itemsize,
             1 if self.has_victim else 0,
             self.victim_i1, self.victim_i2, self.victim_tag,
         )
-        return hdr + self.table.tobytes()
+        return hdr + _pack_bits(self.table, self.tag_bits)
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CuckooFilter":
@@ -933,11 +936,41 @@ class CuckooFilter:
         if magic != MAGIC:
             raise ValueError("bad sketch bytes: wrong magic")
         dt = _DTYPE_CODES[itemsize]
-        table = np.frombuffer(
-            data, dtype=dt, offset=cls._HDR.size
-        ).reshape(num_buckets, BUCKET_SIZE).copy()
+        if _ver >= 2:
+            table = _unpack_bits(
+                data, cls._HDR.size, num_buckets * BUCKET_SIZE, tag_bits, dt
+            ).reshape(num_buckets, BUCKET_SIZE)
+        else:  # ver=1: raw slot array
+            table = np.frombuffer(
+                data, dtype=dt, offset=cls._HDR.size
+            ).reshape(num_buckets, BUCKET_SIZE).copy()
         return cls(num_buckets, tag_bits, seed & _M64, table=table, count=count,
                    has_victim=bool(has_victim), victim=(v1, v2, vt))
+
+
+def _pack_bits(table: np.ndarray, tag_bits: int) -> bytes:
+    """Bit-pack each slot value to tag_bits bits, little-endian bit order."""
+    flat = np.ascontiguousarray(table.reshape(-1))
+    if tag_bits == flat.itemsize * 8:
+        return flat.tobytes()
+    byte_view = flat.view(np.uint8).reshape(flat.size, flat.itemsize)
+    bits = np.unpackbits(byte_view, axis=1, bitorder="little")[:, :tag_bits]
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def _unpack_bits(
+    data: bytes, offset: int, n_slots: int, tag_bits: int, dt
+) -> np.ndarray:
+    itemsize = np.dtype(dt).itemsize
+    if tag_bits == itemsize * 8:
+        return np.frombuffer(data, dtype=dt, offset=offset, count=n_slots).copy()
+    n_bytes = (n_slots * tag_bits + 7) // 8
+    raw = np.frombuffer(data, dtype=np.uint8, offset=offset, count=n_bytes)
+    bits = np.unpackbits(raw, bitorder="little")[: n_slots * tag_bits]
+    padded = np.zeros((n_slots, itemsize * 8), dtype=np.uint8)
+    padded[:, :tag_bits] = bits.reshape(n_slots, tag_bits)
+    packed = np.packbits(padded.reshape(-1), bitorder="little")
+    return packed.view(dt)[:n_slots].copy()
 
 
 def _is_batch(key) -> bool:

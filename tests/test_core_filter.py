@@ -291,3 +291,20 @@ def test_reference_sizing_default_unchanged():
 
     with _pytest.raises(ValueError):
         validate_params(100_000, 0.01, sizing="bogus")
+
+
+def test_bitpacked_serialization_roundtrip_and_size():
+    """ver=2 codec bit-packs slots to tag_bits (reference parity: LongBitSet
+    packing); non-byte-aligned tag widths serialize smaller than in-memory."""
+    from cuckoofilter4j_spark.core import validate_params
+
+    nb, tb = validate_params(50_000, 0.01, sizing="paper")  # 10-bit tags
+    f = CuckooFilter(nb, tb, seed=5)
+    ks = keys(0, int(nb * 4 * 0.9))
+    assert f.put_batch(ks).all()
+    blob = f.to_bytes()
+    assert len(blob) < f.table.nbytes * 0.7  # 10/16 bits + header
+    g = CuckooFilter.from_bytes(blob)
+    assert g == f
+    assert g.contains_batch(ks).all()
+    assert CuckooFilter.from_bytes(g.to_bytes()) == f
