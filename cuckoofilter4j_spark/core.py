@@ -177,9 +177,9 @@ def encode_keys(keys) -> np.ndarray:
     lens = np.fromiter((len(b) for b in seq), dtype=np.int64, count=n)
     max_len = int(lens.max())
     width = max(1, (max_len + 7) // 8)
-    if int(lens.min()) == max_len and max_len % 8 == 0:
+    if max_len > 0 and int(lens.min()) == max_len and max_len % 8 == 0:
         buf = np.frombuffer(b"".join(seq), dtype=np.uint8)
-    else:
+    else:  # mixed / non-multiple-of-8 / all-empty keys: zero-pad to width
         pad = width * 8
         buf = np.frombuffer(b"".join(b.ljust(pad, b"\0") for b in seq), dtype=np.uint8)
     data = buf.reshape(n, -1).view("<u8")

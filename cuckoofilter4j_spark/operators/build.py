@@ -143,9 +143,11 @@ def words_from_arrow_binary(col) -> "np.ndarray":
     max_len = int(lens.max())
     width = max(1, (max_len + 7) // 8)
     pad = width * 8
-    if int(lens.min()) == max_len and max_len % 8 == 0 and (np.diff(offsets) == max_len).all():
+    if max_len > 0 and int(lens.min()) == max_len and max_len % 8 == 0 and (np.diff(offsets) == max_len).all():
         block = data[offsets[0] : offsets[0] + n * max_len]
         mat = block.reshape(n, max_len)
+    elif data.size == 0:  # all keys empty
+        mat = np.zeros((n, pad), dtype=np.uint8)
     else:
         idx = offsets[:-1, None].astype(np.int64) + np.arange(pad)[None, :]
         mask = np.arange(pad)[None, :] < lens[:, None]

@@ -1,0 +1,125 @@
+"""Property-based kernel tests (hypothesis): the invariants that must hold
+for EVERY input, not just the JUnit fixtures.
+
+- inserted => findable (zero false negatives), for arbitrary key sets
+- approximate_count >= true multiplicity (within the 9-copy limit)
+- delete removes exactly one copy per successful call
+- serde round-trip is identity
+- merge(a, b) finds everything a and b found (fingerprint preservation)
+- merge is set-semantically commutative
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cuckoofilter4j_spark.core import CuckooFilter, validate_params
+
+FAST = settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+byte_keys = st.lists(
+    st.binary(min_size=0, max_size=64), min_size=0, max_size=300
+)
+int_keys = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=300
+)
+
+
+def _mk(seed=9, max_keys=4096, fpp=0.01, sizing="reference"):
+    nb, tb = validate_params(max_keys, fpp, sizing)
+    return CuckooFilter(nb, tb, seed=seed, rng_seed=seed)
+
+
+@FAST
+@given(byte_keys)
+def test_inserted_always_findable_bytes(keys):
+    f = _mk()
+    ok = f.put_batch(keys)
+    found = f.contains_batch(keys) if keys else np.array([], dtype=bool)
+    for i, k in enumerate(keys):
+        if ok[i]:
+            assert found[i], f"false negative for inserted key {k!r}"
+
+
+@FAST
+@given(int_keys)
+def test_inserted_always_findable_ints(keys):
+    f = _mk()
+    arr = np.array(keys, dtype=np.int64) if keys else np.empty(0, dtype=np.int64)
+    ok = f.put_batch(arr)
+    assert ok.all()  # 300 keys into a 4096-capacity filter never fail
+    if keys:
+        assert f.contains_batch(arr).all()
+
+
+@FAST
+@given(int_keys)
+def test_count_tracks_successful_puts(keys):
+    f = _mk()
+    arr = np.array(keys, dtype=np.int64) if keys else np.empty(0, dtype=np.int64)
+    ok = f.put_batch(arr)
+    assert f.count == int(ok.sum())
+
+
+@FAST
+@given(st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=60))
+def test_approximate_count_never_undercounts(multiplicities):
+    """Key i inserted multiplicities[i] times: approximate_count(i) >= the
+    number of SUCCESSFUL puts of i (a put can legitimately fail past the
+    9-copy duplicate limit, or when colliding dup-heavy keys exhaust the
+    single victim slot — the reference fails there too)."""
+    f = _mk()
+    batch = [i for i, m in enumerate(multiplicities) for _ in range(min(m, 12))]
+    arr = np.array(batch, dtype=np.int64) if batch else np.empty(0, dtype=np.int64)
+    ok = f.put_batch(arr)
+    succeeded = {}
+    for key, good in zip(batch, ok):
+        succeeded[key] = succeeded.get(key, 0) + int(good)
+    for key, m in succeeded.items():
+        if m:
+            assert f.approximate_count(np.int64(key)) >= m
+    # and never more than 9 copies of one key ever succeed
+    assert all(m <= 9 for m in succeeded.values())
+
+
+@FAST
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200, unique=True))
+def test_delete_inserted_always_succeeds_and_drains(keys):
+    f = _mk()
+    arr = np.array(keys, dtype=np.int64)
+    assert f.put_batch(arr).all()
+    assert f.delete_batch(arr).all()
+    assert f.count == 0
+
+
+@FAST
+@given(byte_keys)
+def test_serde_roundtrip_identity(keys):
+    f = _mk(max_keys=2048, sizing="paper")
+    f.put_batch(keys)
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    assert g == f
+    assert CuckooFilter.from_bytes(g.to_bytes()) == g
+
+
+@FAST
+@given(int_keys, int_keys)
+def test_merge_preserves_membership_and_commutes(a_keys, b_keys):
+    fa, fb = _mk(), _mk()
+    aa = np.array(a_keys, dtype=np.int64) if a_keys else np.empty(0, dtype=np.int64)
+    bb = np.array(b_keys, dtype=np.int64) if b_keys else np.empty(0, dtype=np.int64)
+    fa.put_batch(aa)
+    fb.put_batch(bb)
+    ab = fa.merge(fb)
+    ba = fb.merge(fa)
+    for arr in (aa, bb):
+        if arr.size:
+            assert ab.contains_batch(arr).all()
+            assert ba.contains_batch(arr).all()
+    assert ab.count == ba.count == fa.count + fb.count
+    assert ab.semantically_equal(ba)
