@@ -27,6 +27,7 @@ from cuckoofilter4j_spark.operators.probe import (
     delete_keys,
     delete_keys_sharded,
     might_contain,
+    might_contain_cogroup,
     might_contain_sharded,
 )
 
@@ -49,6 +50,7 @@ __all__ = [
     "delete_keys_sharded",
     "merge_sketches",
     "might_contain",
+    "might_contain_cogroup",
     "might_contain_sharded",
     "sha256_key",
     "shard_column",

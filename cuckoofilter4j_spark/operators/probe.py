@@ -291,3 +291,42 @@ def delete_keys_sharded(
     num_shards = sketches.count()
     routed = deletes.withColumn(SHARD_COL, shard_column(key_col, num_shards))
     return delete_keys(sketches, routed, key_col, [SHARD_COL])
+
+
+def might_contain_cogroup(
+    df: DataFrame,
+    sketches: DataFrame,
+    key_col: str = "key",
+    group_cols: Sequence[str] = ("lang",),
+    result_col: str = "might_contain",
+) -> DataFrame:
+    """Membership probe via cogroup — the scale path when the sketch SET is
+    too large to broadcast (e.g. one filter per repo across 10^6 repos).
+
+    Each group's probe rows meet their single sketch row inside one task
+    (shuffle on the group columns, the same key the sketches already carry);
+    no sketch bytes are ever replicated per probe row. Prefer the broadcast
+    probes (`might_contain`/`might_contain_sharded`) when all sketches fit
+    comfortably on an executor."""
+    gcols = list(group_cols)
+    out_schema = StructType(
+        df.schema.fields + [StructField(result_col, BooleanType(), False)]
+    )
+    kc = key_col
+    rc = result_col
+
+    left = df.groupBy(*gcols)
+    right = sketches.groupBy(*gcols)
+
+    def probe(key_tuple, rows_pdf, sk_pdf):
+        import pandas as pd
+
+        out = rows_pdf.copy()
+        if len(sk_pdf) == 0 or len(rows_pdf) == 0:
+            out[rc] = False if len(rows_pdf) else pd.Series([], dtype="bool")
+            return out
+        filt = CuckooFilter.from_bytes(bytes(sk_pdf["sketch"].iloc[0]))
+        out[rc] = filt.contains_batch(rows_pdf[kc])
+        return out
+
+    return left.cogroup(right).applyInPandas(probe, out_schema)

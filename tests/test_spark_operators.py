@@ -177,3 +177,21 @@ def test_metrics_projection(spark, keyed):
     for r in m:
         assert abs(r["load_factor"] - r["load_factor_check"]) < 1e-12
         assert 0 < r["expected_fpp"] < 0.25
+
+
+def test_cogroup_probe_matches_broadcast_probe(spark, keyed):
+    from cuckoofilter4j_spark.operators import might_contain_cogroup
+
+    n = keyed.count()
+    sk = build_filter(keyed, "key", ["l_returnflag"], max_keys=n, fpp=0.01, seed=42)
+    bc = might_contain(keyed, sk, "key", ["l_returnflag"])
+    cg = might_contain_cogroup(keyed, sk, "key", ["l_returnflag"])
+    assert cg.filter(~F.col("might_contain")).count() == 0
+    assert bc.count() == cg.count()
+    # absent keys agree too (same filter => same false positives)
+    absent = spark.range(30_000_000, 30_010_000).select(
+        F.lit("N").alias("l_returnflag"), sha256_key(F.col("id")).alias("key")
+    )
+    a = might_contain(absent, sk, "key", ["l_returnflag"]).filter(F.col("might_contain")).count()
+    b = might_contain_cogroup(absent, sk, "key", ["l_returnflag"]).filter(F.col("might_contain")).count()
+    assert a == b
