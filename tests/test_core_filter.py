@@ -308,3 +308,18 @@ def test_bitpacked_serialization_roundtrip_and_size():
     assert g == f
     assert g.contains_batch(ks).all()
     assert CuckooFilter.from_bytes(g.to_bytes()) == f
+
+
+def test_copy_and_serde_empty_and_part_full():
+    """testCopyEmpty/PartFull + testSerializeEmpty/PartFull analogs."""
+    empty = CuckooFilter.create(10_000, 0.01, seed=6)
+    assert empty.copy() == empty
+    assert CuckooFilter.from_bytes(empty.to_bytes()) == empty
+    assert empty.count == 0 and empty.load_factor() == 0.0
+    part = CuckooFilter.create(10_000, 0.01, seed=6)
+    part.put_batch(keys(0, 1000))
+    assert part.copy() == part != empty
+    r = CuckooFilter.from_bytes(part.to_bytes())
+    assert r == part and r.contains_batch(keys(0, 1000)).all()
+    # empty filter: no false positives at all (nothing stored)
+    assert not empty.contains_batch(keys(0, 10_000)).any()
