@@ -28,12 +28,13 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 30,400,000 keys over 1024 shards (5% routing headroom) -> 8192 buckets/shard
+# 15,200,000 keys over 512 shards (5% routing headroom) -> 8192 buckets/shard
 # -> per-shard load ~0.906 (≤95%), no pow2 sizing jump. Sized so the kernel
-# work dominates the fixed per-job costs (shuffle IO, Arrow setup, session),
-# which otherwise cap measurable scaling efficiency.
-SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "30400000"))
-SCALE_SHARDS = int(os.environ.get("SPARK_GRAFT_SCALE_SHARDS", "1024"))
+# work dominates the fixed per-job costs (shuffle IO, Arrow setup, session)
+# while keeping the whole bench within a ~8-minute budget; the BASELINE.md
+# headline numbers were additionally confirmed at 30.4M rows / 1024 shards.
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "15200000"))
+SCALE_SHARDS = int(os.environ.get("SPARK_GRAFT_SCALE_SHARDS", "512"))
 SCALE_STAGE = os.environ.get("SPARK_GRAFT_SCALE_STAGE", "/tmp/ckf_scale_keys")
 # N vs 4N parallelism pair for the scaling-efficiency evidence. This host
 # delivers ~21 effective cores for the numpy kernel (measured via
@@ -71,7 +72,24 @@ def _materialize(df) -> int:
     return df.count()
 
 
-def insert_throughput(cores: int, rows: int) -> dict:
+def ensure_staged(spark, rows: int) -> str:
+    """One-time staging: synthesize the source table, derive the sha256 keys,
+    persist ONLY the key column — the read-from-storage analog (every
+    parallelism level then times the identical build over identical bytes;
+    synthetic-content generation stays out of band)."""
+    import os as _os
+
+    from cuckoofilter4j_spark.operators import sha256_key as _sha
+    from cuckoofilter4j_spark.sources import source_files as _sf
+
+    stage_dir = f"{SCALE_STAGE}_{rows}"
+    if not _os.path.exists(_os.path.join(stage_dir, "_SUCCESS")):
+        src = _sf(spark, rows=rows, num_partitions=128)
+        src.select(_sha("content").alias("key")).write.mode("overwrite").parquet(stage_dir)
+    return stage_dir
+
+
+def insert_throughput(cores: int, rows: int, measure_fpp: bool = True) -> dict:
     """Child mode: build a sharded global cuckoo filter over `rows` staged
     sha256 keys (one shuffle by shard, whole-shard builds in parallel; see
     build_filter_sharded) and report items/sec of the end-to-end build."""
@@ -86,16 +104,7 @@ def insert_throughput(cores: int, rows: int) -> dict:
 
     spark = _session(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    stage_dir = f"{SCALE_STAGE}_{rows}"
-    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
-        # one-time staging: synthesize the source table, derive the sha256
-        # keys, persist ONLY the key column — the read-from-storage analog
-        # (both parallelism levels then time the identical build over the
-        # identical bytes; synthetic-content generation stays out of band)
-        src = source_files(spark, rows=rows, num_partitions=128)
-        src.select(sha256_key("content").alias("key")).write.mode(
-            "overwrite"
-        ).parquet(stage_dir)
+    stage_dir = ensure_staged(spark, rows)
     keyed = spark.read.parquet(stage_dir).cache()
     # warm-up materializes the keys into the executor cache so the timed
     # section measures the sketch build, not disk scan
@@ -118,14 +127,17 @@ def insert_throughput(cores: int, rows: int) -> dict:
     ).collect()[0]
     elapsed = time.perf_counter() - t0
 
-    absent = absent_source_files(
-        spark, rows=200_000, num_partitions=32, offset=rows + 7_777_777
-    ).select(sha256_key("content").alias("key"))
-    n_fp = (
-        might_contain_sharded(absent, sharded, "key")
-        .filter(F.col("might_contain"))
-        .count()
-    )
+    observed_fpp = None
+    if measure_fpp:
+        absent = absent_source_files(
+            spark, rows=100_000, num_partitions=32, offset=rows + 7_777_777
+        ).select(sha256_key("content").alias("key"))
+        n_fp = (
+            might_contain_sharded(absent, sharded, "key")
+            .filter(F.col("might_contain"))
+            .count()
+        )
+        observed_fpp = round(n_fp / 100_000, 6)
     out = {
         "cores": cores,
         "rows": rows,
@@ -133,7 +145,7 @@ def insert_throughput(cores: int, rows: int) -> dict:
         "sec": round(elapsed, 3),
         "items_per_sec": round(rows / elapsed, 1),
         "load_factor": round(float(stats["lf"]), 6),
-        "observed_fpp": round(n_fp / 200_000, 6),
+        "observed_fpp": observed_fpp,
         "count": int(stats["n"]),
         "failed_inserts": int(stats["failed"]),
     }
@@ -264,12 +276,15 @@ def headline_queries(spark) -> dict:
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--insert-throughput":
         cores, rows = int(sys.argv[2]), int(sys.argv[3])
-        print(json.dumps(insert_throughput(cores, rows)))
+        fpp = len(sys.argv) < 5 or sys.argv[4] != "nofpp"
+        print(json.dumps(insert_throughput(cores, rows, measure_fpp=fpp)))
         return
 
     spark = _session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     state = headline_queries(spark)
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        ensure_staged(spark, SCALE_ROWS)  # stage at full width, not in a child
     spark.stop()
 
     result = {
@@ -292,13 +307,16 @@ def main():
         # efficiency badly. Run interleaved (N, 4N) pairs, keep the best
         # throughput per level, stop once the efficiency reading is sane or
         # after SPARK_GRAFT_SCALE_REPS pairs.
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
         lo_c, hi_c = SCALE_CORES
 
         def run_child(cores):
+            # measure observed fpp only once (high-core child, first need):
+            # it is a property of the filter, not of the parallelism level
+            want_fpp = cores == hi_c and "observed_fpp" not in (scaling.get(hi_c) or {})
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--insert-throughput",
-                 str(cores), str(SCALE_ROWS)],
+                 str(cores), str(SCALE_ROWS), "fpp" if want_fpp else "nofpp"],
                 capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -308,6 +326,8 @@ def main():
                 return
             run = json.loads(last[-1])
             best = scaling.get(cores)
+            if best and best.get("observed_fpp") is not None and run.get("observed_fpp") is None:
+                run["observed_fpp"] = best["observed_fpp"]
             if not best or "items_per_sec" not in best or run["items_per_sec"] > best["items_per_sec"]:
                 scaling[cores] = run
 
