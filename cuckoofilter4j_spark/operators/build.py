@@ -572,3 +572,58 @@ def _build_sharded_nosort(
         )
 
     return routed.mapInArrow(assemble, out_schema)
+
+
+def write_bucketed_keys(
+    df: DataFrame, path: str, key_col: str = "key", num_shards: int = 64
+) -> None:
+    """Persist keys bucketed by shard id (one parquet directory per shard) —
+    the storage layout that makes global filter builds shuffle-free. Writing
+    costs one shuffle ONCE; every subsequent build/rebuild reads its shard's
+    files directly (standard bucketed/partitioned-table practice)."""
+    sharded = df.select(F.col(key_col).alias("key"), shard_column(key_col, num_shards).alias(SHARD_COL))
+    sharded.repartition(num_shards, F.col(SHARD_COL)).write.mode(
+        "overwrite"
+    ).partitionBy(SHARD_COL).parquet(path)
+
+
+def build_filter_sharded_bucketed(
+    spark,
+    path: str,
+    num_shards: int,
+    max_keys: int,
+    fpp: float = DEFAULT_FP,
+    seed: int = 42,
+    shard_headroom: float = 0.05,
+    sizing: str = "reference",
+) -> DataFrame:
+    """Shuffle-free sharded global build over a bucketed key layout
+    (write_bucketed_keys): one task per shard reads its own files with
+    pyarrow and builds the whole shard filter — no JVM data path at all in
+    the build (Spark provides scheduling/retries; bytes go parquet → Arrow →
+    numpy inside the Python worker). This is the fastest and
+    best-scaling build when the table layout can be chosen."""
+    import pyarrow.parquet  # noqa: F401 — fail fast if unavailable
+
+    per_shard = max(int(max_keys / num_shards * (1.0 + shard_headroom)) + 1, 2)
+    nb, tb = validate_params(per_shard, fpp, sizing)
+    seed_, path_ = int(seed), str(path)
+    out_schema = StructType([StructField(SHARD_COL, IntegerType(), False)] + METRIC_FIELDS)
+
+    def build_shards(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for sh in pdf["id"]:
+                sh = int(sh)
+                tbl = pq.read_table(f"{path_}/{SHARD_COL}={sh}", columns=["key"])
+                words = words_from_arrow_binary(tbl.column("key"))
+                filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, (sh,)))
+                filt.put_batch(words)
+                rows.append(_sketch_row((sh,), filt, words.shape[0]))
+            if rows:
+                yield _to_pdf(rows, [SHARD_COL])
+
+    ids = spark.range(0, num_shards, 1, num_shards)
+    return ids.mapInPandas(build_shards, out_schema)

@@ -91,3 +91,19 @@ def test_sharded_delete_drains(spark, keyed):
     sk = build_filter_sharded(uniq, "key", num_shards=4, max_keys=n, seed=42)
     drained = delete_keys_sharded(sk, uniq, "key")
     assert drained.agg(F.sum("count")).collect()[0][0] == 0
+
+
+def test_bucketed_layout_build(spark, keyed, tmp_path):
+    from cuckoofilter4j_spark.operators import (
+        build_filter_sharded_bucketed,
+        write_bucketed_keys,
+    )
+
+    uniq = keyed.distinct()
+    n = uniq.count()
+    path = str(tmp_path / "bucketed")
+    write_bucketed_keys(uniq, path, "key", num_shards=4)
+    sk = build_filter_sharded_bucketed(spark, path, 4, n, fpp=0.01, seed=42)
+    assert sk.agg(F.sum("count")).collect()[0][0] == n
+    probed = might_contain_sharded(uniq, sk, "key")
+    assert probed.filter(~F.col("might_contain")).count() == 0
