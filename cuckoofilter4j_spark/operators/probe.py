@@ -330,3 +330,41 @@ def might_contain_cogroup(
         return out
 
     return left.cogroup(right).applyInPandas(probe, out_schema)
+
+
+def register_probe_udf(
+    spark,
+    name: str,
+    sketch_bytes: bytes,
+    mode: str = "contains",
+):
+    """Register a probe against ONE filter as a SQL-callable pandas UDF:
+
+        register_probe_udf(spark, "in_corpus", blob)
+        spark.sql("SELECT * FROM docs WHERE in_corpus(sha_key)")
+
+    The filter bytes ship via broadcast; each worker deserializes once. For
+    per-group filters use the DataFrame probes (`might_contain` etc.) — SQL
+    UDFs cannot route by group."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(bytes(sketch_bytes))
+    if mode == "contains":
+
+        @pandas_udf("boolean")
+        def probe(keys: pd.Series) -> pd.Series:
+            filt = CuckooFilter.from_bytes(bc.value)
+            return pd.Series(filt.contains_batch(keys))
+
+    elif mode == "count":
+
+        @pandas_udf("long")
+        def probe(keys: pd.Series) -> pd.Series:
+            filt = CuckooFilter.from_bytes(bc.value)
+            return pd.Series(filt.count_batch(keys))
+
+    else:
+        raise ValueError(f"mode must be 'contains' or 'count', got {mode!r}")
+    spark.udf.register(name, probe)
+    return probe

@@ -195,3 +195,18 @@ def test_cogroup_probe_matches_broadcast_probe(spark, keyed):
     a = might_contain(absent, sk, "key", ["l_returnflag"]).filter(F.col("might_contain")).count()
     b = might_contain_cogroup(absent, sk, "key", ["l_returnflag"]).filter(F.col("might_contain")).count()
     assert a == b
+
+
+def test_sql_registered_probe_udf(spark, keyed):
+    from cuckoofilter4j_spark.operators import collect_sketches, register_probe_udf
+
+    n = keyed.count()
+    sk = build_filter(keyed, "key", None, max_keys=n, fpp=0.01, seed=42)
+    blob = collect_sketches(sk, None)[()]
+    register_probe_udf(spark, "in_corpus", blob)
+    keyed.createOrReplaceTempView("keyed_rows")
+    hit = spark.sql("SELECT count(*) AS c FROM keyed_rows WHERE in_corpus(key)").collect()[0]["c"]
+    assert hit == n
+    register_probe_udf(spark, "corpus_count", blob, mode="count")
+    got = spark.sql("SELECT min(corpus_count(key)) AS m FROM keyed_rows").collect()[0]["m"]
+    assert got >= 1
