@@ -23,12 +23,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cuckoofilter4j_spark.core import validate_params, BUCKET_SIZE
 from cuckoofilter4j_spark.operators import (
+    approx_count,
+    approx_count_sharded,
     build_filter,
     build_filter_salted,
+    build_filter_sharded,
     build_partials_scan_local,
     delete_keys,
     might_contain,
-    approx_count,
+    might_contain_sharded,
     merge_sketches,
     sha256_key,
     sketch_metrics,
@@ -106,25 +109,32 @@ def q_ckf_build_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ckf_might_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mightContain: zero false negatives — every inserted key probes True."""
+    """mightContain: zero false negatives — every inserted key probes True.
+    Built SHARDED (the 100 TB path: S parallel shard builds, probes routed by
+    the shard hash) — a single-task ungrouped build would not scale."""
     keyed = _docs_keyed(spark, sf_dir)
-    sk = build_filter(keyed, "key", None, max_keys=MAX_KEYS, fpp=FPP, seed=SEED)
+    sk = build_filter_sharded(
+        keyed, "key", num_shards=8, max_keys=MAX_KEYS, fpp=FPP, seed=SEED
+    )
     return (
-        might_contain(keyed, sk, "key", None)
+        might_contain_sharded(keyed, sk, "key")
         .select("doc_id", "might_contain")
     )
 
 
 def q_ckf_fpp_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured FPP on 10k known-absent keys ≤ 2× configured (the reference's
-    own acceptance bound, TestCuckooFilter.java:245-266)."""
+    own acceptance bound, TestCuckooFilter.java:245-266), through the sharded
+    build + routed probe (per-key semantics identical to a single filter)."""
     docs = _docs(spark, sf_dir)
     keyed = docs.select(sha256_key("text").alias("key"))
-    sk = build_filter(keyed, "key", None, max_keys=MAX_KEYS, fpp=FPP, seed=SEED)
+    sk = build_filter_sharded(
+        keyed, "key", num_shards=8, max_keys=MAX_KEYS, fpp=FPP, seed=SEED
+    )
     absent = docs.select(
         F.explode(F.sequence(F.lit(1), F.lit(20))).alias("i"), "text"
     ).select(sha256_key(F.concat("text", F.lit("_absent_"), F.col("i"))).alias("key"))
-    probed = might_contain(absent, sk, "key", None)
+    probed = might_contain_sharded(absent, sk, "key")
     return probed.agg(
         F.count("*").alias("n_probes"),
         (F.sum(F.col("might_contain").cast("long")) <= F.lit(int(0.02 * 10000)))
@@ -134,32 +144,54 @@ def q_ckf_fpp_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ckf_approx_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approximateCount never undercounts: insert every key 3× (within the
-    9-duplicate limit), probe each distinct key — count ≥ 3 for all."""
+    9-duplicate limit), probe each distinct key — count ≥ 3 for all. All
+    copies of a key route to the same shard, so sharding preserves counts."""
     docs = _docs(spark, sf_dir)
     tripled = docs.select(
         F.explode(F.sequence(F.lit(1), F.lit(3))).alias("i"),
         sha256_key("text").alias("key"),
     ).select("key")
-    sk = build_filter(tripled, "key", None, max_keys=4 * MAX_KEYS, fpp=FPP, seed=SEED)
+    sk = build_filter_sharded(
+        tripled, "key", num_shards=8, max_keys=4 * MAX_KEYS, fpp=FPP, seed=SEED
+    )
     distinct = docs.select("doc_id", sha256_key("text").alias("key"))
-    probed = approx_count(distinct, sk, "key", None)
+    probed = approx_count_sharded(distinct, sk, "key")
     return probed.select(
         "doc_id", (F.col("approx_count") >= 3).alias("count_ok")
     )
 
 
 def q_ckf_get_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """getCount after duplicate inserts: 3 copies × n docs, all accepted."""
+    """getCount after duplicate inserts: 3 copies × n docs, all accepted.
+    The sharded global filter's count is the sum over shard sketches."""
     docs = _docs(spark, sf_dir)
     tripled = docs.select(
         F.explode(F.sequence(F.lit(1), F.lit(3))).alias("i"),
         sha256_key("text").alias("key"),
     ).select("key")
-    sk = build_filter(tripled, "key", None, max_keys=4 * MAX_KEYS, fpp=FPP, seed=SEED)
-    return sk.select(
-        F.col("count").alias("n_stored"),
-        F.col("failed_inserts").alias("n_failed"),
+    sk = build_filter_sharded(
+        tripled, "key", num_shards=8, max_keys=4 * MAX_KEYS, fpp=FPP, seed=SEED
     )
+    return sk.agg(
+        F.sum("count").alias("n_stored"),
+        F.sum("failed_inserts").alias("n_failed"),
+    )
+
+
+def q_ckf_sharded_empty_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression oracle: far more shards than keys ⇒ some shards hold no
+    sketch row. The probe modulus must come from the stamped num_shards (not
+    the row count) or every key mis-routes — assert all keys found AND that
+    the scenario really had empty shards."""
+    sub = _docs_keyed(spark, sf_dir).filter(F.col("doc_id") < 40)
+    sk = build_filter_sharded(sub, "key", num_shards=64, max_keys=256, fpp=FPP, seed=SEED)
+    probed = might_contain_sharded(sub, sk, "key")
+    agg_p = probed.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.col("might_contain").cast("long")).alias("n_found"),
+    )
+    agg_s = sk.agg((F.count("*") < F.first("num_shards")).alias("had_empty_shard"))
+    return agg_p.crossJoin(agg_s)
 
 
 def q_ckf_delete_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,12 +215,21 @@ def q_ckf_false_delete_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent = docs.select(
         F.explode(F.sequence(F.lit(1), F.lit(20))).alias("i"), "text"
     ).select(sha256_key(F.concat("text", F.lit("_del_"), F.col("i"))).alias("key"))
-    n_before = sk.agg(F.sum("count")).collect()[0][0]
+    # count_before is computed IN-PLAN (1-row agg cross-joined in), keeping
+    # the query lazy — no driver-side collect mid-query
+    before = sk.agg(F.sum("count").alias("__n_before"))
     drained = delete_keys(sk, absent, "key", None)
-    return drained.agg(
-        F.count("*").alias("n_filters"),
-        ((F.lit(int(n_before)) - F.sum("count")) <= F.lit(int(0.02 * 10000)))
-        .alias("false_delete_rate_ok"),
+    return (
+        drained.agg(
+            F.count("*").alias("n_filters"),
+            F.sum("count").alias("__n_after"),
+        )
+        .crossJoin(F.broadcast(before))
+        .select(
+            "n_filters",
+            ((F.col("__n_before") - F.col("__n_after")) <= F.lit(int(0.02 * 10000)))
+            .alias("false_delete_rate_ok"),
+        )
     )
 
 
@@ -449,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_fpp_bound": q_ckf_fpp_bound,
         "ckf_approx_count": q_ckf_approx_count,
         "ckf_get_count": q_ckf_get_count,
+        "ckf_sharded_empty_shards": q_ckf_sharded_empty_shards,
         "ckf_delete_drain": q_ckf_delete_drain,
         "ckf_false_delete_rate": q_ckf_false_delete_rate,
         "ckf_salted_build": q_ckf_salted_build,
@@ -551,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "ckf_fpp_bound": "SELECT CAST(20 * count(*) AS BIGINT) AS n_probes, TRUE AS fpp_ok FROM documents",
         "ckf_approx_count": "SELECT doc_id, TRUE AS count_ok FROM documents",
         "ckf_get_count": "SELECT CAST(3 * count(*) AS BIGINT) AS n_stored, CAST(0 AS BIGINT) AS n_failed FROM documents",
+        "ckf_sharded_empty_shards": "SELECT CAST(count(*) AS BIGINT) AS n_probed, CAST(count(*) AS BIGINT) AS n_found, TRUE AS had_empty_shard FROM documents WHERE doc_id < 40",
         "ckf_delete_drain": "SELECT lang, CAST(0 AS BIGINT) AS remaining FROM documents GROUP BY lang",
         "ckf_false_delete_rate": "SELECT 1 AS n_filters, TRUE AS false_delete_rate_ok",
         "ckf_salted_build": "SELECT lang, count(*) AS n_inserted, CAST(0 AS BIGINT) AS n_failed FROM documents GROUP BY lang",
@@ -562,9 +605,9 @@ def oracle_sql() -> dict[str, str]:
         "text_rollup": f"""
             SELECT source,
                    count(*) AS n_docs,
-                   sum(length(text)) AS total_chars,
-                   sum({_N_TOKENS}) AS total_tokens,
-                   sum({_PUNCT}) AS total_punct
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum({_N_TOKENS}) AS BIGINT) AS total_tokens,
+                   CAST(sum({_PUNCT}) AS BIGINT) AS total_punct
             FROM documents GROUP BY source
         """,
         "exact_dup_groups": f"""

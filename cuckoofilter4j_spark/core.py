@@ -190,13 +190,38 @@ def encode_keys(keys) -> np.ndarray:
 
 
 def hash64(words: np.ndarray, seed: int, salt: int = 0) -> np.ndarray:
-    """64-bit hash of each row of an (N, W) uint64 word matrix."""
+    """64-bit hash of each row of an (N, W) uint64 word matrix.
+
+    WIDTH-INVARIANT: variable-length keys are encoded (encode_keys /
+    words_from_arrow_binary) as a length word (column 0) plus the key bytes
+    zero-padded to the BATCH's max width — so the same key can arrive with
+    different trailing-pad widths in different batches (a probe batch rarely
+    shares the build batch's longest key). The hash therefore folds exactly
+    1 + ceil(byte_len/8) words per row and ignores trailing pad words; the
+    batch width never enters the mix. Integer-key matrices (W == 1, no
+    length word) fold their single word. This is the analog of the
+    reference hashing the funneled bytes of each item alone
+    (SerializableSaltedHasher.java:90-107), never a batch.
+    """
     n, w = words.shape
     with np.errstate(over="ignore"):
-        init = _mix64_int((seed & _M64) ^ _mix64_int((salt * _PHI64 + w) & _M64))
+        init = _mix64_int((seed & _M64) ^ _mix64_int((salt * _PHI64) & _M64))
         h = np.full(n, init, dtype=np.uint64)
-        for j in range(w):
-            h = _mix64(h ^ _mix64(words[:, j] + _U64((_PHI64 * (j + 1)) & _M64)))
+        if n == 0:
+            return h
+        if w == 1:  # integer-key path: fixed single word
+            return _mix64(h ^ _mix64(words[:, 0] + _U64(_PHI64 & _M64)))
+        # column 0 is the byte length; rows own 1 + ceil(len/8) live words
+        eff = 1 + ((words[:, 0].view(np.int64) + 7) >> 3)
+        w_live = min(int(eff.max()), w)
+        if int(eff.min()) == w_live or w_live == 1:
+            # uniform key length (the sha256 hot path): plain loop, no masks
+            for j in range(w_live):
+                h = _mix64(h ^ _mix64(words[:, j] + _U64((_PHI64 * (j + 1)) & _M64)))
+            return h
+        for j in range(w_live):
+            hj = _mix64(h ^ _mix64(words[:, j] + _U64((_PHI64 * (j + 1)) & _M64)))
+            h = np.where(eff > j, hj, h)
     return h
 
 

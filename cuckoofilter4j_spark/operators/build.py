@@ -333,7 +333,16 @@ def build_partials_scan_local(
 # Sharded global filter — the 100 TB path
 # ---------------------------------------------------------------------------
 SHARD_COL = "__ckf_shard"
+NUM_SHARDS_COL = "num_shards"
 _SHARD_HASH_SEED = 0x5CA1AB1E  # independent of the in-filter key hash
+
+
+def _stamp_num_shards(sketches: DataFrame, num_shards: int) -> DataFrame:
+    """Stamp the shard modulus on every sketch row. Probes MUST take the
+    modulus from here (or an explicit parameter) — never from the row count:
+    a shard that received zero keys emits no sketch row, so count() would
+    under-report and route every probe to the wrong shard."""
+    return sketches.withColumn(NUM_SHARDS_COL, F.lit(int(num_shards)))
 
 
 def shard_column(key_col: Union[str, Column], num_shards: int) -> Column:
@@ -395,11 +404,13 @@ def build_filter_sharded(
         sizing=sizing,
     )
     if method == "direct":
-        return build_filter(sharded, **common)
+        return _stamp_num_shards(build_filter(sharded, **common), num_shards)
     if method == "nosort":
         nb, tb = validate_params(max(per_shard, min_max_keys, 2), fpp, sizing)
         nparts = min(num_shards, df.sparkSession.sparkContext.defaultParallelism * 4)
-        return _build_sharded_nosort(sharded, nb, tb, seed, nparts)
+        return _stamp_num_shards(
+            _build_sharded_nosort(sharded, nb, tb, seed, nparts), num_shards
+        )
     if method != "scan_local":
         raise ValueError(
             f"method must be 'direct', 'nosort', or 'scan_local', got {method!r}"
@@ -407,7 +418,7 @@ def build_filter_sharded(
     partials = build_partials_scan_local(sharded, **common)
     from cuckoofilter4j_spark.operators.merge import merge_sketches
 
-    return merge_sketches(partials, [SHARD_COL])
+    return _stamp_num_shards(merge_sketches(partials, [SHARD_COL]), num_shards)
 
 
 def build_filter_sharded_fingerprints(
@@ -510,7 +521,7 @@ def build_filter_sharded_fingerprints(
             pdf, schema=to_arrow_schema(out_schema), preserve_index=False
         )
 
-    return routed.mapInArrow(assemble, out_schema)
+    return _stamp_num_shards(routed.mapInArrow(assemble, out_schema), num_shards)
 
 
 def _build_sharded_nosort(
@@ -548,8 +559,9 @@ def _build_sharded_nosort(
             return
         width = max(w.shape[1] for w in words_chunks)
         if any(w.shape[1] != width for w in words_chunks):
-            # mixed key widths across batches: pad to the widest (encode_keys
-            # pads per batch; the length word keeps hashing identical)
+            # mixed key widths across batches: pad to the widest — safe
+            # because hash64 is width-invariant (folds 1 + ceil(len/8)
+            # words per row, ignoring trailing pad words)
             words_chunks = [
                 np.pad(w, ((0, 0), (0, width - w.shape[1]))) for w in words_chunks
             ]
@@ -626,4 +638,4 @@ def build_filter_sharded_bucketed(
                 yield _to_pdf(rows, [SHARD_COL])
 
     ids = spark.range(0, num_shards, 1, num_shards)
-    return ids.mapInPandas(build_shards, out_schema)
+    return _stamp_num_shards(ids.mapInPandas(build_shards, out_schema), num_shards)

@@ -240,24 +240,73 @@ def delete_keys(
     return left.cogroup(right).applyInPandas(apply_deletes, out_schema)
 
 
+def _resolve_sharded(sketches, num_shards: Optional[int]):
+    """Resolve (sketch map, shard modulus) for sharded probes.
+
+    The modulus is NEVER derived from the sketch row count: a shard that
+    received zero keys emits no sketch row, so count()/len() under-report
+    and every probe would route with the wrong modulus — silent false
+    negatives. It comes from the explicit parameter or the `num_shards`
+    column the sharded builders stamp on every sketch row. Collecting here
+    also avoids the extra Spark job per probe call that sketches.count()
+    used to trigger.
+    """
+    from cuckoofilter4j_spark.operators.build import NUM_SHARDS_COL, SHARD_COL
+
+    if isinstance(sketches, DataFrame):
+        has_col = NUM_SHARDS_COL in sketches.columns
+        if num_shards is None and not has_col:
+            raise ValueError(
+                "cannot determine the shard modulus: pass num_shards= or probe "
+                f"sketches built by build_filter_sharded* (which stamp a "
+                f"'{NUM_SHARDS_COL}' column); deriving it from the row count "
+                "mis-routes every key when any shard is empty"
+            )
+        cols = [SHARD_COL, "sketch"] + ([NUM_SHARDS_COL] if has_col else [])
+        rows = sketches.select(*cols).collect()
+        if num_shards is None:
+            stamped = {int(r[NUM_SHARDS_COL]) for r in rows}
+            if len(stamped) != 1:
+                raise ValueError(
+                    f"sketch rows carry inconsistent or no {NUM_SHARDS_COL} "
+                    f"values {sorted(stamped)} — pass num_shards= explicitly"
+                )
+            num_shards = stamped.pop()
+        smap = {(int(r[SHARD_COL]),): bytes(r["sketch"]) for r in rows}
+    else:
+        if num_shards is None:
+            raise ValueError(
+                "num_shards is required when sketches is a pre-collected dict "
+                "(len(dict) under-counts when a shard is empty)"
+            )
+        smap = dict(sketches)
+    num_shards = int(num_shards)
+    bad = [s for (s,) in smap if not (0 <= s < num_shards)]
+    if bad:
+        raise ValueError(
+            f"sketch shard ids {sorted(bad)} are outside [0, {num_shards}) — "
+            "num_shards does not match the build"
+        )
+    return smap, num_shards
+
+
 def might_contain_sharded(
     df: DataFrame,
     sketches,
     key_col: str = "key",
     result_col: str = "might_contain",
+    num_shards: Optional[int] = None,
 ) -> DataFrame:
     """Membership probe against a sharded global filter (build_filter_sharded):
-    routes each key to its shard with the same hash and probes that shard."""
+    routes each key to its shard with the same hash and probes that shard.
+    The shard modulus comes from `num_shards` or the stamped sketch column —
+    see _resolve_sharded for why it must never come from the row count."""
     from cuckoofilter4j_spark.operators.build import SHARD_COL, shard_column
 
-    num_shards = None
-    if not isinstance(sketches, DataFrame):
-        num_shards = len(sketches)
-    else:
-        num_shards = sketches.count()
+    smap, num_shards = _resolve_sharded(sketches, num_shards)
     routed = df.withColumn(SHARD_COL, shard_column(key_col, num_shards))
     out = _probe_map(
-        routed, sketches, key_col, [SHARD_COL], result_col, BooleanType(), "contains"
+        routed, smap, key_col, [SHARD_COL], result_col, BooleanType(), "contains"
     )
     return out.drop(SHARD_COL)
 
@@ -267,13 +316,14 @@ def approx_count_sharded(
     sketches,
     key_col: str = "key",
     result_col: str = "approx_count",
+    num_shards: Optional[int] = None,
 ) -> DataFrame:
     from cuckoofilter4j_spark.operators.build import SHARD_COL, shard_column
 
-    num_shards = len(sketches) if not isinstance(sketches, DataFrame) else sketches.count()
+    smap, num_shards = _resolve_sharded(sketches, num_shards)
     routed = df.withColumn(SHARD_COL, shard_column(key_col, num_shards))
     out = _probe_map(
-        routed, sketches, key_col, [SHARD_COL], result_col, LongType(), "count"
+        routed, smap, key_col, [SHARD_COL], result_col, LongType(), "count"
     )
     return out.drop(SHARD_COL)
 
@@ -282,15 +332,35 @@ def delete_keys_sharded(
     sketches: DataFrame,
     deletes: DataFrame,
     key_col: str = "key",
+    num_shards: Optional[int] = None,
 ) -> DataFrame:
     """Distributed delete against a sharded global filter: routes each delete
     to its shard (same hash as build/probe) and folds it in with exact
-    reference semantics. Returns the updated sharded sketch DataFrame."""
-    from cuckoofilter4j_spark.operators.build import SHARD_COL, shard_column
+    reference semantics. Returns the updated sharded sketch DataFrame (with
+    the num_shards stamp preserved).
 
-    num_shards = sketches.count()
-    routed = deletes.withColumn(SHARD_COL, shard_column(key_col, num_shards))
-    return delete_keys(sketches, routed, key_col, [SHARD_COL])
+    Pass `num_shards` to keep the plan fully lazy; otherwise it is read from
+    the sketches' stamped `num_shards` column (one 1-row job)."""
+    from cuckoofilter4j_spark.operators.build import (
+        NUM_SHARDS_COL,
+        SHARD_COL,
+        _stamp_num_shards,
+        shard_column,
+    )
+
+    if num_shards is None:
+        if NUM_SHARDS_COL not in sketches.columns:
+            raise ValueError(
+                "cannot determine the shard modulus: pass num_shards= or use "
+                "sketches built by build_filter_sharded*"
+            )
+        row = sketches.select(F.min(NUM_SHARDS_COL), F.max(NUM_SHARDS_COL)).first()
+        if row[0] != row[1]:
+            raise ValueError(f"inconsistent {NUM_SHARDS_COL} values {row[0]}..{row[1]}")
+        num_shards = int(row[0])
+    routed = deletes.withColumn(SHARD_COL, shard_column(key_col, int(num_shards)))
+    updated = delete_keys(sketches.drop(NUM_SHARDS_COL), routed, key_col, [SHARD_COL])
+    return _stamp_num_shards(updated, int(num_shards))
 
 
 def might_contain_cogroup(

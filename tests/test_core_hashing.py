@@ -160,3 +160,62 @@ def test_words_from_arrow_binary_matches_encode_keys():
     assert np.array_equal(
         words_from_arrow_binary(chunked), encode_keys(pd.Series(uniform))
     )
+
+
+# -- width-invariant hashing (variable-length keys across batches) ------------
+def test_hash64_is_batch_width_invariant():
+    """A key's hash must not depend on how wide its batch was zero-padded:
+    probe batches rarely share the build batch's max key length."""
+    rng = np.random.default_rng(7)
+    keys = [rng.bytes(int(n)) for n in rng.integers(0, 61, size=200)]
+    long_key = rng.bytes(123)
+    alone = {k: hash64(encode_keys([k]), seed=42) for k in keys}
+    padded = encode_keys(keys + [long_key])  # batch width set by the 123-byte key
+    h_padded = hash64(padded, seed=42)
+    for i, k in enumerate(keys):
+        assert h_padded[i] == alone[k][0], f"key len={len(k)} hash changed with batch width"
+    # salted variants (the zero-tag rescue path) must be invariant too
+    for salt in (1, 2, 7):
+        hs = hash64(padded, seed=42, salt=salt)
+        for i, k in enumerate(keys):
+            assert hs[i] == hash64(encode_keys([k]), seed=42, salt=salt)[0]
+
+
+def test_cross_batch_width_membership_round_trip():
+    """Insert variable-length keys batched with a long key; probe them alone
+    and in different-width batches — zero false negatives (the filter's core
+    guarantee, CuckooFilter.java:638-651)."""
+    rng = np.random.default_rng(11)
+    keys = [rng.bytes(int(n)) for n in rng.integers(1, 48, size=300)]
+    filt = CuckooFilter.create(max_keys=1000, fpp=0.01, seed=1)
+    filt.put_batch(keys + [rng.bytes(200)])  # build batch padded to 200 bytes
+    # probe one-by-one (width = own length)
+    for k in keys:
+        assert filt.might_contain(k), f"false negative probing len={len(k)} alone"
+    # probe in a batch with a different (shorter) max width
+    assert filt.contains_batch(keys).all()
+    # probe in a batch with an even longer key than the build batch
+    res = filt.contains_batch(keys + [rng.bytes(512)])
+    assert res[:-1].all()
+
+
+def test_nosort_mixed_width_padding_matches_direct_build():
+    """The nosort build pads word chunks to a common width; with
+    width-invariant hashing that must equal building from the raw keys."""
+    from cuckoofilter4j_spark.operators.build import words_from_arrow_binary
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    short = [rng.bytes(8) for _ in range(50)]
+    long = [rng.bytes(64) for _ in range(50)]
+    w_short = words_from_arrow_binary(pa.array(short, type=pa.binary()))
+    w_long = words_from_arrow_binary(pa.array(long, type=pa.binary()))
+    width = max(w_short.shape[1], w_long.shape[1])
+    padded = np.concatenate(
+        [np.pad(w_short, ((0, 0), (0, width - w_short.shape[1]))), w_long]
+    )
+    f_padded = CuckooFilter.create(max_keys=500, fpp=0.01, seed=5)
+    f_padded.put_batch(padded)
+    f_direct = CuckooFilter.create(max_keys=500, fpp=0.01, seed=5)
+    f_direct.put_batch(short + long)
+    assert f_padded == f_direct

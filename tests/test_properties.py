@@ -121,5 +121,32 @@ def test_merge_preserves_membership_and_commutes(a_keys, b_keys):
         if arr.size:
             assert ab.contains_batch(arr).all()
             assert ba.contains_batch(arr).all()
-    assert ab.count == ba.count == fa.count + fb.count
+    # The reference caps duplicates of one key at 9 (2 buckets x 4 slots +
+    # victim, TestCuckooFilter.java:182-195); a merge that would exceed the
+    # cap correctly DROPS the excess copies and accounts them as failed
+    # inserts, so count conservation holds only net of drops.
+    ab_dropped = ab.failed_inserts - (fa.failed_inserts + fb.failed_inserts)
+    ba_dropped = ba.failed_inserts - (fb.failed_inserts + fa.failed_inserts)
+    assert ab.count + ab_dropped == fa.count + fb.count
+    assert ba.count + ba_dropped == fa.count + fb.count
+    assert ab.count == ba.count
     assert ab.semantically_equal(ba)
+
+
+@FAST
+@given(int_keys)
+def test_merge_respects_nine_duplicate_limit(keys):
+    """Merging two filters each holding 5 copies of the same key yields at
+    most 9 stored copies (TestCuckooFilter.java:182-195 semantics) and
+    accounts every dropped copy."""
+    if not keys:
+        return
+    k = np.full(5, keys[0], dtype=np.int64)
+    fa, fb = _mk(), _mk()
+    fa.put_batch(k)
+    fb.put_batch(k)
+    ab = fa.merge(fb)
+    dup = int(ab.count_batch(np.array([keys[0]], dtype=np.int64))[0])
+    assert dup <= 9
+    dropped = ab.failed_inserts - fa.failed_inserts - fb.failed_inserts
+    assert ab.count + dropped == fa.count + fb.count

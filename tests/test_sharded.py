@@ -107,3 +107,46 @@ def test_bucketed_layout_build(spark, keyed, tmp_path):
     assert sk.agg(F.sum("count")).collect()[0][0] == n
     probed = might_contain_sharded(uniq, sk, "key")
     assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_sharded_probe_with_empty_shards(spark, keyed):
+    """Regression: with far more shards than keys, some shards receive zero
+    keys and emit no sketch row. The probe modulus must come from the
+    stamped num_shards column, not the row count — otherwise every key
+    routes to the wrong shard (mass false negatives)."""
+    few = keyed.limit(20).cache()
+    n = few.count()
+    sk = build_filter_sharded(few, "key", num_shards=64, max_keys=max(n, 256), seed=42)
+    assert "num_shards" in sk.columns
+    n_rows = sk.count()
+    assert n_rows < 64  # the scenario: at least one empty shard
+    probed = might_contain_sharded(few, sk, "key")
+    assert probed.filter(F.col("might_contain")).count() == n
+    counted = approx_count_sharded(few, sk, "key")
+    assert counted.filter(F.col("approx_count") >= 1).count() == n
+    few.unpersist()
+
+
+def test_sharded_probe_requires_modulus_for_plain_dicts(spark, keyed):
+    from cuckoofilter4j_spark.operators.probe import collect_sketches
+
+    few = keyed.limit(20)
+    sk = build_filter_sharded(few, "key", num_shards=64, max_keys=256, seed=42)
+    smap = collect_sketches(sk, ["__ckf_shard"])
+    with pytest.raises(ValueError, match="num_shards"):
+        might_contain_sharded(few, smap, "key").count()
+    # explicit modulus with a dict works
+    probed = might_contain_sharded(few, smap, "key", num_shards=64)
+    assert probed.filter(F.col("might_contain")).count() == few.count()
+
+
+def test_sharded_delete_preserves_stamp(spark, keyed):
+    from cuckoofilter4j_spark.operators import delete_keys_sharded
+
+    few = keyed.limit(50).cache()
+    n = few.count()
+    sk = build_filter_sharded(few, "key", num_shards=16, max_keys=max(n, 256), seed=42)
+    drained = delete_keys_sharded(sk, few, "key")
+    assert "num_shards" in drained.columns
+    assert drained.agg(F.sum("count")).first()[0] == 0
+    few.unpersist()
