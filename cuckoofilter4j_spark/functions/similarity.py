@@ -77,7 +77,13 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> List[List[float]]:
 
 def lsh_bucket(vec_col, planes: Sequence[Sequence[float]]) -> Column:
     """Random-hyperplane LSH bucket id: one sign bit per plane, packed into a
-    long. Deterministic given (dim, n_planes, seed). Pure Catalyst."""
+    long. Deterministic given (dim, n_planes, seed). Pure Catalyst.
+
+    NOTE: this inlines n_planes × dim literals into the plan and evaluates
+    the dot products with interpreted higher-order lambdas — fine for small
+    dims / ad-hoc SQL, but at real embedding dims (768+) use the operators
+    below, which bucket via `with_lsh_bucket` (broadcast plane matrix, one
+    BLAS matmul per Arrow batch, identical bucket values)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -86,6 +92,78 @@ def lsh_bucket(vec_col, planes: Sequence[Sequence[float]]) -> Column:
         )
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
     return bucket
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    planes: Sequence[Sequence[float]],
+    out_col: str = "__bucket",
+) -> DataFrame:
+    """Append the hyperplane-LSH bucket id as a column — the scale path.
+
+    The (n_planes × dim) plane matrix ships ONCE per executor as a numpy
+    broadcast; each Arrow batch is bucketed with a single (batch × dim) @
+    (dim × n_planes) BLAS matmul. Values are identical to lsh_bucket(seed,
+    planes) (same sign test, same bit packing) without the n_planes × dim
+    plan literals and per-row interpreted lambdas, which die at dim 768+."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pm = np.ascontiguousarray(np.asarray(planes, dtype=np.float64))
+    bc = df.sparkSession.sparkContext.broadcast(pm)
+    schema = StructType(df.schema.fields + [StructField(out_col, LongType(), False)])
+
+    def bucketer(batches):
+        planes_t = bc.value.T  # (dim, n_planes)
+        weights = (np.int64(1) << np.arange(planes_t.shape[1], dtype=np.int64))
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (mat @ planes_t) > 0
+            pdf[out_col] = bits @ weights
+            yield pdf
+
+    return df.mapInPandas(bucketer, schema)
+
+
+def with_pair_cosine(
+    df: DataFrame,
+    vec_a: str,
+    vec_b: str,
+    out_col: str = "cosine",
+    drop_vecs: bool = True,
+) -> DataFrame:
+    """Append round(cosine(vec_a, vec_b), 6) for each row, vectorized: one
+    einsum per Arrow batch instead of interpreted per-element lambdas.
+    The scorer for candidate pairs coming out of an LSH bucket join."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    kept = [f for f in df.schema.fields if not drop_vecs or f.name not in (vec_a, vec_b)]
+    schema = StructType(kept + [StructField(out_col, DoubleType(), False)])
+    keep_names = [f.name for f in kept]
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf[keep_names].copy()
+                out[out_col] = pd.Series([], dtype="float64")
+                yield out
+                continue
+            a = np.array(pdf[vec_a].tolist(), dtype=np.float64)
+            b = np.array(pdf[vec_b].tolist(), dtype=np.float64)
+            num = np.einsum("ij,ij->i", a, b)
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            out = pdf[keep_names].copy()
+            out[out_col] = np.round(num / den, 6)
+            yield out
+
+    return df.mapInPandas(score, schema)
 
 
 def lsh_topk(
@@ -99,23 +177,32 @@ def lsh_topk(
     n_planes: int = 8,
     dim: Optional[int] = None,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: corpus and queries bucketed by random-hyperplane
-    LSH; each query scores only its own bucket. Recall < 1 by construction
-    (documented tradeoff); multi-probe can be added by enumerating
-    neighboring buckets. Returns (query_id, vec_id, cosine, rank)."""
+    LSH; each query scores only its own bucket. Recall < 1 by construction;
+    `n_probes` > 1 enables multi-probe — each query additionally probes the
+    buckets at Hamming distance 1 in most-marginal-plane order, the standard
+    recall/cost lever (multi-probe LSH, Lv et al., VLDB'07) — without
+    re-bucketing the corpus. Returns (query_id, vec_id, cosine, rank).
+
+    Scale shape: the corpus is bucketed with one broadcast matmul per batch
+    (no plane literals in the plan), queries broadcast into the bucket join,
+    candidates are scored with a vectorized einsum — no interpreted lambdas
+    anywhere, no all-pairs join."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(id_col, vec_col).withColumn("__bucket", lsh_bucket(vec_col, planes))
-    q = queries.select(query_id_col, query_vec_col).withColumn(
-        "__bucket", lsh_bucket(query_vec_col, planes)
+    c = with_lsh_bucket(corpus.select(id_col, vec_col), vec_col, planes)
+    q = with_lsh_bucket(
+        queries.select(query_id_col, query_vec_col), query_vec_col, planes
     )
-    scored = c.join(F.broadcast(q), "__bucket").select(
-        query_id_col,
-        id_col,
-        F.round(cosine_sim(vec_col, query_vec_col), 6).alias("cosine"),
-    )
+    if n_probes > 1:
+        q = _expand_multiprobe(q, query_vec_col, planes, n_probes)
+    cand = c.join(F.broadcast(q), "__bucket").select(
+        query_id_col, id_col, vec_col, query_vec_col
+    ).dropDuplicates([query_id_col, id_col])
+    scored = with_pair_cosine(cand, vec_col, query_vec_col)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
@@ -123,6 +210,56 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _expand_multiprobe(
+    q: DataFrame,
+    vec_col: str,
+    planes: Sequence[Sequence[float]],
+    n_probes: int,
+    bucket_col: str = "__bucket",
+) -> DataFrame:
+    """Expand each query row into its `n_probes` most promising buckets: the
+    home bucket plus the buckets reached by flipping the sign bits whose
+    hyperplane margins |dot(v, plane)| are smallest (the planes the vector
+    is closest to — the likeliest wrong bits). Pure driver-free: one
+    broadcast matmul per batch, explode to n_probes rows per query."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pm = np.ascontiguousarray(np.asarray(planes, dtype=np.float64))
+    bc = q.sparkSession.sparkContext.broadcast(pm)
+    schema = StructType(
+        [f for f in q.schema.fields if f.name != bucket_col]
+        + [StructField(bucket_col, LongType(), False)]
+    )
+    keep = [f.name for f in q.schema.fields if f.name != bucket_col]
+    n_extra = int(n_probes) - 1
+
+    def expand(batches):
+        planes_t = bc.value.T
+        n_planes_ = planes_t.shape[1]
+        weights = (np.int64(1) << np.arange(n_planes_, dtype=np.int64))
+        flips = min(n_extra, n_planes_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{bucket_col: pd.Series([], dtype="int64")})[
+                    keep + [bucket_col]
+                ]
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            margins = mat @ planes_t  # (n, n_planes)
+            home = ((margins > 0) @ weights).astype(np.int64)
+            # nearest planes first: smallest |margin|
+            order = np.argsort(np.abs(margins), axis=1)[:, :flips]
+            buckets = [home]
+            for j in range(flips):
+                buckets.append(home ^ weights[order[:, j]])
+            out = pdf[keep].iloc[np.tile(np.arange(len(pdf)), len(buckets))].copy()
+            out[bucket_col] = np.concatenate(buckets)
+            yield out
+
+    return q.mapInPandas(expand, schema)
 
 
 def embedding_near_dup_pairs(
@@ -136,11 +273,16 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join: pairs sharing
     a hyperplane bucket are scored, kept when cosine >= min_cosine.
-    Returns (id_a, id_b, cosine), id_a < id_b."""
+    Returns (id_a, id_b, cosine), id_a < id_b.
+
+    Scale shape: bucket ids come from a broadcast plane matrix (one matmul
+    per batch, no plan literals — survives dim 768+); the self-join shuffles
+    on __bucket (never all-pairs); candidate pairs are scored with a
+    vectorized einsum."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    b = corpus.select(id_col, vec_col).withColumn("__bucket", lsh_bucket(vec_col, planes))
+    b = with_lsh_bucket(corpus.select(id_col, vec_col), vec_col, planes)
     a_, b_ = b.alias("a"), b.alias("b")
     cand = a_.join(
         b_,
@@ -149,9 +291,11 @@ def embedding_near_dup_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        F.round(cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
+        F.col(f"a.{vec_col}").alias("__va"),
+        F.col(f"b.{vec_col}").alias("__vb"),
     )
-    return cand.filter(F.col("cosine") >= min_cosine)
+    scored = with_pair_cosine(cand, "__va", "__vb")
+    return scored.filter(F.col("cosine") >= min_cosine)
 
 
 def brute_force_topk_vectorized(

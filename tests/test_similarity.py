@@ -1,0 +1,119 @@
+"""Similarity-search tests: vectorized LSH bucketer parity with the Catalyst
+expression, high-dimension (768) survivability, multi-probe recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions.similarity import (
+    _hyperplanes,
+    brute_force_topk_vectorized,
+    embedding_near_dup_pairs,
+    lsh_bucket,
+    lsh_topk,
+    with_lsh_bucket,
+    with_pair_cosine,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def _synthetic_emb(spark, n, dim, seed=0):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, mat[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_vectorized_bucketer_matches_catalyst(spark, emb):
+    """with_lsh_bucket must produce bit-identical bucket ids to the Catalyst
+    lsh_bucket expression (same planes), so the two paths are interchangeable."""
+    dim = len(emb.select("embedding").first()[0])
+    planes = _hyperplanes(dim, 8, seed=42)
+    cat = emb.select("vec_id", lsh_bucket(F.col("embedding"), planes).alias("b_cat"))
+    vec = with_lsh_bucket(emb.select("vec_id", "embedding"), "embedding", planes).select(
+        "vec_id", F.col("__bucket").alias("b_vec")
+    )
+    diff = cat.join(vec, "vec_id").filter(F.col("b_cat") != F.col("b_vec")).count()
+    assert diff == 0
+
+
+def test_pair_cosine_matches_catalyst_round(spark, emb):
+    from cuckoofilter4j_spark.functions.similarity import cosine_sim
+
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("a.embedding").alias("va"),
+            F.col("b.embedding").alias("vb"),
+        )
+        .limit(50)
+    )
+    cat = pairs.select(
+        "id_a", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("c_cat")
+    )
+    vec = with_pair_cosine(pairs, "va", "vb").select("id_a", F.col("cosine").alias("c_vec"))
+    joined = cat.join(vec, "id_a").select(
+        (F.abs(F.col("c_cat") - F.col("c_vec")) < 2e-6).alias("ok")
+    )
+    assert joined.filter(~F.col("ok")).count() == 0
+
+
+def test_near_dup_and_topk_at_dim_768(spark):
+    """The scale path must survive real embedding dimensions: the old
+    plan-literal encoding inlined n_planes x 768 doubles into the plan."""
+    base = _synthetic_emb(spark, 60, 768, seed=1)
+    scaled = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0).cast("float")).alias("embedding"),
+    )
+    both = base.unionByName(scaled)
+    pairs = embedding_near_dup_pairs(
+        both, "vec_id", "embedding", min_cosine=0.99, n_planes=12, seed=7
+    )
+    planted = pairs.filter(F.col("id_b") == F.col("id_a") + 10000)
+    assert planted.count() == 60  # same direction => same bucket, cosine 1.0
+
+    q = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = lsh_topk(both, q, k=5, n_planes=8, seed=7)
+    self_hits = approx.filter(
+        (F.col("vec_id") == F.col("query_id")) & (F.col("rank") == 1)
+    ).count()
+    assert self_hits == 3
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """n_probes > 1 probes Hamming-1 neighbor buckets (most-marginal planes
+    first): its candidate set is a superset, so recall vs the exact top-k
+    can only improve."""
+    corpus = _synthetic_emb(spark, 400, 32, seed=3)
+    q = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk_vectorized(corpus, q, k=10)
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+
+    def recall(n_probes):
+        approx = lsh_topk(corpus, q, k=10, n_planes=8, seed=5, n_probes=n_probes)
+        hits = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        return len(hits & exact_set) / len(exact_set)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r4 >= r1
+    assert r8 >= r4
+    # deterministic seeds: measured 0.1125 -> 0.15 -> 0.2375 (random
+    # gaussians have genuinely weak nearest neighbors; the invariant under
+    # test is the monotone candidate-superset property, plus a floor)
+    assert r8 > r1
+    assert r8 >= 0.2
