@@ -233,6 +233,23 @@ def q_ckf_false_delete_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ckf_xxhash_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectable hash algorithm (Builder.withHashAlgorithm analog,
+    SerializableSaltedHasher.java:70-107): per-lang build with byte-exact
+    XXH64 fingerprint derivation (the reference fork's default algorithm) —
+    zero false negatives through the broadcast probe."""
+    keyed = _docs_keyed(spark, sf_dir)
+    sk = build_filter(
+        keyed, "key", ["lang"], max_keys=MAX_KEYS, fpp=FPP, seed=SEED,
+        hash_algo="xxhash64",
+    )
+    probed = might_contain(keyed, sk, "key", ["lang"])
+    return probed.groupBy("lang").agg(
+        F.count("*").alias("n_probed"),
+        (F.sum(F.col("might_contain").cast("long")) == F.count("*")).alias("all_found"),
+    )
+
+
 def q_ckf_salted_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted two-level build: exact per-group counts survive the
     partial/merge path; zero failed inserts at this load."""
@@ -494,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_delete_drain": q_ckf_delete_drain,
         "ckf_false_delete_rate": q_ckf_false_delete_rate,
         "ckf_salted_build": q_ckf_salted_build,
+        "ckf_xxhash_build": q_ckf_xxhash_build,
         "ckf_events_stream_keys": q_ckf_events_stream_keys,
         "ckf_merge_invariance": q_ckf_merge_invariance,
         "ckf_checkpoint_resume": q_ckf_checkpoint_resume,
@@ -597,6 +615,7 @@ def oracle_sql() -> dict[str, str]:
         "ckf_delete_drain": "SELECT lang, CAST(0 AS BIGINT) AS remaining FROM documents GROUP BY lang",
         "ckf_false_delete_rate": "SELECT 1 AS n_filters, TRUE AS false_delete_rate_ok",
         "ckf_salted_build": "SELECT lang, count(*) AS n_inserted, CAST(0 AS BIGINT) AS n_failed FROM documents GROUP BY lang",
+        "ckf_xxhash_build": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
         "ckf_events_stream_keys": "SELECT event_type, count(*) AS n_events, count(*) AS n_found FROM events GROUP BY event_type",
         "ckf_merge_invariance": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
         "ckf_checkpoint_resume": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",

@@ -244,19 +244,69 @@ def alt_index(index: np.ndarray, tag: np.ndarray, num_buckets: int) -> np.ndarra
     return x & _U64(num_buckets - 1)
 
 
-class IndexTagGen:
-    """item words -> (bucket index, tag) — the reference's IndexTagCalc."""
+HASH_ALGOS = ("mix64", "xxhash64", "murmur3_128")
 
-    def __init__(self, num_buckets: int, tag_bits: int, seed: int):
+
+def _salted_seed(seed: int, salt: int) -> int:
+    """Derive an independent seed per rescue salt (hashObjWithSalt analog,
+    SerializableSaltedHasher.java:95-107)."""
+    return _mix64_int((seed ^ ((salt * _PHI64) & _M64)) & _M64)
+
+
+class IndexTagGen:
+    """item words -> (bucket index, tag) — the reference's IndexTagCalc.
+
+    `hash_algo` selects the fingerprint hash family (the analog of
+    Builder.withHashAlgorithm / Utils.Algorithm, SerializableSaltedHasher.java:70-107):
+      - "mix64"       (default) — the library's splitmix64-fold mixer; pairs
+                      with an auto dual-hash wide path when index+tag > 64 bits
+                      (the auto-upgrade of IndexTagCalc.java:111-122)
+      - "xxhash64"    — byte-exact XXH64 (the reference fork's default,
+                      README.md:17); 64-bit only, so wide configs reject it
+                      exactly as the reference rejects too-small hash sizes
+      - "murmur3_128" — byte-exact MurmurHash3_x64_128; serves both widths
+                      (narrow uses h1, wide splits h1/h2)
+    """
+
+    def __init__(self, num_buckets: int, tag_bits: int, seed: int, hash_algo: str = "mix64"):
         if num_buckets & (num_buckets - 1):
             raise ValueError("num_buckets must be a power of two")
+        if hash_algo not in HASH_ALGOS:
+            raise ValueError(f"hash_algo must be one of {HASH_ALGOS}, got {hash_algo!r}")
         self.num_buckets = num_buckets
         self.tag_bits = tag_bits
         self.seed = int(seed) & _M64
+        self.hash_algo = hash_algo
         self.index_bits = max(1, (num_buckets - 1).bit_length())
         # hashLength selection (SerializableSaltedHasher.java:70-73 analog):
-        # 64-bit hash when index+tag bits fit, else split two independent 64s.
+        # 64-bit hash when index+tag bits fit, else a 128-bit derivation.
         self.wide = (self.index_bits + tag_bits) > 64
+        if self.wide and hash_algo == "xxhash64":
+            raise ValueError(
+                f"xxhash64 is a 64-bit algorithm but index_bits+tag_bits = "
+                f"{self.index_bits + tag_bits} > 64 — use murmur3_128 (the "
+                "reference auto-selects a 128-bit algorithm here, "
+                "IndexTagCalc.java:111-122)"
+            )
+
+    def _hash_pair(self, words: np.ndarray, salt: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """(h_lo, h_hi) for the configured algorithm; h_hi is None for
+        64-bit narrow derivations."""
+        if self.hash_algo == "mix64":
+            if not self.wide:
+                return hash64(words, self.seed, salt), None
+            # two independent 64-bit mixes (salt folds into each family)
+            return (
+                hash64(words, self.seed, salt),
+                hash64(words, self.seed ^ _SHARD_SEED_MIX, salt),
+            )
+        from cuckoofilter4j_spark.hashing import murmur3_128_words, xxh64_words
+
+        seed = self.seed if salt == 0 else _salted_seed(self.seed, salt)
+        if self.hash_algo == "xxhash64":
+            return xxh64_words(words, seed), None
+        h1, h2 = murmur3_128_words(words, seed)
+        return (h1, h2) if self.wide else (h1, None)
 
     def generate(self, words: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Vectorized IndexTagCalc.generate (IndexTagCalc.java:136-183).
@@ -265,29 +315,21 @@ class IndexTagGen:
         incrementing salts while zero (tag 0 is the empty-slot sentinel).
         """
         tag_mask = _U64((1 << self.tag_bits) - 1)
+        h_lo, h_hi = self._hash_pair(words, 0)
         if not self.wide:
-            h = hash64(words, self.seed)
-            index = (h >> _U64(self.tag_bits)) & _U64(self.num_buckets - 1)
-            tag = h & tag_mask
-            salt = 1
-            while True:
-                zero = tag == 0
-                if not zero.any():
-                    break
-                tag[zero] = hash64(words[zero], self.seed, salt) & tag_mask
-                salt += 1
+            index = (h_lo >> _U64(self.tag_bits)) & _U64(self.num_buckets - 1)
+            tag = h_lo & tag_mask
         else:
-            h_lo = hash64(words, self.seed)
-            h_hi = hash64(words, self.seed ^ _SHARD_SEED_MIX)
             index = h_lo & _U64(self.num_buckets - 1)
             tag = h_hi & tag_mask
-            salt = 1
-            while True:
-                zero = tag == 0
-                if not zero.any():
-                    break
-                tag[zero] = hash64(words[zero], self.seed ^ _SHARD_SEED_MIX, salt) & tag_mask
-                salt += 1
+        salt = 1
+        while True:
+            zero = tag == 0
+            if not zero.any():
+                break
+            lo, hi = self._hash_pair(words[zero], salt)
+            tag[zero] = (hi if self.wide else lo) & tag_mask
+            salt += 1
         return index.astype(np.int64), tag
 
     def alt(self, index, tag) -> np.ndarray:
@@ -314,10 +356,12 @@ class CuckooFilter:
         has_victim: bool = False,
         victim: Tuple[int, int, int] = (0, 0, 0),
         rng_seed: Optional[int] = None,
+        hash_algo: str = "mix64",
     ):
         self.num_buckets = int(num_buckets)
         self.tag_bits = int(tag_bits)
         self.seed = int(seed) & _M64
+        self.hash_algo = str(hash_algo)
         dt = _tag_dtype(tag_bits)
         if table is None:
             table = np.zeros((self.num_buckets, BUCKET_SIZE), dtype=dt)
@@ -331,7 +375,7 @@ class CuckooFilter:
         self._rng = np.random.default_rng(
             self.seed if rng_seed is None else rng_seed
         )
-        self.gen = IndexTagGen(self.num_buckets, self.tag_bits, self.seed)
+        self.gen = IndexTagGen(self.num_buckets, self.tag_bits, self.seed, self.hash_algo)
         # lineage / metrics
         self.kicks = 0
         self.failed_inserts = 0
@@ -344,9 +388,10 @@ class CuckooFilter:
         fpp: float = DEFAULT_FP,
         seed: int = 42,
         rng_seed: Optional[int] = None,
+        hash_algo: str = "mix64",
     ) -> "CuckooFilter":
         num_buckets, tag_bits = validate_params(max_keys, fpp)
-        return cls(num_buckets, tag_bits, seed=seed, rng_seed=rng_seed)
+        return cls(num_buckets, tag_bits, seed=seed, rng_seed=rng_seed, hash_algo=hash_algo)
 
     # -- derived properties (CuckooFilter.java:351-393) ----------------------
     def get_count(self) -> int:
@@ -829,10 +874,12 @@ class CuckooFilter:
         an involution: for a stored (b, tag), the pair {b, altIndex(b, tag)}
         is exactly the original candidate pair.
         """
-        if (self.num_buckets, self.tag_bits, self.seed) != (
-            other.num_buckets, other.tag_bits, other.seed
+        if (self.num_buckets, self.tag_bits, self.seed, self.hash_algo) != (
+            other.num_buckets, other.tag_bits, other.seed, other.hash_algo
         ):
-            raise ValueError("merge requires identical (num_buckets, tag_bits, seed)")
+            raise ValueError(
+                "merge requires identical (num_buckets, tag_bits, seed, hash_algo)"
+            )
         b, tags = other.fingerprints()
         alts = self.gen.alt(b, tags)
         dropped = self._insert_fingerprints(b, alts, tags)
@@ -891,8 +938,8 @@ class CuckooFilter:
 
     def semantically_equal(self, other: "CuckooFilter") -> bool:
         return (
-            (self.num_buckets, self.tag_bits, self.seed, self.count)
-            == (other.num_buckets, other.tag_bits, other.seed, other.count)
+            (self.num_buckets, self.tag_bits, self.seed, self.count, self.hash_algo)
+            == (other.num_buckets, other.tag_bits, other.seed, other.count, other.hash_algo)
             and np.array_equal(self.semantic_fingerprints(), other.semantic_fingerprints())
         )
 
@@ -908,6 +955,7 @@ class CuckooFilter:
             table=self.table.copy(), count=self.count,
             has_victim=self.has_victim,
             victim=(self.victim_i1, self.victim_i2, self.victim_tag),
+            hash_algo=self.hash_algo,
         )
         out.kicks, out.failed_inserts = self.kicks, self.failed_inserts
         return out
@@ -919,6 +967,7 @@ class CuckooFilter:
             self.num_buckets == other.num_buckets
             and self.tag_bits == other.tag_bits
             and self.seed == other.seed
+            and self.hash_algo == other.hash_algo
             and self.count == other.count
             and self.has_victim == other.has_victim
             and np.array_equal(self.canonical_table(), other.canonical_table())
@@ -943,15 +992,17 @@ class CuckooFilter:
         CuckooFilter.java:754-759). Header + tag_bits-wide bit-packed slot
         stream (same space profile as the reference's LongBitSet packing —
         e.g. 10-bit tags serialize 37.5% smaller than their uint16 in-memory
-        form). ver=2; ver=1 (raw slot array) still deserializes."""
+        form). ver=3 (adds a hash-algo byte after the fixed header); ver=2
+        (implied mix64) and ver=1 (raw slot array) still deserialize."""
         hdr = self._HDR.pack(
-            MAGIC, 2, self.tag_bits,
+            MAGIC, 3, self.tag_bits,
             self.num_buckets, int(self.seed) if self.seed < 2**63 else int(self.seed) - 2**64,
             self.count, self.table.itemsize,
             1 if self.has_victim else 0,
             self.victim_i1, self.victim_i2, self.victim_tag,
         )
-        return hdr + _pack_bits(self.table, self.tag_bits)
+        algo = bytes([HASH_ALGOS.index(self.hash_algo)])
+        return hdr + algo + _pack_bits(self.table, self.tag_bits)
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CuckooFilter":
@@ -961,16 +1012,22 @@ class CuckooFilter:
         if magic != MAGIC:
             raise ValueError("bad sketch bytes: wrong magic")
         dt = _DTYPE_CODES[itemsize]
+        offset = cls._HDR.size
+        hash_algo = "mix64"
+        if _ver >= 3:
+            hash_algo = HASH_ALGOS[data[offset]]
+            offset += 1
         if _ver >= 2:
             table = _unpack_bits(
-                data, cls._HDR.size, num_buckets * BUCKET_SIZE, tag_bits, dt
+                data, offset, num_buckets * BUCKET_SIZE, tag_bits, dt
             ).reshape(num_buckets, BUCKET_SIZE)
         else:  # ver=1: raw slot array
             table = np.frombuffer(
-                data, dtype=dt, offset=cls._HDR.size
+                data, dtype=dt, offset=offset
             ).reshape(num_buckets, BUCKET_SIZE).copy()
         return cls(num_buckets, tag_bits, seed & _M64, table=table, count=count,
-                   has_victim=bool(has_victim), victim=(v1, v2, vt))
+                   has_victim=bool(has_victim), victim=(v1, v2, vt),
+                   hash_algo=hash_algo)
 
 
 def _pack_bits(table: np.ndarray, tag_bits: int) -> bytes:

@@ -1,0 +1,281 @@
+"""Selectable hash algorithms for fingerprint derivation — the analog of the
+reference's SerializableSaltedHasher.java:70-107 / Utils.java:41-77 algorithm
+enum (its fork defaults to xxHash64; Murmur3_128 is the 128-bit upgrade path,
+IndexTagCalc.java:111-122).
+
+Implemented from the PUBLIC specifications (xxHash by Yann Collet, BSD;
+MurmurHash3 by Austin Appleby, public domain — both via their published
+reference C), fully vectorized over the library's (N, W+1) uint64 word
+matrices (column 0 = byte length, then the key bytes as little-endian u64
+words, zero-padded). Hashes are WIDTH-INVARIANT and BYTE-EXACT: the numpy
+XXH64 here is verified bit-identical to Spark's JVM `xxhash64` on binary
+columns (see tests/test_hash_algos.py), which also means key fingerprints
+could be derived Catalyst-side when desirable.
+
+All inner loops are bounded: an L-byte message costs ceil(L/32) masked
+stripe iterations (XXH64) or ceil(L/16) block iterations (Murmur3) plus a
+constant-size tail — for the 32-byte sha256 hot path that is one stripe /
+two blocks and no tail bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+_M64 = (1 << 64) - 1
+_U64 = np.uint64
+
+# xxHash64 primes (public spec)
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+
+# MurmurHash3 x64 128 constants (public spec)
+_MC1 = 0x87C37B91114253D5
+_MC2 = 0x4CF5AD432745937F
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U64(r)) | (x >> _U64(64 - r))
+
+
+def _rotl_i(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+# ---------------------------------------------------------------------------
+# Scalar reference implementations (spec transcriptions; used by tests to
+# validate the vectorized versions, and by tests against Spark's JVM xxhash64)
+# ---------------------------------------------------------------------------
+def xxh64_scalar(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        a = [
+            (seed + _XP1 + _XP2) & _M64,
+            (seed + _XP2) & _M64,
+            seed & _M64,
+            (seed - _XP1) & _M64,
+        ]
+        while i + 32 <= n:
+            for j in range(4):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                a[j] = _rotl_i((a[j] + lane * _XP2) & _M64, 31) * _XP1 & _M64
+            i += 32
+        h = (_rotl_i(a[0], 1) + _rotl_i(a[1], 7) + _rotl_i(a[2], 12) + _rotl_i(a[3], 18)) & _M64
+        for j in range(4):
+            h = ((h ^ (_rotl_i((a[j] * _XP2) & _M64, 31) * _XP1 & _M64)) * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h = (_rotl_i(h ^ (_rotl_i((lane * _XP2) & _M64, 31) * _XP1 & _M64), 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h = (_rotl_i(h ^ (lane * _XP1) & _M64, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl_i(h ^ (data[i] * _XP5) & _M64, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _fmix64_i(x: int) -> int:
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & _M64
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & _M64
+    x ^= x >> 33
+    return x
+
+
+def murmur3_128_scalar(data: bytes, seed: int = 0) -> Tuple[int, int]:
+    n = len(data)
+    h1 = h2 = seed & _M64
+    nblocks = n // 16
+    for b in range(nblocks):
+        k1 = int.from_bytes(data[16 * b : 16 * b + 8], "little")
+        k2 = int.from_bytes(data[16 * b + 8 : 16 * b + 16], "little")
+        k1 = (_rotl_i((k1 * _MC1) & _M64, 31) * _MC2) & _M64
+        h1 ^= k1
+        h1 = (_rotl_i(h1, 27) + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = (_rotl_i((k2 * _MC2) & _M64, 33) * _MC1) & _M64
+        h2 ^= k2
+        h2 = (_rotl_i(h2, 31) + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+    tail = data[16 * nblocks :]
+    k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little") if tail else 0
+    k2 = int.from_bytes(tail[8:16].ljust(8, b"\0"), "little") if len(tail) > 8 else 0
+    if len(tail) > 8:
+        k2 = (_rotl_i((k2 * _MC2) & _M64, 33) * _MC1) & _M64
+        h2 ^= k2
+    if tail:
+        k1 = (_rotl_i((k1 * _MC1) & _M64, 31) * _MC2) & _M64
+        h1 ^= k1
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64_i(h1)
+    h2 = _fmix64_i(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1, h2
+
+
+# ---------------------------------------------------------------------------
+# Vectorized versions over (N, W+1) word matrices
+# ---------------------------------------------------------------------------
+def _lens_and_data(words: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Split a word matrix into per-row byte lengths and the data words.
+    Integer-key matrices (W == 1, no length word) are treated as fixed
+    8-byte messages (the Funnel putLong analog, little-endian)."""
+    if words.shape[1] == 1:
+        return np.full(words.shape[0], 8, dtype=np.int64), words
+    return words[:, 0].view(np.int64).copy(), words[:, 1:]
+
+
+def _gather_word(data: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """data[i, idx[i]] with out-of-range idx clipped (callers mask those)."""
+    safe = np.minimum(idx, data.shape[1] - 1)
+    return data[np.arange(data.shape[0]), safe]
+
+
+def xxh64_words(words: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized, byte-exact XXH64 of each row's message bytes."""
+    lens, data = _lens_and_data(words)
+    n_rows = lens.shape[0]
+    if n_rows == 0:
+        return np.empty(0, dtype=np.uint64)
+    seed = seed & _M64
+    max_len = int(lens.max())
+    with np.errstate(over="ignore"):
+        h = np.full(n_rows, (seed + _XP5) & _M64, dtype=np.uint64)
+        pos = np.zeros(n_rows, dtype=np.int64)
+        long_rows = lens >= 32
+        if long_rows.any():
+            acc = [
+                np.full(n_rows, (seed + _XP1 + _XP2) & _M64, dtype=np.uint64),
+                np.full(n_rows, (seed + _XP2) & _M64, dtype=np.uint64),
+                np.full(n_rows, seed, dtype=np.uint64),
+                np.full(n_rows, (seed - _XP1) & _M64, dtype=np.uint64),
+            ]
+            n_stripes = np.where(long_rows, lens >> 5, 0)
+            for s in range(int(n_stripes.max())):
+                live = n_stripes > s
+                for j in range(4):
+                    # word index of lane j in stripe s is 4*s + j
+                    lane = _gather_word(data, np.full(n_rows, 4 * s + j, dtype=np.int64))
+                    nxt = _rotl(acc[j] + lane * _U64(_XP2), 31) * _U64(_XP1)
+                    acc[j] = np.where(live, nxt, acc[j])
+            h_long = (
+                _rotl(acc[0], 1) + _rotl(acc[1], 7) + _rotl(acc[2], 12) + _rotl(acc[3], 18)
+            )
+            for j in range(4):
+                rnd = _rotl(acc[j] * _U64(_XP2), 31) * _U64(_XP1)
+                h_long = (h_long ^ rnd) * _U64(_XP1) + _U64(_XP4)
+            h = np.where(long_rows, h_long, h)
+            pos = np.where(long_rows, (lens >> 5) << 5, 0)
+        h = h + lens.view(np.uint64)
+        # 8-byte tail lanes: at most 3 iterations (remaining < 32)
+        for _ in range(3):
+            live = pos + 8 <= lens
+            if not live.any():
+                break
+            lane = _gather_word(data, pos >> 3)
+            rnd = _rotl(lane * _U64(_XP2), 31) * _U64(_XP1)
+            nxt = _rotl(h ^ rnd, 27) * _U64(_XP1) + _U64(_XP4)
+            h = np.where(live, nxt, h)
+            pos = np.where(live, pos + 8, pos)
+        # one 4-byte lane (pos is 8-aligned here, so it is a word's low half)
+        live = pos + 4 <= lens
+        if live.any():
+            lane = _gather_word(data, pos >> 3) & _U64(0xFFFFFFFF)
+            nxt = _rotl(h ^ lane * _U64(_XP1), 23) * _U64(_XP2) + _U64(_XP3)
+            h = np.where(live, nxt, h)
+            pos = np.where(live, pos + 4, pos)
+        # remaining single bytes: at most 3
+        for _ in range(3):
+            live = pos < lens
+            if not live.any():
+                break
+            word = _gather_word(data, pos >> 3)
+            byte = (word >> ((pos & 7).astype(np.uint64) << _U64(3))) & _U64(0xFF)
+            nxt = _rotl(h ^ byte * _U64(_XP5), 11) * _U64(_XP1)
+            h = np.where(live, nxt, h)
+            pos = np.where(live, pos + 1, pos)
+        h = h ^ (h >> _U64(33))
+        h = h * _U64(_XP2)
+        h = h ^ (h >> _U64(29))
+        h = h * _U64(_XP3)
+        h = h ^ (h >> _U64(32))
+    return h
+
+
+def _fmix64(x: np.ndarray) -> np.ndarray:
+    x = x ^ (x >> _U64(33))
+    x = x * _U64(0xFF51AFD7ED558CCD)
+    x = x ^ (x >> _U64(33))
+    x = x * _U64(0xC4CEB9FE1A85EC53)
+    x = x ^ (x >> _U64(33))
+    return x
+
+
+def murmur3_128_words(words: np.ndarray, seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized MurmurHash3_x64_128 of each row's message bytes.
+    Returns (h1, h2) uint64 arrays — the native 128-bit algorithm for the
+    wide index+tag path (IndexTagCalc.java:111-122's upgrade choice)."""
+    lens, data = _lens_and_data(words)
+    n_rows = lens.shape[0]
+    if n_rows == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e.copy()
+    with np.errstate(over="ignore"):
+        h1 = np.full(n_rows, seed & _M64, dtype=np.uint64)
+        h2 = h1.copy()
+        nblocks = lens >> 4
+        for b in range(int(nblocks.max()) if n_rows else 0):
+            live = nblocks > b
+            k1 = _gather_word(data, np.full(n_rows, 2 * b, dtype=np.int64))
+            k2 = _gather_word(data, np.full(n_rows, 2 * b + 1, dtype=np.int64))
+            k1 = _rotl(k1 * _U64(_MC1), 31) * _U64(_MC2)
+            nh1 = (_rotl(h1 ^ k1, 27) + h2) * _U64(5) + _U64(0x52DCE729)
+            k2 = _rotl(k2 * _U64(_MC2), 33) * _U64(_MC1)
+            nh2 = (_rotl(h2 ^ k2, 31) + nh1) * _U64(5) + _U64(0x38495AB5)
+            h1 = np.where(live, nh1, h1)
+            h2 = np.where(live, nh2, h2)
+        # tail (zero-padded words are exactly the spec's zero-filled k1/k2)
+        tail_words = nblocks << 1
+        rem = lens & 15
+        has_k2 = rem > 8
+        if has_k2.any():
+            k2 = _gather_word(data, tail_words + 1)
+            k2 = _rotl(k2 * _U64(_MC2), 33) * _U64(_MC1)
+            h2 = np.where(has_k2, h2 ^ k2, h2)
+        has_k1 = rem > 0
+        if has_k1.any():
+            k1 = _gather_word(data, tail_words)
+            k1 = _rotl(k1 * _U64(_MC1), 31) * _U64(_MC2)
+            h1 = np.where(has_k1, h1 ^ k1, h1)
+        ln = lens.view(np.uint64)
+        h1 = h1 ^ ln
+        h2 = h2 ^ ln
+        h1 = h1 + h2
+        h2 = h2 + h1
+        h1 = _fmix64(h1)
+        h2 = _fmix64(h2)
+        h1 = h1 + h2
+        h2 = h2 + h1
+    return h1, h2

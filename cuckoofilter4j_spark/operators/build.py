@@ -167,6 +167,7 @@ def build_filter(
     seed: int = 42,
     min_max_keys: int = 256,
     sizing: str = "reference",
+    hash_algo: str = "mix64",
 ) -> DataFrame:
     """One cuckoo filter per group via groupBy().applyInArrow (binary keys
     stay as raw Arrow buffers — no per-row Python objects; applyInPandas is
@@ -187,7 +188,7 @@ def build_filter(
     group_cols = list(group_cols) if group_cols else []
     grouped = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy(F.lit(0).alias("__dummy"))
     out_schema = sketch_schema(df, group_cols)
-    fpp_, seed_, sizing_ = float(fpp), int(seed), str(sizing)
+    fpp_, seed_, sizing_, algo_ = float(fpp), int(seed), str(sizing), str(hash_algo)
     mk, gcols, floor_ = max_keys, list(group_cols), int(min_max_keys)
     key_is_binary = isinstance(df.schema[key_col].dataType, BinaryType)
     kc = key_col
@@ -195,7 +196,7 @@ def build_filter(
     def _build_one(gvals, keys, n_rows):
         m = _resolve_max_keys(mk, gvals if gcols else (GROUP_ALL,))
         nb, tb = validate_params(max(m, floor_, 2), fpp_, sizing_)
-        filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, gvals))
+        filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, gvals), hash_algo=algo_)
         filt.put_batch(keys)
         return _sketch_row(gvals, filt, n_rows)
 
@@ -234,6 +235,7 @@ def build_filter_salted(
     salt_buckets: int = 32,
     min_max_keys: int = 256,
     sizing: str = "reference",
+    hash_algo: str = "mix64",
 ) -> DataFrame:
     """Skew-safe two-level build: explicit salt column bounds per-task input
     (the distributed replacement for the reference's SegmentedBucketLocker
@@ -268,6 +270,7 @@ def build_filter_salted(
         seed=seed,
         min_max_keys=min_max_keys,
         sizing=sizing,
+        hash_algo=hash_algo,
     ).drop(_SALT_COL)
     from cuckoofilter4j_spark.operators.merge import merge_sketches
 
@@ -283,6 +286,7 @@ def build_partials_scan_local(
     seed: int = 42,
     min_max_keys: int = 256,
     sizing: str = "reference",
+    hash_algo: str = "mix64",
 ) -> DataFrame:
     """Zero-shuffle partial build: mapInPandas over scan partitions, one
     partial sketch row per (group, partition). The raw data never shuffles;
@@ -294,7 +298,7 @@ def build_partials_scan_local(
     group_cols = list(group_cols) if group_cols else []
     proj = df.select(*group_cols, F.col(key_col))
     out_schema = sketch_schema(df, group_cols)
-    fpp_, seed_, sizing_ = float(fpp), int(seed), str(sizing)
+    fpp_, seed_, sizing_, algo_ = float(fpp), int(seed), str(sizing), str(hash_algo)
     mk, gcols, kc, floor_ = max_keys, list(group_cols), key_col, int(min_max_keys)
 
     def build_parts(batches):
@@ -315,7 +319,8 @@ def build_partials_scan_local(
                     m = _resolve_max_keys(mk, gvals if gcols else (GROUP_ALL,))
                     nb, tb = validate_params(max(m, floor_, 2), fpp_, sizing_)
                     filt = CuckooFilter(
-                        nb, tb, seed_, rng_seed=_rng_seed_for(seed_, gvals, pid)
+                        nb, tb, seed_, rng_seed=_rng_seed_for(seed_, gvals, pid),
+                        hash_algo=algo_,
                     )
                     filters[gvals] = filt
                     rows_in[gvals] = 0
@@ -365,6 +370,7 @@ def build_filter_sharded(
     min_max_keys: int = 256,
     sizing: str = "reference",
     method: str = "direct",
+    hash_algo: str = "mix64",
 ) -> DataFrame:
     """Global filter as S independent shard filters (one sketch row per shard,
     column `__ckf_shard`).
@@ -402,6 +408,7 @@ def build_filter_sharded(
         seed=seed,
         min_max_keys=min_max_keys,
         sizing=sizing,
+        hash_algo=hash_algo,
     )
     if method == "direct":
         return _stamp_num_shards(build_filter(sharded, **common), num_shards)
@@ -409,7 +416,7 @@ def build_filter_sharded(
         nb, tb = validate_params(max(per_shard, min_max_keys, 2), fpp, sizing)
         nparts = min(num_shards, df.sparkSession.sparkContext.defaultParallelism * 4)
         return _stamp_num_shards(
-            _build_sharded_nosort(sharded, nb, tb, seed, nparts), num_shards
+            _build_sharded_nosort(sharded, nb, tb, seed, nparts, hash_algo), num_shards
         )
     if method != "scan_local":
         raise ValueError(
@@ -431,6 +438,7 @@ def build_filter_sharded_fingerprints(
     shard_headroom: float = 0.05,
     sizing: str = "reference",
     num_partitions: Optional[int] = None,
+    hash_algo: str = "mix64",
 ) -> DataFrame:
     """Sharded global build that ships FINGERPRINTS, not keys, through the
     shuffle — the minimal-bytes scale path.
@@ -456,7 +464,7 @@ def build_filter_sharded_fingerprints(
         raise ValueError("max_keys is required (global expected key count)")
     per_shard = max(int(max_keys / num_shards * (1.0 + shard_headroom)) + 1, 2)
     nb, tb = validate_params(per_shard, fpp, sizing)
-    seed_ = int(seed)
+    seed_, algo_ = int(seed), str(hash_algo)
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = min(num_shards, spark.sparkContext.defaultParallelism * 4)
@@ -466,7 +474,7 @@ def build_filter_sharded_fingerprints(
     )
 
     def derive(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        gen = IndexTagGen(nb, tb, seed_)
+        gen = IndexTagGen(nb, tb, seed_, algo_)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -513,7 +521,7 @@ def build_filter_sharded_fingerprints(
         rows = []
         for s, e in zip(starts, ends):
             sh = int(shard[s])
-            filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, (sh,)))
+            filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, (sh,)), hash_algo=algo_)
             filt.put_fingerprints(i1[s:e], tag[s:e])
             rows.append(_sketch_row((sh,), filt, int(e - s)))
         pdf = _to_pdf(rows, [SHARD_COL])
@@ -530,6 +538,7 @@ def _build_sharded_nosort(
     tb: int,
     seed: int,
     num_partitions: int,
+    hash_algo: str = "mix64",
 ) -> DataFrame:
     """Shard build as repartition + mapInArrow with in-UDF numpy grouping.
 
@@ -544,7 +553,7 @@ def _build_sharded_nosort(
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    seed_ = int(seed)
+    seed_, algo_ = int(seed), str(hash_algo)
     out_schema = StructType([StructField(SHARD_COL, IntegerType(), False)] + METRIC_FIELDS)
     routed = sharded.repartition(num_partitions, F.col(SHARD_COL))
 
@@ -575,7 +584,7 @@ def _build_sharded_nosort(
         rows = []
         for s, e in zip(starts, ends):
             sh = int(shard[s])
-            filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, (sh,)))
+            filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, (sh,)), hash_algo=algo_)
             filt.put_batch(np.ascontiguousarray(words[s:e]))
             rows.append(_sketch_row((sh,), filt, int(e - s)))
         pdf = _to_pdf(rows, [SHARD_COL])
@@ -608,6 +617,7 @@ def build_filter_sharded_bucketed(
     seed: int = 42,
     shard_headroom: float = 0.05,
     sizing: str = "reference",
+    hash_algo: str = "mix64",
 ) -> DataFrame:
     """Shuffle-free sharded global build over a bucketed key layout
     (write_bucketed_keys): one task per shard reads its own files with
@@ -619,7 +629,7 @@ def build_filter_sharded_bucketed(
 
     per_shard = max(int(max_keys / num_shards * (1.0 + shard_headroom)) + 1, 2)
     nb, tb = validate_params(per_shard, fpp, sizing)
-    seed_, path_ = int(seed), str(path)
+    seed_, path_, algo_ = int(seed), str(path), str(hash_algo)
     out_schema = StructType([StructField(SHARD_COL, IntegerType(), False)] + METRIC_FIELDS)
 
     def build_shards(batches):
@@ -631,7 +641,7 @@ def build_filter_sharded_bucketed(
                 sh = int(sh)
                 tbl = pq.read_table(f"{path_}/{SHARD_COL}={sh}", columns=["key"])
                 words = words_from_arrow_binary(tbl.column("key"))
-                filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, (sh,)))
+                filt = CuckooFilter(nb, tb, seed_, rng_seed=_rng_seed_for(seed_, (sh,)), hash_algo=algo_)
                 filt.put_batch(words)
                 rows.append(_sketch_row((sh,), filt, words.shape[0]))
             if rows:

@@ -1,0 +1,164 @@
+"""pytest mirror of TestSerializableSaltedHasher.java:45-85 (algorithm
+selection, seed independence, width validation) plus spec-conformance checks
+for the numpy XXH64 / MurmurHash3_x64_128 implementations."""
+
+import numpy as np
+import pytest
+
+from cuckoofilter4j_spark.core import BUCKET_SIZE, CuckooFilter, IndexTagGen, encode_keys
+from cuckoofilter4j_spark.hashing import (
+    murmur3_128_scalar,
+    murmur3_128_words,
+    xxh64_scalar,
+    xxh64_words,
+)
+
+BOUNDARY_LENS = list(range(0, 49)) + [63, 64, 65, 127, 128, 129, 255]
+
+
+def test_xxh64_known_vector():
+    # the xxHash spec's canonical empty-input value
+    assert xxh64_scalar(b"", 0) == 0xEF46DB3751D8E999
+
+
+def test_murmur3_known_vector():
+    # MurmurHash3_x64_128 of empty input with seed 0 is (0, 0)
+    assert murmur3_128_scalar(b"", 0) == (0, 0)
+
+
+@pytest.mark.parametrize("seed", [0, 42, 0xDEADBEEF])
+def test_vectorized_matches_scalar_at_every_boundary(seed):
+    rng = np.random.default_rng(1)
+    keys = [rng.bytes(n) for n in BOUNDARY_LENS]
+    w = encode_keys(keys)
+    vx = xxh64_words(w, seed)
+    v1, v2 = murmur3_128_words(w, seed)
+    for i, k in enumerate(keys):
+        assert int(vx[i]) == xxh64_scalar(k, seed), f"xxh64 len={len(k)}"
+        assert (int(v1[i]), int(v2[i])) == murmur3_128_scalar(k, seed), f"m3 len={len(k)}"
+
+
+def test_integer_key_path_is_le64_message():
+    ints = np.array([0, 1, -1, 2**62, -12345], dtype=np.int64)
+    w = encode_keys(ints)
+    vx = xxh64_words(w, 42)
+    m1, m2 = murmur3_128_words(w, 42)
+    for i, v in enumerate(ints):
+        msg = int(np.uint64(v)).to_bytes(8, "little")
+        assert int(vx[i]) == xxh64_scalar(msg, 42)
+        assert (int(m1[i]), int(m2[i])) == murmur3_128_scalar(msg, 42)
+
+
+def test_hashes_are_batch_width_invariant():
+    rng = np.random.default_rng(2)
+    key = b"hello world"
+    w1 = encode_keys([key])
+    w2 = encode_keys([key, rng.bytes(200)])
+    assert xxh64_words(w1, 7)[0] == xxh64_words(w2, 7)[0]
+    a = murmur3_128_words(w1, 7)
+    b = murmur3_128_words(w2, 7)
+    assert a[0][0] == b[0][0] and a[1][0] == b[1][0]
+
+
+def test_xxh64_matches_spark_jvm_xxhash64(spark):
+    """Byte-exactness against an independent implementation: Spark's JVM
+    `xxhash64` on binary columns (seed 42) must agree bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    cases = [rng.bytes(int(n)) for n in BOUNDARY_LENS if n > 0]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, b binary"
+    )
+    jvm = {r["i"]: r["h"] for r in df.select("i", F.xxhash64("b").alias("h")).collect()}
+    ours = xxh64_words(encode_keys(cases), 42)
+    for i in range(len(cases)):
+        assert int(ours[i]) == jvm[i] & ((1 << 64) - 1)
+
+
+# -- algorithm selection behavior (TestSerializableSaltedHasher.java:45-85) ---
+def test_algorithms_give_independent_hash_families():
+    keys = [b"k%d" % i for i in range(200)]
+    gens = {
+        algo: IndexTagGen(1 << 10, 8, seed=42, hash_algo=algo)
+        for algo in ("mix64", "xxhash64", "murmur3_128")
+    }
+    outs = {a: g.generate(encode_keys(keys)) for a, g in gens.items()}
+    pairs = [("mix64", "xxhash64"), ("mix64", "murmur3_128"), ("xxhash64", "murmur3_128")]
+    for a, b in pairs:
+        same = (outs[a][0] == outs[b][0]) & (outs[a][1] == outs[b][1])
+        assert same.mean() < 0.05, f"{a} vs {b} agree too often"
+
+
+@pytest.mark.parametrize("algo", ["mix64", "xxhash64", "murmur3_128"])
+def test_seed_independence_and_determinism(algo):
+    keys = [b"key%d" % i for i in range(200)]
+    w = encode_keys(keys)
+    g1 = IndexTagGen(1 << 10, 8, seed=1, hash_algo=algo)
+    g1b = IndexTagGen(1 << 10, 8, seed=1, hash_algo=algo)
+    g2 = IndexTagGen(1 << 10, 8, seed=2, hash_algo=algo)
+    i1, t1 = g1.generate(w)
+    i1b, t1b = g1b.generate(w)
+    i2, t2 = g2.generate(w)
+    assert np.array_equal(i1, i1b) and np.array_equal(t1, t1b)
+    assert not (np.array_equal(i1, i2) and np.array_equal(t1, t2))
+    assert (t1 != 0).all()  # zero-tag rescue ran
+
+
+def test_width_validation_mirrors_reference():
+    """xxhash64 is 64-bit: configs needing >64 index+tag bits must reject it
+    (the reference auto-selects a 128-bit algorithm, IndexTagCalc.java:111-122);
+    murmur3_128 must accept the same config."""
+    wide_buckets = 1 << 60
+    with pytest.raises(ValueError, match="128"):
+        IndexTagGen(wide_buckets, 16, seed=1, hash_algo="xxhash64")
+    g = IndexTagGen(wide_buckets, 16, seed=1, hash_algo="murmur3_128")
+    assert g.wide
+    i, t = g.generate(encode_keys([b"abc", b"defg"]))
+    assert (t != 0).all() and (i < wide_buckets).all()
+    with pytest.raises(ValueError, match="hash_algo"):
+        IndexTagGen(1 << 10, 8, seed=1, hash_algo="sha1")
+
+
+# -- filter-level behavior with selectable algorithms -------------------------
+@pytest.mark.parametrize("algo", ["mix64", "xxhash64", "murmur3_128"])
+def test_filter_round_trip_with_algo(algo):
+    rng = np.random.default_rng(5)
+    keys = [rng.bytes(int(n)) for n in rng.integers(1, 64, size=2000)]
+    f = CuckooFilter.create(max_keys=4000, fpp=0.01, seed=9, hash_algo=algo)
+    assert f.put_batch(keys).all()
+    assert f.contains_batch(keys).all()
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    assert g.hash_algo == algo
+    assert g == f
+    assert g.contains_batch(keys).all()
+    assert f.delete_batch(keys).all()
+    assert f.count == 0
+
+
+def test_merge_requires_same_algo():
+    a = CuckooFilter.create(max_keys=1000, fpp=0.01, seed=1, hash_algo="xxhash64")
+    b = CuckooFilter.create(max_keys=1000, fpp=0.01, seed=1, hash_algo="murmur3_128")
+    a.put(b"x")
+    b.put(b"y")
+    with pytest.raises(ValueError, match="hash_algo"):
+        a.merge(b)
+
+
+def test_spark_build_with_xxhash64(spark):
+    """End-to-end: grouped build with hash_algo='xxhash64', broadcast probe —
+    zero false negatives, algo survives serde through the sketch rows."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.operators import build_filter, might_contain, sha256_key
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keyed = docs.select("doc_id", "lang", sha256_key("text").alias("key"))
+    sk = build_filter(
+        keyed, "key", ["lang"], max_keys=1024, fpp=0.01, seed=42, hash_algo="xxhash64"
+    )
+    probed = might_contain(keyed, sk, "key", ["lang"])
+    n = keyed.count()
+    assert probed.filter(F.col("might_contain")).count() == n
+    blob = bytes(sk.select("sketch").first()[0])
+    assert CuckooFilter.from_bytes(blob).hash_algo == "xxhash64"
