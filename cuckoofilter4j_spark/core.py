@@ -521,12 +521,20 @@ class CuckooFilter:
         for many items at once without stranding displaced tags when a walk
         exhausts its budget — each item runs a READ-ONLY random-walk path
         search (same displacement distribution, same ≤500-attempt budget),
-        then disjoint paths commit as vectorized slot shifts. Failure
-        semantics match the reference exactly: a failed item parks its OWN
-        fingerprint in the single victim slot; once the victim slot is
+        then disjoint paths commit as vectorized slot shifts.
+
+        Failure semantics: the first out-of-budget walk parks its OWN
+        fingerprint in the single victim slot, and once the victim slot is
         occupied every remaining both-buckets-full insert fails
-        (CuckooFilter.java:428-431). Set-semantics (which items are findable)
-        are identical; only physical slot placement differs, which the
+        (CuckooFilter.java:428-431). Paths FOUND in the same round commit
+        before that cutoff. NEAR-CAPACITY DIVERGENCE (documented): walks
+        still in flight at the cutoff — conflict losers that would re-search
+        next round — are failed, including some earlier in batch order that
+        a strictly sequential reference run would have inserted before the
+        parking item ever started. Every such item is accounted in
+        failed_inserts (nothing is silently lost), and below the overflow
+        point — where no walk exhausts its budget — set-semantics match the
+        reference exactly; only physical slot placement differs, which the
         reference itself does not pin down (ThreadLocalRandom kicks).
         """
         m = pending.size

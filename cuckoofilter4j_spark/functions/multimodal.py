@@ -89,31 +89,47 @@ DECODED_SCHEMA = StructType(
 )
 
 
+def _pillow_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract image payloads via mapInPandas.
 
     With fake=True, decodes the deterministic fake format (same code path,
-    batch shape, and schema a real decoder would use). With fake=False this
-    raises NotImplementedError: real codecs (Pillow/libvips) are not
-    available in this environment — swap `_decode_one` when they are.
+    batch shape, and schema a real decoder would use). With fake=False,
+    real payloads decode through Pillow when it is importable (grayscale
+    features: width/height/mean/std/8-bin histogram); on hosts without any
+    image codec this raises NotImplementedError at plan time (fail fast on
+    the driver, not per task). Fake-format payloads always decode, so mixed
+    corpora work on either kind of host.
     """
 
     def _decode_one(payload: bytes):
-        if not payload.startswith(_FAKE_MAGIC):
-            raise NotImplementedError(
-                "real image decoding requires Pillow/libvips (unavailable "
-                "here); payload is not in the fake test format"
+        if payload.startswith(_FAKE_MAGIC):
+            w, h = struct.unpack_from("<II", payload, len(_FAKE_MAGIC))
+            px = np.frombuffer(
+                payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
             )
-        w, h = struct.unpack_from("<II", payload, len(_FAKE_MAGIC))
-        px = np.frombuffer(
-            payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
-        )
-        return w, h, px
+            return w, h, px
+        import io
 
-    if not fake:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        px = np.asarray(img, dtype=np.uint8).reshape(-1)
+        return img.width, img.height, px
+
+    if not fake and not _pillow_available():
         raise NotImplementedError(
-            "decode_images(fake=False): no image codec in this container — "
-            "the Spark plumbing is ready; plug a real decoder into _decode_one"
+            "decode_images(fake=False): no image codec importable on this "
+            "host (pip install Pillow) — the Spark plumbing is ready and "
+            "fake=True exercises the identical plan shape"
         )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -162,14 +178,17 @@ RESIZED_SCHEMA = StructType(
 def resize_images(df: DataFrame, max_side: int = 16, fake: bool = False) -> DataFrame:
     """Downscale image payloads via mapInPandas (nearest-neighbor).
 
-    Same contract as decode_images: fake=True runs the deterministic fake
-    codec end-to-end; fake=False raises (no Pillow/libvips here) — the Spark
-    plumbing (schema, batching, partition parallelism) is identical either way.
+    Same contract as decode_images: fake-format payloads resize with a pure
+    numpy stride (deterministic); real payloads go through Pillow thumbnail
+    + PNG re-encode when Pillow is importable, else this raises at plan
+    time. The Spark plumbing (schema, batching, partition parallelism) is
+    identical either way.
     """
-    if not fake:
+    if not fake and not _pillow_available():
         raise NotImplementedError(
-            "resize_images(fake=False): no image codec in this container — "
-            "plug Pillow into the decode/encode steps below"
+            "resize_images(fake=False): no image codec importable on this "
+            "host (pip install Pillow) — fake=True exercises the identical "
+            "plan shape"
         )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -177,14 +196,25 @@ def resize_images(df: DataFrame, max_side: int = 16, fake: bool = False) -> Data
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                w, h = struct.unpack_from("<II", payload, len(_FAKE_MAGIC))
-                px = np.frombuffer(
-                    payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
-                ).reshape(h, w)
-                scale = max(1, (max(w, h) + max_side - 1) // max_side)
-                small = px[::scale, ::scale]
-                nh, nw = small.shape
-                blob = _FAKE_MAGIC + struct.pack("<II", nw, nh) + small.tobytes()
+                if payload.startswith(_FAKE_MAGIC):
+                    w, h = struct.unpack_from("<II", payload, len(_FAKE_MAGIC))
+                    px = np.frombuffer(
+                        payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
+                    ).reshape(h, w)
+                    scale = max(1, (max(w, h) + max_side - 1) // max_side)
+                    small = px[::scale, ::scale]
+                    nh, nw = small.shape
+                    blob = _FAKE_MAGIC + struct.pack("<II", nw, nh) + small.tobytes()
+                else:
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(payload))
+                    img.thumbnail((max_side, max_side))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    nw, nh, blob = img.width, img.height, buf.getvalue()
                 out.append(dict(media_id=int(media_id), width=int(nw), height=int(nh), payload=blob))
             yield pd.DataFrame(out)
 

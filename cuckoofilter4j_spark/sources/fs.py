@@ -1,0 +1,64 @@
+"""Small-file IO through the JVM Hadoop FileSystem API.
+
+Sketch stores and streaming epoch pointers write their DATA through Spark
+(which already speaks s3a://, hdfs://, gs://, ...), so their tiny manifest /
+pointer files must go through the same FileSystem abstraction — driver-local
+open()/os.replace would silently write to the local disk (or crash) for any
+non-local store path. Local paths keep working: with no cluster filesystem
+configured, Hadoop's default FS is file:///.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str) -> Tuple[object, object, object]:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file (overwrite) via the Hadoop FileSystem."""
+    _, fs, hpath = _fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> Optional[str]:
+    """Read a small text file; None if it does not exist."""
+    jvm, fs, hpath = _fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def replace_text(spark: SparkSession, path: str, text: str) -> None:
+    """Pointer-file update: write <path>.tmp then swap it into place.
+    On HDFS the rename is atomic; on object stores it degrades to
+    copy+delete with the same (documented) crash window the epoch replay
+    logic already tolerates."""
+    _, fs, hpath = _fs(spark, path)
+    tmp = _fs(spark, path + ".tmp")[2]
+    write_text(spark, path + ".tmp", text)
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    fs.rename(tmp, hpath)
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    _, fs, hpath = _fs(spark, path)
+    return bool(fs.exists(hpath))

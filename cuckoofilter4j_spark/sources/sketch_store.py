@@ -8,6 +8,9 @@ Layout:
 The manifest pins the parameters a reader must agree on: probing with a
 different seed or sizing silently yields garbage, so `load_sketches`
 validates requested params against the stored ones.
+
+Manifest IO goes through the Hadoop FileSystem API (sources/fs.py) so the
+store works on every filesystem the data does (s3a://, hdfs://, local).
 """
 
 from __future__ import annotations
@@ -17,6 +20,8 @@ import os
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+from cuckoofilter4j_spark.sources.fs import read_text, write_text
 
 META_FILE = "_ckf_meta.json"
 
@@ -41,11 +46,18 @@ def save_sketches(
         ],
         "n_sketches": sketches.count(),
     }
+    if "num_shards" in sketches.columns:
+        shard_vals = [r[0] for r in sketches.select("num_shards").distinct().collect()]
+        if len(shard_vals) == 1:
+            meta["num_shards"] = int(shard_vals[0])
     if extra_meta:
         meta.update(extra_meta)
     sketches.write.mode(mode).parquet(os.path.join(path, "data"))
-    with open(os.path.join(path, META_FILE), "w") as f:
-        json.dump(meta, f, indent=2, sort_keys=True)
+    write_text(
+        sketches.sparkSession,
+        os.path.join(path, META_FILE),
+        json.dumps(meta, indent=2, sort_keys=True),
+    )
 
 
 def load_sketches(
@@ -54,8 +66,10 @@ def load_sketches(
     expect_seed: Optional[int] = None,
 ) -> DataFrame:
     """Load a sketch store; optionally assert the seed it was built with."""
-    with open(os.path.join(path, META_FILE)) as f:
-        meta = json.load(f)
+    raw = read_text(spark, os.path.join(path, META_FILE))
+    if raw is None:
+        raise FileNotFoundError(f"no {META_FILE} manifest at {path}")
+    meta = json.loads(raw)
     if expect_seed is not None:
         seeds = {p["seed"] for p in meta["params"]}
         if seeds != {expect_seed}:
@@ -66,6 +80,11 @@ def load_sketches(
     return spark.read.parquet(os.path.join(path, "data"))
 
 
-def store_meta(path: str) -> dict:
-    with open(os.path.join(path, META_FILE)) as f:
-        return json.load(f)
+def store_meta(path: str, spark: Optional[SparkSession] = None) -> dict:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("store_meta needs an active SparkSession")
+    raw = read_text(spark, os.path.join(path, META_FILE))
+    if raw is None:
+        raise FileNotFoundError(f"no {META_FILE} manifest at {path}")
+    return json.loads(raw)

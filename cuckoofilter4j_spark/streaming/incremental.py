@@ -68,19 +68,23 @@ class StreamingFilterMaintainer:
         self.sizing = sizing
 
     # -- store layout: store_dir/epoch=<n>/  + store_dir/_CURRENT ------------
+    # Pointer IO goes through the Hadoop FileSystem API so the store works on
+    # whatever filesystem the sketch parquet lives on (s3a://, hdfs://, local)
     def _current_path(self) -> str:
         return os.path.join(self.store_dir, "_CURRENT")
 
-    def _read_current_epoch(self) -> int:
+    def _read_current_epoch(self, spark: SparkSession) -> int:
+        from cuckoofilter4j_spark.sources.fs import read_text
+
+        raw = read_text(spark, self._current_path())
         try:
-            with open(self._current_path()) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
+            return int(raw.strip()) if raw is not None else -1
+        except ValueError:
             return -1
 
     def current(self, spark: SparkSession) -> Optional[DataFrame]:
         """The latest committed sketch DataFrame (None before first batch)."""
-        epoch = self._read_current_epoch()
+        epoch = self._read_current_epoch(spark)
         if epoch < 0:
             return None
         return spark.read.parquet(os.path.join(self.store_dir, f"epoch={epoch}"))
@@ -88,7 +92,7 @@ class StreamingFilterMaintainer:
     # -- foreachBatch entrypoint ----------------------------------------------
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         out_dir = os.path.join(self.store_dir, f"epoch={epoch_id}")
-        cur = self._read_current_epoch()
+        cur = self._read_current_epoch(batch_df.sparkSession)
         if cur >= epoch_id:
             return  # replayed epoch after restart: already promoted — skip
         spark = batch_df.sparkSession
@@ -109,10 +113,9 @@ class StreamingFilterMaintainer:
             else partials
         )
         merged.write.mode("overwrite").parquet(out_dir)
-        # atomic-enough promotion: single small file rename-free write; a
+        # atomic-enough promotion (tmp + rename through the Hadoop FS): a
         # crash between write and promote leaves _CURRENT on the old epoch
         # and the replayed epoch rebuilds out_dir (overwrite) then promotes
-        tmp = self._current_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(epoch_id))
-        os.replace(tmp, self._current_path())
+        from cuckoofilter4j_spark.sources.fs import replace_text
+
+        replace_text(spark, self._current_path(), str(epoch_id))
