@@ -463,6 +463,23 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse-quantizer inverted lists — the other classic scale
+    path next to LSH): probing only each query's nearest list must still
+    rank the query's own vector first (a vector's own list IS its nearest
+    centroid's list), deterministically."""
+    from cuckoofilter4j_spark.functions import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = ivf_topk(emb, q, k=10, n_lists=16, n_probe=1, seed=SEED)
+    return approx.groupBy("query_id").agg(
+        (F.sum(F.when((F.col("vec_id") == F.col("query_id")) & (F.col("rank") == 1), 1).otherwise(0)) == 1).alias("self_found"),
+    )
+
+
 def q_ckf_events_stream_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events-table coverage: sharded global filter over sha256 of the event
     identity; exact per-type membership totals via the sharded probe path."""
@@ -526,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_vectorized": q_ann_topk_vectorized,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "emb_near_dup": q_emb_near_dup,
         "media_decode": q_media_decode,
     }
@@ -673,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "ann_lsh_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
+        "ann_ivf_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
         "emb_near_dup": "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
         # media_decode: deterministic numpy synthesis — rows-only check (no SQL form)
     }

@@ -370,3 +370,124 @@ def brute_force_topk_vectorized(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= kk)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 64,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_cap: int = 100_000,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: spherical k-means on a bounded,
+    deterministic sample (standard IVF practice — FAISS trains its coarse
+    quantizer on a sample too; the full corpus never reaches the driver).
+    Returns an L2-normalized (n_lists, dim) centroid matrix."""
+    n = corpus.count()
+    frac = min(1.0, (train_cap * 1.2) / max(n, 1))
+    sample = (
+        corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(train_cap).collect()
+    )
+    mat = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_lists, mat.shape[0])
+    cent = mat[rng.choice(mat.shape[0], size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        assign = np.argmax(mat @ cent.T, axis=1)  # spherical: max cosine
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def assign_ivf_lists(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "__ivf_list",
+) -> DataFrame:
+    """Append each vector's inverted-list id (nearest centroid by cosine):
+    one broadcast matmul per Arrow batch, same shape as with_lsh_bucket."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cm = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    bc = corpus.sparkSession.sparkContext.broadcast(cm)
+    schema = StructType(corpus.schema.fields + [StructField(out_col, IntegerType(), False)])
+
+    def assign(batches):
+        cent_t = bc.value.T  # (dim, k)
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            pdf[out_col] = np.argmax(mat @ cent_t, axis=1).astype(np.int32)
+            yield pdf
+
+    return corpus.mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    n_lists: int = 64,
+    n_probe: int = 4,
+    seed: int = 42,
+    centroids: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed into n_lists
+    inverted lists by nearest coarse centroid; each query scans only its
+    n_probe nearest lists. Recall/cost is tuned by n_probe (n_probe=n_lists
+    degenerates to exact brute force).
+
+    Scale shape: centroid training touches a bounded sample; assignment is
+    one broadcast matmul per batch (no shuffle); the probe join shuffles the
+    corpus once on the list id against a BROADCAST (query, list) probe set;
+    candidates are scored with the vectorized einsum. At 10^12 rows the
+    assigned corpus would be written once as a list-partitioned table and
+    reused across query batches (same pattern as write_bucketed_keys)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_lists, seed)
+    assigned = assign_ivf_lists(corpus.select(id_col, vec_col), centroids, vec_col)
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    sims = q_mat @ np.asarray(centroids, dtype=np.float64).T
+    n_probe = min(n_probe, sims.shape[1])
+    probe_lists = np.argsort(-sims, axis=1)[:, :n_probe]
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        [
+            (r[0], r[1], int(probe_lists[i, j]))
+            for i, r in enumerate(q_rows)
+            for j in range(n_probe)
+        ],
+        f"{query_id_col} long, {query_vec_col} array<float>, __ivf_list int",
+    )
+    cand = assigned.join(F.broadcast(probes), "__ivf_list").select(
+        query_id_col, id_col, vec_col, query_vec_col
+    )
+    scored = with_pair_cosine(cand, vec_col, query_vec_col)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -117,3 +117,50 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     # test is the monotone candidate-superset property, plus a floor)
     assert r8 > r1
     assert r8 >= 0.2
+
+
+def test_ivf_topk_recall_and_exactness_degenerate(spark):
+    """IVF invariants: (1) n_probe = n_lists degenerates to exact brute
+    force; (2) recall grows with n_probe; (3) every IVF hit is a true corpus
+    vector with its exact cosine."""
+    from cuckoofilter4j_spark.functions.similarity import ivf_topk, train_ivf_centroids
+
+    corpus = _synthetic_emb(spark, 500, 48, seed=9).cache()
+    q = corpus.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk_vectorized(corpus, q, k=10)
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    cent = train_ivf_centroids(corpus, "embedding", n_lists=16, seed=3)
+
+    def recall(n_probe):
+        approx = ivf_topk(
+            corpus, q, k=10, n_lists=16, n_probe=n_probe, seed=3, centroids=cent
+        )
+        hits = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        return len(hits & exact_set) / len(exact_set)
+
+    r1, r4, r16 = recall(1), recall(4), recall(16)
+    assert r1 <= r4 <= r16
+    assert r16 == 1.0  # probing every list == exact
+    assert r4 >= 0.5
+    # self-match must be rank 1 even at n_probe=1 (a vector's own list is
+    # always its nearest centroid's list)
+    approx = ivf_topk(corpus, q, k=10, n_lists=16, n_probe=1, seed=3, centroids=cent)
+    self_hits = approx.filter(
+        (F.col("vec_id") == F.col("query_id")) & (F.col("rank") == 1)
+    ).count()
+    assert self_hits == 6
+    corpus.unpersist()
+
+
+def test_ivf_at_dim_768(spark):
+    from cuckoofilter4j_spark.functions.similarity import ivf_topk
+
+    corpus = _synthetic_emb(spark, 120, 768, seed=11)
+    q = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = ivf_topk(corpus, q, k=5, n_lists=8, n_probe=2, seed=4)
+    hits = approx.filter((F.col("vec_id") == F.col("query_id")) & (F.col("rank") == 1))
+    assert hits.count() == 2
