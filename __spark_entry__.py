@@ -500,6 +500,65 @@ def q_ckf_events_stream_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (applyInPandasWithState, cuckoo filter as
+    bounded per-group state): stream every document twice in 4 micro-batches;
+    each key is emitted at most once (duplicate replays always dropped) and
+    new-key loss is bounded by ~2x fpp (filter false positives)."""
+    import shutil
+    import tempfile
+
+    from cuckoofilter4j_spark.streaming import streaming_dedup
+
+    keyed = _docs_keyed(spark, sf_dir).select("lang", "doc_id", "key")
+    base = tempfile.mkdtemp(prefix="ckf_sdq_")
+    try:
+        half_a = keyed.filter(F.col("doc_id") % 2 == 0)
+        half_b = keyed.filter(F.col("doc_id") % 2 == 1)
+        for i, part in enumerate([half_a, half_b, half_a, half_b]):
+            part.coalesce(1).write.parquet(f"{base}/src/f={i}")
+        stream = (
+            spark.readStream.schema("lang string, doc_id bigint, key binary")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src/f=*")
+        )
+        deduped = streaming_dedup(
+            stream, key_col="key", group_cols=["lang"],
+            max_keys=MAX_KEYS, fpp=FPP, seed=SEED,
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(f"{base}/out")
+        exact = keyed.groupBy("lang").agg(F.countDistinct("key").alias("__n_exact"))
+        out = (
+            got.groupBy("lang")
+            .agg(
+                F.count("*").alias("__n_emitted"),
+                F.countDistinct("key").alias("__n_unique"),
+            )
+            .join(exact, "lang")
+            .select(
+                "lang",
+                (
+                    (F.col("__n_emitted") == F.col("__n_unique"))  # no key twice
+                    & (F.col("__n_emitted") <= F.col("__n_exact"))
+                    & (F.col("__n_exact") - F.col("__n_emitted") <= F.ceil(F.col("__n_exact") * 2 * FPP))
+                ).alias("dedup_ok"),
+            )
+        )
+        out = out.cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media → mapInPandas decode →
     typed features. Deterministic but not SQL-expressible (rows-only check)."""
@@ -545,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "emb_near_dup": q_emb_near_dup,
+        "stream_dedup": q_stream_dedup,
         "media_decode": q_media_decode,
     }
 
@@ -693,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
         "ann_ivf_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
         "emb_near_dup": "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
+        "stream_dedup": "SELECT lang, TRUE AS dedup_ok FROM (SELECT DISTINCT lang FROM documents)",
         # media_decode: deterministic numpy synthesis — rows-only check (no SQL form)
     }
     out["ann_topk_vectorized"] = out["ann_topk"]  # identical result contract

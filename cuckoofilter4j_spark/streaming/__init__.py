@@ -1,5 +1,9 @@
-"""Structured Streaming extensions: incremental sketch maintenance."""
+"""Structured Streaming extensions: incremental sketch maintenance and
+cuckoo-filter-backed stateful dedup."""
 
-from cuckoofilter4j_spark.streaming.incremental import StreamingFilterMaintainer
+from cuckoofilter4j_spark.streaming.incremental import (
+    StreamingFilterMaintainer,
+    streaming_dedup,
+)
 
-__all__ = ["StreamingFilterMaintainer"]
+__all__ = ["StreamingFilterMaintainer", "streaming_dedup"]

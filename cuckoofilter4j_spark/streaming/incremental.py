@@ -28,6 +28,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cuckoofilter4j_spark.core import CuckooFilter, validate_params
 from cuckoofilter4j_spark.operators.build import build_filter
 from cuckoofilter4j_spark.operators.merge import merge_sketches
 
@@ -119,3 +120,76 @@ class StreamingFilterMaintainer:
         from cuckoofilter4j_spark.sources.fs import replace_text
 
         replace_text(spark, self._current_path(), str(epoch_id))
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_col: str = "key",
+    group_cols: Optional[Sequence[str]] = None,
+    max_keys: int = None,
+    fpp: float = 0.01,
+    seed: int = 42,
+    min_max_keys: int = 256,
+    sizing: str = "reference",
+    hash_algo: str = "mix64",
+) -> DataFrame:
+    """Stateful streaming deduplication with a cuckoo filter as the state —
+    the custom stateful operator path (applyInPandasWithState).
+
+    Emits only the FIRST occurrence of each key per group across the whole
+    stream; later occurrences are dropped. The per-group state is one
+    serialized cuckoo filter, so state size is O(max_keys x tag_bits / 8)
+    bytes per group regardless of how many events flow — the reason to use a
+    sketch instead of Spark's exact dropDuplicates (whose state grows with
+    the distinct-key count and must be bounded with a watermark).
+
+    Semantics (documented approximation): duplicates are ALWAYS dropped
+    (membership has zero false negatives); a new key is wrongly dropped at
+    ~fpp (a filter false positive). Use fpp to trade state size vs loss.
+
+    Scale shape: state ships as one binary per group per micro-batch; the
+    probe+insert inside the UDF is the same vectorized kernel as the batch
+    path. Group count bounds parallelism — salt groups upstream if a single
+    logical group must exceed one task.
+    """
+    if max_keys is None:
+        raise ValueError("max_keys is required (expected distinct keys per group)")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    gcols = list(group_cols) if group_cols else []
+    out_schema = StructType([f for f in stream.schema.fields])
+    state_schema = StructType([StructField("sketch", BinaryType(), True)])
+    nb, tb = validate_params(max(int(max_keys), int(min_max_keys), 2), fpp, sizing)
+    seed_, algo_, kc = int(seed), str(hash_algo), key_col
+    out_cols = [f.name for f in stream.schema.fields]
+
+    def dedup(key_tuple, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        from cuckoofilter4j_spark.operators.build import _rng_seed_for
+
+        if state.exists:
+            filt = CuckooFilter.from_bytes(bytes(state.get[0]))
+        else:
+            filt = CuckooFilter(
+                nb, tb, seed_,
+                rng_seed=_rng_seed_for(seed_, tuple(key_tuple)),
+                hash_algo=algo_,
+            )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # within-batch duplicates: keep first occurrence only
+            pdf = pdf.drop_duplicates(subset=[kc], keep="first")
+            seen = filt.contains_batch(pdf[kc])
+            fresh = pdf.loc[~seen]
+            if len(fresh):
+                filt.put_batch(fresh[kc])
+                yield fresh[out_cols]
+        state.update((filt.to_bytes(),))
+
+    grouped = stream.groupBy(*gcols) if gcols else stream.groupBy(F.lit(0).alias("__g"))
+    return grouped.applyInPandasWithState(
+        dedup, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -58,3 +58,48 @@ def test_streaming_maintenance_matches_batch(spark, tmp_path):
         assert CuckooFilter.from_bytes(have[g]).semantically_equal(
             CuckooFilter.from_bytes(want[g])
         )
+
+
+def test_streaming_dedup_emits_first_occurrence_only(spark, tmp_path):
+    """applyInPandasWithState dedup: replaying the same keys across
+    micro-batches emits each key exactly once per group; state is one
+    bounded filter per group."""
+    from cuckoofilter4j_spark.streaming import streaming_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select("lang", "doc_id", sha256_key("text").alias("key")).cache()
+    n = keyed.count()
+
+    # 4 files: two disjoint halves, then both halves AGAIN (pure duplicates)
+    src_dir = str(tmp_path / "dedup_src")
+    half_a = keyed.filter(F.col("doc_id") % 2 == 0)
+    half_b = keyed.filter(F.col("doc_id") % 2 == 1)
+    for i, part in enumerate([half_a, half_b, half_a, half_b]):
+        part.coalesce(1).write.parquet(f"{src_dir}/f={i}")
+
+    stream = (
+        spark.readStream.schema("lang string, doc_id bigint, key binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/f=*")
+    )
+    deduped = streaming_dedup(
+        stream, key_col="key", group_cols=["lang"], max_keys=1024, fpp=0.01, seed=42
+    )
+    out_dir = str(tmp_path / "dedup_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    # every key exactly once (duplicate replays dropped, nothing leaked twice)
+    assert got.groupBy("key").count().filter(F.col("count") > 1).count() == 0
+    # zero false negatives on duplicates is structural; false-positive drops
+    # of NEW keys are bounded ~fpp — at 500 keys expect ~0-5 lost
+    n_out = got.count()
+    assert n - n_out <= int(0.02 * n) + 1
+    assert n_out <= n
