@@ -245,6 +245,14 @@ def alt_index(index: np.ndarray, tag: np.ndarray, num_buckets: int) -> np.ndarra
 
 
 HASH_ALGOS = ("mix64", "xxhash64", "murmur3_128")
+# xxhash64 zero-tag rescue: chained re-hash h_k = xxh64(key, seed=h_{k-1}) —
+# exactly Spark's multi-argument xxhash64(key, key, ..., key) — capped at 8
+# levels with fallback tag=1. The cap makes the derivation expressible as a
+# pure Catalyst CASE chain (see operators.build.fingerprint_columns) and the
+# fallback fires with P = 2^-(8·tag_bits) (< 2^-64 at the 8-bit default —
+# never for any realistic corpus; documented deviation from the reference's
+# unbounded salt loop, IndexTagCalc.java:164-168).
+XXH_RESCUE_LEVELS = 8
 
 
 def _salted_seed(seed: int, salt: int) -> int:
@@ -300,11 +308,9 @@ class IndexTagGen:
                 hash64(words, self.seed, salt),
                 hash64(words, self.seed ^ _SHARD_SEED_MIX, salt),
             )
-        from cuckoofilter4j_spark.hashing import murmur3_128_words, xxh64_words
+        from cuckoofilter4j_spark.hashing import murmur3_128_words
 
         seed = self.seed if salt == 0 else _salted_seed(self.seed, salt)
-        if self.hash_algo == "xxhash64":
-            return xxh64_words(words, seed), None
         h1, h2 = murmur3_128_words(words, seed)
         return (h1, h2) if self.wide else (h1, None)
 
@@ -315,6 +321,27 @@ class IndexTagGen:
         incrementing salts while zero (tag 0 is the empty-slot sentinel).
         """
         tag_mask = _U64((1 << self.tag_bits) - 1)
+        if self.hash_algo == "xxhash64":
+            # Catalyst-twin derivation: identical values are computable
+            # JVM-side as pure expressions when seed == 42 (Spark's fixed
+            # xxhash64 seed) — see operators.build.fingerprint_columns.
+            from cuckoofilter4j_spark.hashing import xxh64_words
+
+            h = xxh64_words(words, self.seed)
+            index = (h >> _U64(self.tag_bits)) & _U64(self.num_buckets - 1)
+            tag = h & tag_mask
+            h_prev = h.copy()
+            for _ in range(XXH_RESCUE_LEVELS - 1):
+                zero = tag == 0
+                if not zero.any():
+                    break
+                h_new = xxh64_words(words[zero], h_prev[zero])
+                tag[zero] = h_new & tag_mask
+                h_prev[zero] = h_new
+            still = tag == 0
+            if still.any():
+                tag[still] = _U64(1)  # capped-rescue fallback (see above)
+            return index.astype(np.int64), tag
         h_lo, h_hi = self._hash_pair(words, 0)
         if not self.wide:
             index = (h_lo >> _U64(self.tag_bits)) & _U64(self.num_buckets - 1)

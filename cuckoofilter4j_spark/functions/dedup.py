@@ -40,14 +40,20 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep exactly one row (min id) per distinct text. Implemented as a
-    window rank over the content hash — a single shuffle, no self-join."""
-    w = Window.partitionBy(content_sha(text_col)).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    """Keep exactly one row (min id) per distinct text.
+
+    Implemented as min_by over the content hash: ONE shuffle with map-side
+    partial aggregation, so a mega-duplicated content (the classic training
+    corpus pathology — one boilerplate page copied 10^8 times) collapses to
+    one row per map partition BEFORE the shuffle. The window-rank form this
+    replaces sorted every copy of the hot key inside a single task. Ties on
+    id (duplicate ids with identical text) resolve arbitrarily."""
+    cols = df.columns
+    agg = (
+        df.groupBy(content_sha(text_col).alias("__sha"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"))
     )
+    return agg.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
 def minhash_signature(

@@ -153,24 +153,31 @@ def _gather_word(data: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return data[np.arange(data.shape[0]), safe]
 
 
-def xxh64_words(words: np.ndarray, seed: int = 0) -> np.ndarray:
-    """Vectorized, byte-exact XXH64 of each row's message bytes."""
+def xxh64_words(words: np.ndarray, seed=0) -> np.ndarray:
+    """Vectorized, byte-exact XXH64 of each row's message bytes.
+
+    `seed` may be a Python int (one seed for the batch) or a uint64 array
+    with one seed per row — the per-row form is what makes the chained
+    zero-tag rescue (h_k = xxh64(key, seed=h_{k-1})) vectorizable, mirroring
+    Spark's multi-argument xxhash64 chaining."""
     lens, data = _lens_and_data(words)
     n_rows = lens.shape[0]
     if n_rows == 0:
         return np.empty(0, dtype=np.uint64)
-    seed = seed & _M64
-    max_len = int(lens.max())
+    if isinstance(seed, (int, np.integer)):
+        seed_arr = np.full(n_rows, seed & _M64, dtype=np.uint64)
+    else:
+        seed_arr = np.asarray(seed, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        h = np.full(n_rows, (seed + _XP5) & _M64, dtype=np.uint64)
+        h = seed_arr + _U64(_XP5)
         pos = np.zeros(n_rows, dtype=np.int64)
         long_rows = lens >= 32
         if long_rows.any():
             acc = [
-                np.full(n_rows, (seed + _XP1 + _XP2) & _M64, dtype=np.uint64),
-                np.full(n_rows, (seed + _XP2) & _M64, dtype=np.uint64),
-                np.full(n_rows, seed, dtype=np.uint64),
-                np.full(n_rows, (seed - _XP1) & _M64, dtype=np.uint64),
+                seed_arr + _U64((_XP1 + _XP2) & _M64),
+                seed_arr + _U64(_XP2),
+                seed_arr.copy(),
+                seed_arr - _U64(_XP1),
             ]
             n_stripes = np.where(long_rows, lens >> 5, 0)
             for s in range(int(n_stripes.max())):

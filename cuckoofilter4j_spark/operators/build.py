@@ -358,6 +358,55 @@ def shard_column(key_col: Union[str, Column], num_shards: int) -> Column:
     return F.pmod(F.xxhash64(c, F.lit(_SHARD_HASH_SEED)), F.lit(num_shards)).cast("int")
 
 
+def fingerprint_columns(
+    key_col: Union[str, Column],
+    num_buckets: int,
+    tag_bits: int,
+    seed: int = 42,
+    hash_algo: str = "xxhash64",
+) -> Tuple[Column, Column]:
+    """(bucket_index, tag) as PURE CATALYST columns — zero Python anywhere.
+
+    Byte-equal to IndexTagGen(num_buckets, tag_bits, seed=42,
+    hash_algo='xxhash64').generate (pinned by tests): the library's numpy
+    XXH64 is bit-identical to Spark's JVM xxhash64, the index/tag bit
+    splits are plain shift/mask expressions, and the zero-tag rescue is the
+    chained xxhash64(key, key, ..., key) CASE ladder the kernel mirrors
+    (XXH_RESCUE_LEVELS deep, fallback tag=1).
+
+    Constraints: hash_algo='xxhash64' only, seed must be 42 (Spark's fixed
+    xxhash64 seed), and index_bits + tag_bits <= 64. The whole derivation
+    runs inside whole-stage codegen, so map-side fingerprint extraction
+    costs no Python worker at all — the key bytes never leave the JVM.
+    """
+    if hash_algo != "xxhash64":
+        raise ValueError("fingerprint_columns supports hash_algo='xxhash64' only")
+    if seed != 42:
+        raise ValueError(
+            "fingerprint_columns requires seed=42 (Spark's xxhash64 uses a "
+            "fixed seed of 42; any other kernel seed cannot be reproduced "
+            "JVM-side)"
+        )
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two")
+    index_bits = max(1, (num_buckets - 1).bit_length())
+    if index_bits + tag_bits > 64:
+        raise ValueError("index_bits + tag_bits must fit in 64 bits for xxhash64")
+    from cuckoofilter4j_spark.core import XXH_RESCUE_LEVELS
+
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    tag_mask = (1 << tag_bits) - 1
+    h1 = F.xxhash64(c)
+    index = F.shiftrightunsigned(h1, tag_bits).bitwiseAND(F.lit(num_buckets - 1))
+    t = h1.bitwiseAND(F.lit(tag_mask))
+    tag = F.when(t != 0, t)
+    for level in range(2, XXH_RESCUE_LEVELS + 1):
+        tk = F.xxhash64(*([c] * level)).bitwiseAND(F.lit(tag_mask))
+        tag = tag.when(tk != 0, tk)
+    tag = tag.otherwise(F.lit(1))
+    return index, tag
+
+
 def build_filter_sharded(
     df: DataFrame,
     key_col: str = "key",
@@ -439,15 +488,20 @@ def build_filter_sharded_fingerprints(
     sizing: str = "reference",
     num_partitions: Optional[int] = None,
     hash_algo: str = "mix64",
+    derive: str = "python",
 ) -> DataFrame:
     """Sharded global build that ships FINGERPRINTS, not keys, through the
     shuffle — the minimal-bytes scale path.
 
-    Stage 1 (mapInArrow, no shuffle): each scan partition derives
-    (shard, bucket_index, tag) from its keys in one vectorized pass; the
-    32-byte keys never leave the partition. Stage 2 (repartition by shard,
-    no sort): 17-byte int rows shuffle. Stage 3 (mapInArrow): each task
-    assembles whole shard filters via put_fingerprints (exact put semantics).
+    Stage 1 (no shuffle): each scan partition derives (shard, bucket_index,
+    tag) from its keys in one vectorized pass; the 32-byte keys never leave
+    the partition. With derive="python" (default) this is a mapInArrow
+    numpy pass; with derive="catalyst" (requires hash_algo='xxhash64' and
+    seed=42) it is PURE Catalyst expressions (fingerprint_columns) inside
+    whole-stage codegen — no Python worker touches the map side at all.
+    Stage 2 (repartition by shard, no sort): 17-byte int rows shuffle.
+    Stage 3 (mapInArrow): each task assembles whole shard filters via
+    put_fingerprints (exact put semantics).
 
     Compared to the grouped-map build this removes the JVM-side per-row
     binary->Arrow conversion on the reduce side, the grouped-map SORT of all
@@ -473,23 +527,34 @@ def build_filter_sharded_fingerprints(
         F.col(key_col).alias("key"), shard_column(key_col, num_shards).alias(SHARD_COL)
     )
 
-    def derive(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        gen = IndexTagGen(nb, tb, seed_, algo_)
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            words = words_from_arrow_binary(batch.column(0))
-            i1, tag = gen.generate(words)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column(1),
-                    pa.array(i1, type=pa.int64()),
-                    pa.array(tag.astype(np.int64), type=pa.int64()),
-                ],
-                names=[SHARD_COL, "i1", "tag"],
-            )
+    if derive == "catalyst":
+        idx_col, tag_col = fingerprint_columns(
+            "key", nb, tb, seed=seed_, hash_algo=hash_algo
+        )
+        fp = sharded.select(
+            F.col(SHARD_COL), idx_col.alias("i1"), tag_col.alias("tag")
+        )
+    elif derive == "python":
 
-    fp = sharded.mapInArrow(derive, f"{SHARD_COL} int, i1 long, tag long")
+        def derive_fp(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            gen = IndexTagGen(nb, tb, seed_, algo_)
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                words = words_from_arrow_binary(batch.column(0))
+                i1, tag = gen.generate(words)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(1),
+                        pa.array(i1, type=pa.int64()),
+                        pa.array(tag.astype(np.int64), type=pa.int64()),
+                    ],
+                    names=[SHARD_COL, "i1", "tag"],
+                )
+
+        fp = sharded.mapInArrow(derive_fp, f"{SHARD_COL} int, i1 long, tag long")
+    else:
+        raise ValueError(f"derive must be 'python' or 'catalyst', got {derive!r}")
     routed = fp.repartition(num_partitions, F.col(SHARD_COL))
     out_schema = StructType(
         [StructField(SHARD_COL, IntegerType(), False)] + METRIC_FIELDS

@@ -162,3 +162,80 @@ def test_spark_build_with_xxhash64(spark):
     assert probed.filter(F.col("might_contain")).count() == n
     blob = bytes(sk.select("sketch").first()[0])
     assert CuckooFilter.from_bytes(blob).hash_algo == "xxhash64"
+
+
+# -- Catalyst-twin fingerprint derivation -------------------------------------
+def test_fingerprint_columns_byte_equal_to_kernel(spark):
+    """fingerprint_columns (pure Catalyst: JVM xxhash64 + shift/mask + the
+    chained-rescue CASE ladder) must produce (index, tag) BYTE-EQUAL to
+    IndexTagGen(hash_algo='xxhash64') for seed 42 — the contract that lets
+    the fingerprint-shuffle build derive map-side with zero Python."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.operators import fingerprint_columns
+
+    nb, tb = 1 << 12, 8
+    rng = np.random.default_rng(21)
+    # 200k random keys: at 8 tag bits, ~780 hit rescue level 2, a few level 3
+    keys = [rng.bytes(int(n)) for n in rng.integers(1, 40, size=200_000)]
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)], "i long, key binary")
+    idx_col, tag_col = fingerprint_columns("key", nb, tb, seed=42)
+    got = {
+        r["i"]: (r["idx"], r["tag"])
+        for r in df.select("i", idx_col.alias("idx"), tag_col.alias("tag")).collect()
+    }
+    gen = IndexTagGen(nb, tb, seed=42, hash_algo="xxhash64")
+    want_i, want_t = gen.generate(encode_keys(keys))
+    mismatches = sum(
+        1 for i in range(len(keys)) if got[i] != (int(want_i[i]), int(want_t[i]))
+    )
+    assert mismatches == 0
+    # the rescue ladder actually fired somewhere in this volume
+    h1_tags = None  # (coverage asserted via distribution below)
+    import numpy as _np
+    from cuckoofilter4j_spark.hashing import xxh64_words
+
+    raw_tag = xxh64_words(encode_keys(keys), 42) & _np.uint64((1 << tb) - 1)
+    assert int((raw_tag == 0).sum()) > 300  # rescue path exercised
+
+
+def test_fingerprint_columns_validation():
+    from cuckoofilter4j_spark.operators import fingerprint_columns
+
+    with pytest.raises(ValueError, match="seed"):
+        fingerprint_columns("key", 1 << 10, 8, seed=7)
+    with pytest.raises(ValueError, match="xxhash64"):
+        fingerprint_columns("key", 1 << 10, 8, seed=42, hash_algo="mix64")
+    with pytest.raises(ValueError, match="64 bits"):
+        fingerprint_columns("key", 1 << 60, 16, seed=42)
+
+
+def test_catalyst_derive_build_matches_python_derive(spark):
+    """build_filter_sharded_fingerprints(derive='catalyst') must produce
+    semantically identical shard filters to derive='python', and the
+    standard sharded probe (kernel hashing) must find every key."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.operators import (
+        build_filter_sharded_fingerprints,
+        might_contain_sharded,
+        sha256_key,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keyed = docs.select(sha256_key("text").alias("key")).cache()
+    n = keyed.count()
+    common = dict(num_shards=8, max_keys=max(n, 512), fpp=0.01, seed=42,
+                  hash_algo="xxhash64")
+    a = build_filter_sharded_fingerprints(keyed, "key", derive="catalyst", **common)
+    b = build_filter_sharded_fingerprints(keyed, "key", derive="python", **common)
+    sa = {r["__ckf_shard"]: bytes(r["sketch"]) for r in a.collect()}
+    sb = {r["__ckf_shard"]: bytes(r["sketch"]) for r in b.collect()}
+    assert sa.keys() == sb.keys()
+    for sh in sa:
+        fa = CuckooFilter.from_bytes(sa[sh])
+        fb = CuckooFilter.from_bytes(sb[sh])
+        assert fa.semantically_equal(fb), f"shard {sh} differs"
+    probed = might_contain_sharded(keyed, a, "key")
+    assert probed.filter(~F.col("might_contain")).count() == 0
+    keyed.unpersist()

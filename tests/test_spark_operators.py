@@ -210,3 +210,25 @@ def test_sql_registered_probe_udf(spark, keyed):
     register_probe_udf(spark, "corpus_count", blob, mode="count")
     got = spark.sql("SELECT min(corpus_count(key)) AS m FROM keyed_rows").collect()[0]["m"]
     assert got >= 1
+
+
+def test_exact_dedup_skew_immune_and_partial_agg(spark):
+    """exact_dedup on a mega-duplicated corpus: one text copied 50k times
+    must reduce map-side (min_by partial aggregation), produce the min id,
+    and the plan must show partial aggregation before the exchange."""
+    from cuckoofilter4j_spark.functions import exact_dedup
+
+    base = spark.range(0, 50_000).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate page").alias("text")
+    )
+    uniq = spark.range(100_000, 100_050).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique "), F.col("id")).alias("text"),
+    )
+    out = exact_dedup(base.unionByName(uniq), "text", "doc_id")
+    rows = {r["text"]: r["doc_id"] for r in out.collect()}
+    assert len(rows) == 51
+    assert rows["same boilerplate page"] == 0  # min id kept
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partial_min_by before the exchange == skew collapses map-side
+    assert "partial_min_by" in plan or "partial min_by" in plan.lower()
