@@ -58,3 +58,63 @@ def test_grouped_build_is_single_shuffle(spark):
     keyed = docs.select("lang", sha256_key("text").alias("key"))
     sk = build_filter(keyed, "key", ["lang"], max_keys=1024)
     assert shuffle_count(sk) == 1, plan_string(sk, "simple")
+
+
+def test_lsh_topk_broadcasts_queries_no_cartesian(spark):
+    """The LSH candidate join must be a broadcast join on __bucket — never a
+    cartesian/nested-loop over the corpus."""
+    import numpy as np
+
+    from cuckoofilter4j_spark.functions import lsh_topk
+
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(200)], "vec_id long, embedding array<float>"
+    )
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(corpus, q, k=5, n_planes=6, seed=1)
+    plan = plan_string(out, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # no plane literals inlined: dim*planes floats would blow the plan up
+    assert len(plan) < 20_000, f"plan unexpectedly large ({len(plan)} chars)"
+
+
+def test_ivf_probe_join_is_broadcast(spark):
+    import numpy as np
+
+    from cuckoofilter4j_spark.functions import ivf_topk
+
+    rng = np.random.default_rng(1)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(200)], "vec_id long, embedding array<float>"
+    )
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(corpus, q, k=5, n_lists=8, n_probe=2, seed=1)
+    plan = plan_string(out, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_catalyst_fingerprints_are_codegen_only(spark):
+    """fingerprint_columns must stay inside whole-stage codegen: no Python
+    eval nodes (ArrowEvalPython / BatchEvalPython / MapInArrow) before the
+    shuffle of the fingerprint-shuffle build's stage 1."""
+    from cuckoofilter4j_spark.operators import fingerprint_columns, sha256_key, shard_column
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select(sha256_key("text").alias("key"))
+    idx, tag = fingerprint_columns("key", 1 << 10, 8, seed=42)
+    fp = keyed.select(
+        shard_column("key", 8).alias("shard"), idx.alias("i1"), tag.alias("tag")
+    )
+    plan = plan_string(fp, "simple")
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow", "MapInPandas"):
+        assert bad not in plan, plan
+    assert "WholeStageCodegen" in plan_string(fp, "formatted") or "xxhash64" in plan
