@@ -250,6 +250,29 @@ def q_ckf_xxhash_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ckf_catalyst_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-shuffle build with PURE-CATALYST stage-1 derivation
+    (fingerprint_columns: JVM xxhash64 + shift/mask + chained-rescue CASE,
+    byte-equal to the kernel) — key bytes never leave the JVM before the
+    shuffle; probes (kernel hashing) must still find every key."""
+    from cuckoofilter4j_spark.operators import (
+        build_filter_sharded_fingerprints,
+        might_contain_sharded,
+    )
+
+    keyed = _docs_keyed(spark, sf_dir)
+    n = keyed.count()
+    sk = build_filter_sharded_fingerprints(
+        keyed, "key", num_shards=8, max_keys=max(n, 1024), fpp=FPP, seed=42,
+        hash_algo="xxhash64", derive="catalyst",
+    )
+    probed = might_contain_sharded(keyed, sk, "key")
+    return probed.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.col("might_contain").cast("long")).alias("n_found"),
+    )
+
+
 def q_ckf_salted_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted two-level build: exact per-group counts survive the
     partial/merge path; zero failed inserts at this load."""
@@ -500,6 +523,89 @@ def q_ckf_events_stream_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sibling mergeable sketches (north rule family: Bloom / HLL / CMS / KLL)
+# ---------------------------------------------------------------------------
+
+def q_bloom_might_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom sibling sketch: partial/final mergeable build per lang, zero
+    false negatives through the broadcast probe."""
+    from cuckoofilter4j_spark.operators import build_sketch, sketch_probe
+
+    keyed = _docs_keyed(spark, sf_dir)
+    sk = build_sketch(keyed, "key", "bloom", ["lang"], max_keys=MAX_KEYS, fpp=FPP, seed=SEED)
+    probed = sketch_probe(keyed, sk, "key", ["lang"], mode="contains")
+    return probed.select("doc_id", "might_contain")
+
+
+def q_hll_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sibling sketch: per-lang distinct-count estimate within the
+    published error bound (5 sigma of 1.04/sqrt(m)) of the exact count."""
+    from cuckoofilter4j_spark.operators import build_sketch, hll_estimates
+
+    keyed = _docs_keyed(spark, sf_dir)
+    sk = build_sketch(keyed, "key", "hll", ["lang"], precision=12, seed=SEED)
+    est = hll_estimates(sk, ["lang"])
+    exact = keyed.groupBy("lang").agg(F.countDistinct("key").alias("__exact"))
+    return est.join(exact, "lang").select(
+        "lang",
+        (
+            F.abs(F.col("estimate") - F.col("__exact"))
+            <= F.greatest(F.col("__exact") * 5 * 1.04 / (2 ** 6), F.lit(3.0))
+        ).alias("within_bound"),
+    )
+
+
+def q_cms_count_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sibling sketch: insert every key 3x; estimates never
+    undercount and stay within true + eps*N (deterministic at this seed)."""
+    from cuckoofilter4j_spark.operators import build_sketch, sketch_probe
+
+    docs = _docs(spark, sf_dir)
+    tripled = docs.select(
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("i"),
+        sha256_key("text").alias("key"),
+    ).select("key")
+    sk = build_sketch(tripled, "key", "cms", None, eps=0.001, delta=0.001, seed=SEED)
+    distinct = docs.select("doc_id", sha256_key("text").alias("key"))
+    probed = sketch_probe(distinct, sk, "key", None, mode="count")
+    n_total = 3  # per-key true count; N = 3 * n_docs
+    return probed.crossJoin(
+        F.broadcast(tripled.agg(F.count("*").alias("__N")))
+    ).select(
+        "doc_id",
+        (
+            (F.col("est_count") >= n_total)
+            & (F.col("est_count") <= n_total + 0.001 * F.col("__N"))
+        ).alias("count_ok"),
+    )
+
+
+def q_kll_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL sibling sketch: estimated quartiles of n_chars land within the
+    sketch's normalized rank-error bound of their true ranks (checked
+    in-plan against the exact rank of each estimate)."""
+    from cuckoofilter4j_spark.operators import build_sketch, kll_quantiles
+
+    vals = _docs(spark, sf_dir).select(F.col("n_chars").cast("double").alias("v"))
+    sk = build_sketch(vals, "v", "kll", None, k=200, seed=SEED)
+    qs = kll_quantiles(sk, [], [0.25, 0.5, 0.75])
+    total = vals.agg(F.count("*").alias("__n"))
+    return (
+        vals.crossJoin(F.broadcast(qs))
+        .groupBy("q")
+        .agg(F.sum((F.col("v") <= F.col("value")).cast("long")).alias("__le"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "q",
+            (
+                F.abs(F.col("__le") / F.col("__n") - F.col("q"))
+                <= 3.0 / 200 + 1.0 / F.col("__n")
+            ).alias("within_bound"),
+        )
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (applyInPandasWithState, cuckoo filter as
     bounded per-group state): stream every document twice in 4 micro-batches;
@@ -588,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_false_delete_rate": q_ckf_false_delete_rate,
         "ckf_salted_build": q_ckf_salted_build,
         "ckf_xxhash_build": q_ckf_xxhash_build,
+        "ckf_catalyst_fingerprints": q_ckf_catalyst_fingerprints,
         "ckf_events_stream_keys": q_ckf_events_stream_keys,
         "ckf_merge_invariance": q_ckf_merge_invariance,
         "ckf_checkpoint_resume": q_ckf_checkpoint_resume,
@@ -604,6 +711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "emb_near_dup": q_emb_near_dup,
+        "bloom_might_contain": q_bloom_might_contain,
+        "hll_distinct_bound": q_hll_distinct_bound,
+        "cms_count_bound": q_cms_count_bound,
+        "kll_quantile_bound": q_kll_quantile_bound,
         "stream_dedup": q_stream_dedup,
         "media_decode": q_media_decode,
     }
@@ -694,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
         "ckf_false_delete_rate": "SELECT 1 AS n_filters, TRUE AS false_delete_rate_ok",
         "ckf_salted_build": "SELECT lang, count(*) AS n_inserted, CAST(0 AS BIGINT) AS n_failed FROM documents GROUP BY lang",
         "ckf_xxhash_build": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
+        "ckf_catalyst_fingerprints": "SELECT CAST(count(*) AS BIGINT) AS n_probed, CAST(count(*) AS BIGINT) AS n_found FROM documents",
         "ckf_events_stream_keys": "SELECT event_type, count(*) AS n_events, count(*) AS n_found FROM events GROUP BY event_type",
         "ckf_merge_invariance": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
         "ckf_checkpoint_resume": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
@@ -754,6 +866,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
         "emb_near_dup": "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
         "stream_dedup": "SELECT lang, TRUE AS dedup_ok FROM (SELECT DISTINCT lang FROM documents)",
+        "bloom_might_contain": "SELECT doc_id, TRUE AS might_contain FROM documents",
+        "hll_distinct_bound": "SELECT lang, TRUE AS within_bound FROM (SELECT DISTINCT lang FROM documents)",
+        "cms_count_bound": "SELECT doc_id, TRUE AS count_ok FROM documents",
+        "kll_quantile_bound": "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.25), (0.5), (0.75)) t(q)",
         # media_decode: deterministic numpy synthesis — rows-only check (no SQL form)
     }
     out["ann_topk_vectorized"] = out["ann_topk"]  # identical result contract

@@ -1,0 +1,275 @@
+"""Generic mergeable-sketch builders — the UDAF shape for the sibling
+sketches (Bloom / HLL / Count-Min / KLL).
+
+Structure mirrors Spark's own partial/final hash aggregation (and the cuckoo
+build_partials_scan_local + merge path):
+
+  stage 1 (mapInPandas, ZERO data shuffle): one partial sketch per
+          (group x scan partition) — raw rows never shuffle
+  stage 2 (groupBy group cols): partial sketches merge associatively into
+          one final sketch row per group (sketch rows are tiny)
+
+Every sketch kind shares (merge_in_place, to_bytes, from_bytes), so the
+builder and merger are generic; only the ingest call differs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cuckoofilter4j_spark.sketches import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KllSketch,
+)
+
+_FACTORIES = {
+    "bloom": lambda params, seed: BloomFilter.create(
+        int(params["max_keys"]), float(params.get("fpp", 0.01)), seed
+    ),
+    "hll": lambda params, seed: HyperLogLog(int(params.get("precision", 12)), seed),
+    "cms": lambda params, seed: CountMinSketch.create(
+        float(params.get("eps", 0.001)), float(params.get("delta", 0.01)), seed
+    ),
+    "kll": lambda params, seed: KllSketch(int(params.get("k", 200)), seed),
+}
+
+_DECODERS = {
+    "bloom": BloomFilter.from_bytes,
+    "hll": HyperLogLog.from_bytes,
+    "cms": CountMinSketch.from_bytes,
+    "kll": KllSketch.from_bytes,
+}
+
+
+def _ingest(kind: str, sk, series: pd.Series) -> None:
+    if kind == "bloom":
+        sk.put_batch(series)
+    elif kind == "hll":
+        sk.add_batch(series)
+    elif kind == "cms":
+        sk.add_batch(series)
+    else:  # kll: numeric values
+        sk.update_batch(series.to_numpy(dtype=np.float64))
+
+
+def sketch_row_schema(df: DataFrame, group_cols: Sequence[str]) -> StructType:
+    by_name = {f.name: f for f in df.schema.fields}
+    return StructType(
+        [StructField(c, by_name[c].dataType, True) for c in group_cols]
+        + [
+            StructField("kind", StringType(), False),
+            StructField("sketch", BinaryType(), False),
+            StructField("rows_in", LongType(), False),
+        ]
+    )
+
+
+def build_sketch(
+    df: DataFrame,
+    key_col: str,
+    kind: str,
+    group_cols: Optional[Sequence[str]] = None,
+    seed: int = 42,
+    **params,
+) -> DataFrame:
+    """One mergeable sketch per group: scan-local partials + associative
+    merge. kinds: "bloom" (max_keys, fpp), "hll" (precision), "cms"
+    (eps, delta), "kll" (k; key_col must be numeric)."""
+    if kind not in _FACTORIES:
+        raise ValueError(f"kind must be one of {sorted(_FACTORIES)}, got {kind!r}")
+    gcols = list(group_cols) if group_cols else []
+    proj = df.select(*gcols, F.col(key_col))
+    out_schema = sketch_row_schema(df, gcols)
+    kind_, seed_, params_, kc = str(kind), int(seed), dict(params), key_col
+    out_cols = [f.name for f in out_schema.fields]
+
+    def build_partials(batches):
+        sketches: Dict[tuple, object] = {}
+        rows_in: Dict[tuple, int] = {}
+        for pdf in batches:
+            items = (
+                [(k if isinstance(k, tuple) else (k,), g)
+                 for k, g in pdf.groupby(gcols, dropna=False, sort=False)]
+                if gcols
+                else [((), pdf)]
+            )
+            for gvals, g in items:
+                sk = sketches.get(gvals)
+                if sk is None:
+                    sk = _FACTORIES[kind_](params_, seed_)
+                    sketches[gvals] = sk
+                    rows_in[gvals] = 0
+                _ingest(kind_, sk, g[kc])
+                rows_in[gvals] += len(g)
+        if sketches:
+            yield pd.DataFrame(
+                [
+                    dict(
+                        **{c: v for c, v in zip(gcols, gv)},
+                        kind=kind_,
+                        sketch=sk.to_bytes(),
+                        rows_in=rows_in[gv],
+                    )
+                    for gv, sk in sketches.items()
+                ]
+            )[out_cols]
+
+    partials = proj.mapInPandas(build_partials, out_schema)
+    return merge_sketch_rows(partials, gcols)
+
+
+def merge_sketch_rows(partials: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Associative merge of partial sketch rows into one row per group."""
+    gcols = list(group_cols)
+    out_schema = partials.schema
+    out_cols = [f.name for f in out_schema.fields]
+
+    def merge(key_tuple, pdf):
+        kind = pdf["kind"].iloc[0]
+        dec = _DECODERS[kind]
+        sk = dec(bytes(pdf["sketch"].iloc[0]))
+        for blob in pdf["sketch"].iloc[1:]:
+            sk.merge_in_place(dec(bytes(blob)))
+        row = {c: v for c, v in zip(gcols, key_tuple)}
+        row.update(kind=kind, sketch=sk.to_bytes(), rows_in=int(pdf["rows_in"].sum()))
+        return pd.DataFrame([row])[out_cols]
+
+    grouped = (
+        partials.groupBy(*gcols) if gcols else partials.groupBy(F.lit(0).alias("__g"))
+    )
+    return grouped.applyInPandas(merge, out_schema)
+
+
+def _collect_sketch_map(sketches: DataFrame, gcols: Sequence[str]) -> Dict[tuple, tuple]:
+    rows = sketches.select(*gcols, "kind", "sketch").collect()
+    return {tuple(r[c] for c in gcols): (r["kind"], bytes(r["sketch"])) for r in rows}
+
+
+def sketch_probe(
+    df: DataFrame,
+    sketches,
+    key_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+    mode: str = "contains",
+    result_col: Optional[str] = None,
+) -> DataFrame:
+    """Broadcast probe against built sketches.
+
+    mode="contains" (bloom) adds a boolean; mode="count" (cms) adds the
+    estimated count (never undercounts). Same shape as the cuckoo probes:
+    sketches broadcast once per executor, vectorized batch probe, zero
+    shuffle."""
+    gcols = list(group_cols) if group_cols else []
+    if isinstance(sketches, DataFrame):
+        sketches = _collect_sketch_map(sketches, gcols)
+    bc = df.sparkSession.sparkContext.broadcast(dict(sketches))
+    from pyspark.sql.types import BooleanType
+
+    rc = result_col or ("might_contain" if mode == "contains" else "est_count")
+    rtype = BooleanType() if mode == "contains" else LongType()
+    out_schema = StructType(df.schema.fields + [StructField(rc, rtype, False)])
+    kc, mode_ = key_col, mode
+
+    def probe(batches):
+        cache: Dict[tuple, object] = {}
+        smap = bc.value
+
+        def sk_for(gv):
+            if gv not in cache:
+                ent = smap.get(gv)
+                cache[gv] = _DECODERS[ent[0]](ent[1]) if ent is not None else None
+            return cache[gv]
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[rc] = pd.Series([], dtype="bool" if mode_ == "contains" else "int64")
+                yield pdf
+                continue
+            res = np.zeros(len(pdf), dtype=bool if mode_ == "contains" else np.int64)
+            groups = (
+                pdf.groupby(gcols, dropna=False, sort=False).indices.items()
+                if gcols
+                else [((), np.arange(len(pdf)))]
+            )
+            for gv, idx in groups:
+                gv = gv if isinstance(gv, tuple) else (gv,)
+                if not gcols:
+                    gv = ()
+                sk = sk_for(gv)
+                if sk is None:
+                    continue
+                keys = pdf[kc].iloc[idx]
+                res[idx] = (
+                    sk.contains_batch(keys) if mode_ == "contains" else sk.estimate_batch(keys)
+                )
+            pdf[rc] = res
+            yield pdf
+
+    return df.mapInPandas(probe, out_schema)
+
+
+def hll_estimates(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Project (group cols, estimate, rows_in) from built HLL sketch rows."""
+    gcols = list(group_cols)
+    from pyspark.sql.types import DoubleType
+
+    by_name = {f.name: f for f in sketches.schema.fields}
+    schema = StructType(
+        [StructField(c, by_name[c].dataType, True) for c in gcols]
+        + [StructField("estimate", DoubleType(), False),
+           StructField("rows_in", LongType(), False)]
+    )
+
+    def proj(batches):
+        for pdf in batches:
+            out = pdf[gcols].copy()
+            out["estimate"] = [
+                HyperLogLog.from_bytes(bytes(b)).estimate() for b in pdf["sketch"]
+            ]
+            out["rows_in"] = pdf["rows_in"]
+            yield out
+
+    return sketches.mapInPandas(proj, schema)
+
+
+def kll_quantiles(
+    sketches: DataFrame, group_cols: Sequence[str], qs: Sequence[float]
+) -> DataFrame:
+    """Explode built KLL sketch rows into (group cols, q, value) quantiles."""
+    gcols = list(group_cols)
+    from pyspark.sql.types import DoubleType
+
+    by_name = {f.name: f for f in sketches.schema.fields}
+    schema = StructType(
+        [StructField(c, by_name[c].dataType, True) for c in gcols]
+        + [StructField("q", DoubleType(), False),
+           StructField("value", DoubleType(), False)]
+    )
+    qs_ = [float(q) for q in qs]
+
+    def proj(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                sk = KllSketch.from_bytes(bytes(r["sketch"]))
+                for q in qs_:
+                    rows.append(
+                        dict(**{c: r[c] for c in gcols}, q=q, value=sk.quantile(q))
+                    )
+            yield pd.DataFrame(rows)[[*gcols, "q", "value"]]
+
+    return sketches.mapInPandas(proj, schema)

@@ -1,0 +1,11 @@
+"""Sibling mergeable sketches (north rule: "HLL, count-min, t-digest, KLL,
+Bloom ... as mergeable UDAFs"): numpy kernels sharing the cuckoo filter's
+word-matrix hashing, plus Spark builders with the partial/final (UDAF) shape.
+"""
+
+from cuckoofilter4j_spark.sketches.bloom import BloomFilter
+from cuckoofilter4j_spark.sketches.cms import CountMinSketch
+from cuckoofilter4j_spark.sketches.hll import HyperLogLog
+from cuckoofilter4j_spark.sketches.kll import KllSketch
+
+__all__ = ["BloomFilter", "CountMinSketch", "HyperLogLog", "KllSketch"]

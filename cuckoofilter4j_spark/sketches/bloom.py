@@ -1,0 +1,131 @@
+"""Mergeable Bloom filter: numpy bit array + Kirsch–Mitzenmacher double
+hashing over the library's word-matrix encoding (encode_keys /
+words_from_arrow_binary — width-invariant, batch-order-free).
+
+Standard sizing: m = ceil(-n ln p / ln(2)^2), k = max(1, round(m/n ln 2)).
+Merge = bitwise OR over identical (m, k, seed). Unlike the cuckoo filter
+there is no delete and no count-per-key — this is the cheap membership
+sibling (the reference README's own comparison target, README.md:125-137).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Tuple
+
+import numpy as np
+
+_M64 = (1 << 64) - 1
+_U64 = np.uint64
+_MAGIC = b"BLM1"
+
+
+def bloom_params(max_keys: int, fpp: float) -> Tuple[int, int]:
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    if max_keys <= 0:
+        raise ValueError("max_keys must be positive")
+    m = int(math.ceil(-max_keys * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)  # whole words
+    k = max(1, round(m / max_keys * math.log(2)))
+    return m, k
+
+
+class BloomFilter:
+    def __init__(self, m_bits: int, k_hashes: int, seed: int = 42):
+        if m_bits % 64:
+            raise ValueError("m_bits must be a multiple of 64")
+        self.m_bits = int(m_bits)
+        self.k_hashes = int(k_hashes)
+        self.seed = int(seed) & _M64
+        self.words = np.zeros(m_bits // 64, dtype=np.uint64)
+        self.count = 0  # approximate count of puts (like Spark's BloomFilter)
+
+    @classmethod
+    def create(cls, max_keys: int, fpp: float = 0.01, seed: int = 42) -> "BloomFilter":
+        m, k = bloom_params(max_keys, fpp)
+        return cls(m, k, seed)
+
+    def _positions(self, keys) -> np.ndarray:
+        """(N, k) bit positions via h1 + i*h2 (Kirsch–Mitzenmacher)."""
+        from cuckoofilter4j_spark.core import encode_keys
+        from cuckoofilter4j_spark.hashing import xxh64_words
+
+        words = (
+            keys
+            if isinstance(keys, np.ndarray) and keys.ndim == 2 and keys.dtype == np.uint64
+            else encode_keys(keys)
+        )
+        h1 = xxh64_words(words, self.seed)
+        h2 = xxh64_words(words, self.seed ^ 0x9E3779B97F4A7C15) | _U64(1)
+        i = np.arange(self.k_hashes, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            hs = h1[:, None] + i[None, :] * h2[:, None]
+        return (hs % _U64(self.m_bits)).astype(np.int64)
+
+    def put_batch(self, keys) -> int:
+        pos = self._positions(keys)
+        if pos.size:
+            np.bitwise_or.at(
+                self.words, pos.reshape(-1) >> 6, _U64(1) << (pos.reshape(-1) & 63).astype(np.uint64)
+            )
+        n = pos.shape[0]
+        self.count += n
+        return n
+
+    def contains_batch(self, keys) -> np.ndarray:
+        pos = self._positions(keys)
+        if pos.shape[0] == 0:
+            return np.zeros(0, dtype=bool)
+        bits = (self.words[pos >> 6] >> (pos & 63).astype(np.uint64)) & _U64(1)
+        return (bits == 1).all(axis=1)
+
+    def might_contain(self, key) -> bool:
+        return bool(self.contains_batch([key])[0])
+
+    def merge_in_place(self, other: "BloomFilter") -> None:
+        if (self.m_bits, self.k_hashes, self.seed) != (
+            other.m_bits, other.k_hashes, other.seed
+        ):
+            raise ValueError("bloom merge requires identical (m_bits, k_hashes, seed)")
+        np.bitwise_or(self.words, other.words, out=self.words)
+        self.count += other.count
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        out = BloomFilter(self.m_bits, self.k_hashes, self.seed)
+        out.words = self.words.copy()
+        out.count = self.count
+        out.merge_in_place(other)
+        return out
+
+    _HDR = struct.Struct("<4sqiqq")
+
+    def to_bytes(self) -> bytes:
+        seed = int(self.seed) if self.seed < 2**63 else int(self.seed) - 2**64
+        return (
+            self._HDR.pack(_MAGIC, self.m_bits, self.k_hashes, seed, self.count)
+            + self.words.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomFilter":
+        magic, m, k, seed, count = cls._HDR.unpack_from(data, 0)
+        if magic != _MAGIC:
+            raise ValueError("bad bloom bytes: wrong magic")
+        out = cls(m, k, seed & _M64)
+        out.words = np.frombuffer(data, dtype=np.uint64, offset=cls._HDR.size).copy()
+        out.count = count
+        return out
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, BloomFilter):
+            return NotImplemented
+        return (
+            (self.m_bits, self.k_hashes, self.seed, self.count)
+            == (other.m_bits, other.k_hashes, other.seed, other.count)
+            and np.array_equal(self.words, other.words)
+        )
+
+    def storage_bits(self) -> int:
+        return self.m_bits

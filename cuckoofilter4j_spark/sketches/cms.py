@@ -1,0 +1,124 @@
+"""Mergeable Count-Min sketch (Cormode & Muthukrishnan 2005): d rows of w
+int64 counters; add = increment one counter per row, estimate = min over
+rows, merge = elementwise sum.
+
+Guarantees: estimate >= true count always; estimate <= true + eps * N with
+probability >= 1 - delta, for w = ceil(e / eps), d = ceil(ln(1 / delta)).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+_M64 = (1 << 64) - 1
+_U64 = np.uint64
+_MAGIC = b"CMS1"
+
+
+class CountMinSketch:
+    def __init__(self, width: int, depth: int, seed: int = 42):
+        if width < 1 or depth < 1:
+            raise ValueError("width and depth must be positive")
+        self.width = int(width)
+        self.depth = int(depth)
+        self.seed = int(seed) & _M64
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.total = 0  # N — total increments folded in
+
+    @classmethod
+    def create(cls, eps: float = 0.001, delta: float = 0.01, seed: int = 42) -> "CountMinSketch":
+        w = int(math.ceil(math.e / eps))
+        d = int(math.ceil(math.log(1.0 / delta)))
+        return cls(w, max(1, d), seed)
+
+    @property
+    def eps(self) -> float:
+        return math.e / self.width
+
+    def _rows_cols(self, keys) -> np.ndarray:
+        from cuckoofilter4j_spark.core import encode_keys
+        from cuckoofilter4j_spark.hashing import xxh64_words
+
+        words = (
+            keys
+            if isinstance(keys, np.ndarray) and keys.ndim == 2 and keys.dtype == np.uint64
+            else encode_keys(keys)
+        )
+        h1 = xxh64_words(words, self.seed)
+        h2 = xxh64_words(words, self.seed ^ 0xC2B2AE3D27D4EB4F) | _U64(1)
+        j = np.arange(self.depth, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            hs = h1[:, None] + j[None, :] * h2[:, None]
+        return (hs % _U64(self.width)).astype(np.int64)  # (N, d)
+
+    def add_batch(self, keys, counts=None) -> int:
+        cols = self._rows_cols(keys)
+        n = cols.shape[0]
+        if n == 0:
+            return 0
+        if counts is None:
+            counts = np.ones(n, dtype=np.int64)
+        else:
+            counts = np.asarray(counts, dtype=np.int64)
+        for j in range(self.depth):
+            np.add.at(self.table[j], cols[:, j], counts)
+        self.total += int(counts.sum())
+        return n
+
+    def estimate_batch(self, keys) -> np.ndarray:
+        cols = self._rows_cols(keys)
+        if cols.shape[0] == 0:
+            return np.zeros(0, dtype=np.int64)
+        ests = np.stack([self.table[j][cols[:, j]] for j in range(self.depth)], axis=1)
+        return ests.min(axis=1)
+
+    def estimate(self, key) -> int:
+        return int(self.estimate_batch([key])[0])
+
+    def merge_in_place(self, other: "CountMinSketch") -> None:
+        if (self.width, self.depth, self.seed) != (other.width, other.depth, other.seed):
+            raise ValueError("cms merge requires identical (width, depth, seed)")
+        self.table += other.table
+        self.total += other.total
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        out = CountMinSketch(self.width, self.depth, self.seed)
+        out.table = self.table.copy()
+        out.total = self.total
+        out.merge_in_place(other)
+        return out
+
+    _HDR = struct.Struct("<4siiqq")
+
+    def to_bytes(self) -> bytes:
+        seed = int(self.seed) if self.seed < 2**63 else int(self.seed) - 2**64
+        return (
+            self._HDR.pack(_MAGIC, self.width, self.depth, seed, self.total)
+            + self.table.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountMinSketch":
+        magic, w, d, seed, total = cls._HDR.unpack_from(data, 0)
+        if magic != _MAGIC:
+            raise ValueError("bad cms bytes: wrong magic")
+        out = cls(w, d, seed & _M64)
+        out.table = (
+            np.frombuffer(data, dtype=np.int64, offset=cls._HDR.size)
+            .reshape(d, w)
+            .copy()
+        )
+        out.total = total
+        return out
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, CountMinSketch):
+            return NotImplemented
+        return (
+            (self.width, self.depth, self.seed, self.total)
+            == (other.width, other.depth, other.seed, other.total)
+            and np.array_equal(self.table, other.table)
+        )

@@ -1,0 +1,107 @@
+"""Mergeable HyperLogLog (Flajolet et al. 2007, with the original small/large
+range corrections): 2^p uint8 registers, merge = elementwise max.
+
+Register index = top p bits of the 64-bit key hash; rho = leading-zero count
+of the remaining 64-p bits + 1. Relative standard error ≈ 1.04 / sqrt(2^p).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+_M64 = (1 << 64) - 1
+_U64 = np.uint64
+_MAGIC = b"HLL1"
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (64 for x == 0)."""
+    n = np.full(x.shape, 64, dtype=np.int64)
+    lz = np.zeros(x.shape, dtype=np.int64)
+    cur = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        hi = cur >> _U64(shift)
+        has_hi = hi != 0
+        lz = np.where(has_hi, lz, lz + shift)
+        cur = np.where(has_hi, hi, cur)
+    return np.where(x == 0, n, lz)
+
+
+class HyperLogLog:
+    def __init__(self, precision: int = 12, seed: int = 42):
+        if not (4 <= precision <= 18):
+            raise ValueError(f"precision must be in [4, 18], got {precision}")
+        self.precision = int(precision)
+        self.m = 1 << precision
+        self.seed = int(seed) & _M64
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_batch(self, keys) -> int:
+        from cuckoofilter4j_spark.core import encode_keys
+        from cuckoofilter4j_spark.hashing import xxh64_words
+
+        words = (
+            keys
+            if isinstance(keys, np.ndarray) and keys.ndim == 2 and keys.dtype == np.uint64
+            else encode_keys(keys)
+        )
+        h = xxh64_words(words, self.seed)
+        if h.size == 0:
+            return 0
+        idx = (h >> _U64(64 - self.precision)).astype(np.int64)
+        rest = h << _U64(self.precision)
+        rho = (np.minimum(_clz64(rest), 64 - self.precision) + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+        return h.size
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        regs = self.registers.astype(np.float64)
+        am = 0.7213 / (1.0 + 1.079 / m)  # alpha_m for m >= 128
+        e = am * m * m / np.sum(np.exp2(-regs))
+        if e <= 2.5 * m:  # small-range: linear counting on empty registers
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * math.log(m / zeros)
+        if e > (1 << 64) / 30.0:  # large-range correction
+            return -(2.0**64) * math.log(1.0 - e / 2.0**64)
+        return float(e)
+
+    def std_error(self) -> float:
+        return 1.04 / math.sqrt(self.m)
+
+    def merge_in_place(self, other: "HyperLogLog") -> None:
+        if (self.precision, self.seed) != (other.precision, other.seed):
+            raise ValueError("hll merge requires identical (precision, seed)")
+        np.maximum(self.registers, other.registers, out=self.registers)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        out = HyperLogLog(self.precision, self.seed)
+        out.registers = self.registers.copy()
+        out.merge_in_place(other)
+        return out
+
+    _HDR = struct.Struct("<4siq")
+
+    def to_bytes(self) -> bytes:
+        seed = int(self.seed) if self.seed < 2**63 else int(self.seed) - 2**64
+        return self._HDR.pack(_MAGIC, self.precision, seed) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HyperLogLog":
+        magic, p, seed = cls._HDR.unpack_from(data, 0)
+        if magic != _MAGIC:
+            raise ValueError("bad hll bytes: wrong magic")
+        out = cls(p, seed & _M64)
+        out.registers = np.frombuffer(data, dtype=np.uint8, offset=cls._HDR.size).copy()
+        return out
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, HyperLogLog):
+            return NotImplemented
+        return (self.precision, self.seed) == (other.precision, other.seed) and np.array_equal(
+            self.registers, other.registers
+        )

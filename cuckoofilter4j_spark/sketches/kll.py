@@ -1,0 +1,164 @@
+"""Mergeable KLL quantile sketch (Karnin, Lambert, Liberty, FOCS 2016) for
+float64 values.
+
+Level h holds items of weight 2^h; level capacities decay geometrically
+(c * (2/3)^depth, floored at 2) so total space is O(k). Compaction sorts a
+full level and promotes every other element (seeded random offset — the
+unbiased coin of the paper) to the next level. Merge = level-wise
+concatenation + compress, fully associative in the sketch-family sense
+(any merge order satisfies the same rank-error bound).
+
+Normalized rank error is ~2.45/k at 99% confidence for the datasketches
+parameterization; with the default k=200 that is ~1.2%. `rank_error()`
+reports a conservative 3/k bound used by the tests/oracles.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, List
+
+import numpy as np
+
+_MAGIC = b"KLL1"
+
+
+class KllSketch:
+    def __init__(self, k: int = 200, seed: int = 42):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self.seed = int(seed)
+        self._rng = np.random.default_rng(self.seed)
+        self.compactors: List[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0  # total weight (items represented)
+
+    # -- capacities ----------------------------------------------------------
+    def _cap(self, h: int) -> int:
+        depth = len(self.compactors) - 1 - h
+        return max(2, int(np.ceil(self.k * (2.0 / 3.0) ** depth)))
+
+    def _size(self) -> int:
+        return sum(c.size for c in self.compactors)
+
+    def _cap_total(self) -> int:
+        return sum(self._cap(h) for h in range(len(self.compactors)))
+
+    # -- update / compress ----------------------------------------------------
+    def update_batch(self, values: Iterable[float]) -> int:
+        v = np.asarray(values, dtype=np.float64).reshape(-1)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return 0
+        self.compactors[0] = np.concatenate([self.compactors[0], v])
+        self.n += v.size
+        self._compress()
+        return int(v.size)
+
+    def update(self, value: float) -> None:
+        self.update_batch([value])
+
+    def _compress(self) -> None:
+        while self._size() > self._cap_total():
+            for h in range(len(self.compactors)):
+                if self.compactors[h].size >= self._cap(h):
+                    if h + 1 == len(self.compactors):
+                        self.compactors.append(np.empty(0, dtype=np.float64))
+                    arr = np.sort(self.compactors[h])
+                    offset = int(self._rng.integers(0, 2))
+                    promoted = arr[offset::2]
+                    self.compactors[h + 1] = np.concatenate(
+                        [self.compactors[h + 1], promoted]
+                    )
+                    self.compactors[h] = np.empty(0, dtype=np.float64)
+                    break
+            else:
+                break  # no level over capacity (caps shrank after growth)
+
+    # -- queries ---------------------------------------------------------------
+    def _items_weights(self):
+        vals, wts = [], []
+        for h, c in enumerate(self.compactors):
+            if c.size:
+                vals.append(c)
+                wts.append(np.full(c.size, 1 << h, dtype=np.int64))
+        if not vals:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        return np.concatenate(vals), np.concatenate(wts)
+
+    def rank(self, value: float) -> float:
+        """Approximate normalized rank of `value` (fraction of items <= it)."""
+        if self.n == 0:
+            return 0.0
+        vals, wts = self._items_weights()
+        return float(wts[vals <= value].sum()) / self.n
+
+    def quantile(self, q: float) -> float:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError("q must be in [0, 1]")
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        vals, wts = self._items_weights()
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        target = q * self.n
+        i = int(np.searchsorted(cum, target, side="left"))
+        return float(vals[min(i, vals.size - 1)])
+
+    def quantiles(self, qs: Iterable[float]) -> List[float]:
+        return [self.quantile(q) for q in qs]
+
+    def rank_error(self) -> float:
+        """Conservative normalized rank-error bound used by tests/oracles."""
+        return 3.0 / self.k
+
+    # -- merge ------------------------------------------------------------------
+    def merge_in_place(self, other: "KllSketch") -> None:
+        if self.k != other.k:
+            raise ValueError("kll merge requires identical k")
+        while len(self.compactors) < len(other.compactors):
+            self.compactors.append(np.empty(0, dtype=np.float64))
+        for h, c in enumerate(other.compactors):
+            if c.size:
+                self.compactors[h] = np.concatenate([self.compactors[h], c])
+        self.n += other.n
+        self._compress()
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        out = KllSketch(self.k, self.seed)
+        out.compactors = [c.copy() for c in self.compactors]
+        out.n = self.n
+        out._rng = np.random.default_rng(self.seed ^ 0x5EED)
+        out.merge_in_place(other)
+        return out
+
+    # -- serde -------------------------------------------------------------------
+    _HDR = struct.Struct("<4siqqi")
+
+    def to_bytes(self) -> bytes:
+        parts = [
+            self._HDR.pack(_MAGIC, self.k, self.seed, self.n, len(self.compactors))
+        ]
+        for c in self.compactors:
+            parts.append(struct.pack("<q", c.size))
+            parts.append(np.ascontiguousarray(c).tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KllSketch":
+        magic, k, seed, n, levels = cls._HDR.unpack_from(data, 0)
+        if magic != _MAGIC:
+            raise ValueError("bad kll bytes: wrong magic")
+        out = cls(k, seed)
+        out.n = n
+        out.compactors = []
+        off = cls._HDR.size
+        for _ in range(levels):
+            (sz,) = struct.unpack_from("<q", data, off)
+            off += 8
+            out.compactors.append(
+                np.frombuffer(data, dtype=np.float64, offset=off, count=sz).copy()
+            )
+            off += 8 * sz
+        return out

@@ -1,0 +1,171 @@
+"""Sibling mergeable sketches (north rule family: Bloom / HLL / CMS / KLL):
+kernel error bounds + merge associativity + Spark partial/final builds."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.sketches import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KllSketch,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -- kernel bounds -------------------------------------------------------------
+def test_bloom_kernel_bounds_merge_serde():
+    rng = np.random.default_rng(0)
+    keys = [rng.bytes(24) for _ in range(20000)]
+    absent = [rng.bytes(24) for _ in range(20000)]
+    b = BloomFilter.create(20000, fpp=0.01, seed=7)
+    b.put_batch(keys)
+    assert b.contains_batch(keys).all()  # zero false negatives
+    assert b.contains_batch(absent).mean() < 0.02  # the reference's own 2x bound
+    assert BloomFilter.from_bytes(b.to_bytes()) == b
+    ha = BloomFilter.create(20000, 0.01, 7)
+    hb = BloomFilter.create(20000, 0.01, 7)
+    ha.put_batch(keys[:10000])
+    hb.put_batch(keys[10000:])
+    assert ha.merge(hb) == b  # merge == direct (OR is exact)
+    with pytest.raises(ValueError, match="merge"):
+        ha.merge(BloomFilter.create(999, 0.01, 7))
+
+
+def test_hll_kernel_bounds_merge_serde():
+    rng = np.random.default_rng(1)
+    h = HyperLogLog(precision=12, seed=7)
+    n = 100_000
+    h.add_batch([rng.bytes(16) for _ in range(n)])
+    assert abs(h.estimate() - n) / n < 4 * h.std_error()
+    allk = [rng.bytes(16) for _ in range(40000)]
+    parts = [HyperLogLog(12, 7) for _ in range(4)]
+    for i, p in enumerate(parts):
+        p.add_batch(allk[i * 10000 : (i + 1) * 10000] + allk[:5000])  # overlap
+    merged = parts[0].merge(parts[1]).merge(parts[2]).merge(parts[3])
+    direct = HyperLogLog(12, 7)
+    direct.add_batch(allk + allk[:5000])
+    assert merged == direct  # register-max merge is exact
+    assert HyperLogLog.from_bytes(h.to_bytes()) == h
+
+
+def test_cms_kernel_bounds_merge_serde():
+    c = CountMinSketch.create(eps=0.001, delta=0.001, seed=7)
+    items = [b"item%d" % (i % 500) for i in range(50000)]  # true count 100 each
+    c.add_batch(items)
+    distinct = [b"item%d" % i for i in range(500)]
+    ests = c.estimate_batch(distinct)
+    assert (ests >= 100).all()  # never undercounts
+    assert (ests <= 100 + c.eps * c.total).all()
+    c1 = CountMinSketch.create(0.001, 0.001, 7)
+    c2 = CountMinSketch.create(0.001, 0.001, 7)
+    c1.add_batch(items[:25000])
+    c2.add_batch(items[25000:])
+    assert c1.merge(c2) == c  # + merge is exact
+    assert CountMinSketch.from_bytes(c.to_bytes()) == c
+
+
+def test_kll_kernel_rank_bounds_direct_and_merged():
+    rng = np.random.default_rng(2)
+    vals = rng.standard_normal(200_000)
+    svals = np.sort(vals)
+
+    def max_rank_err(sk):
+        errs = []
+        for q in np.linspace(0.01, 0.99, 25):
+            est = sk.quantile(q)
+            errs.append(abs(np.searchsorted(svals, est, side="right") / vals.size - q))
+        return max(errs)
+
+    k = KllSketch(k=200, seed=7)
+    k.update_batch(vals)
+    assert max_rank_err(k) <= k.rank_error()
+    parts = []
+    for i in range(8):
+        p = KllSketch(k=200, seed=7 + i)
+        p.update_batch(vals[i * 25000 : (i + 1) * 25000])
+        parts.append(p)
+    m = parts[0]
+    for p in parts[1:]:
+        m.merge_in_place(p)
+    assert m.n == vals.size
+    assert max_rank_err(m) <= m.rank_error()
+    k2 = KllSketch.from_bytes(k.to_bytes())
+    assert k2.n == k.n and k2.quantile(0.5) == k.quantile(0.5)
+
+
+# -- Spark partial/final builds --------------------------------------------------
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+def test_spark_bloom_build_and_probe(spark, docs):
+    from cuckoofilter4j_spark.operators import build_sketch, sha256_key, sketch_probe
+
+    keyed = docs.select("lang", sha256_key("text").alias("key"))
+    sk = build_sketch(keyed.repartition(8), "key", "bloom", ["lang"],
+                      max_keys=1024, fpp=0.01)
+    assert sk.count() == keyed.select("lang").distinct().count()
+    probed = sketch_probe(keyed, sk, "key", ["lang"], mode="contains")
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_spark_hll_estimates_within_bound(spark, docs):
+    from cuckoofilter4j_spark.operators import build_sketch, hll_estimates, sha256_key
+
+    keyed = docs.select("lang", sha256_key("text").alias("key"))
+    sk = build_sketch(keyed.repartition(8), "key", "hll", ["lang"], precision=12)
+    est = hll_estimates(sk, ["lang"])
+    exact = keyed.groupBy("lang").agg(F.countDistinct("key").alias("exact"))
+    joined = est.join(exact, "lang").select(
+        "lang", (F.abs(F.col("estimate") - F.col("exact")) <=
+                 F.greatest(F.col("exact") * 5 * 1.04 / (2**6), F.lit(3.0))).alias("ok")
+    )
+    assert joined.filter(~F.col("ok")).count() == 0
+
+
+def test_spark_cms_never_undercounts(spark, docs):
+    from cuckoofilter4j_spark.operators import build_sketch, sha256_key, sketch_probe
+
+    tripled = docs.select(
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("i"),
+        sha256_key("text").alias("key"),
+    ).select("key")
+    sk = build_sketch(tripled.repartition(8), "key", "cms", None, eps=0.001, delta=0.001)
+    distinct = docs.select(sha256_key("text").alias("key"))
+    probed = sketch_probe(distinct, sk, "key", None, mode="count")
+    assert probed.filter(F.col("est_count") < 3).count() == 0
+
+
+def test_spark_kll_quantiles_within_rank_bound(spark, docs):
+    from cuckoofilter4j_spark.operators import build_sketch, kll_quantiles
+
+    vals = docs.select(F.col("n_chars").cast("double").alias("v"))
+    sk = build_sketch(vals.repartition(8), "v", "kll", None, k=200)
+    qs = kll_quantiles(sk, [], [0.25, 0.5, 0.75])
+    n = vals.count()
+    # rank of each estimated quantile must be within the sketch's bound
+    for r in qs.collect():
+        rank = vals.filter(F.col("v") <= r["value"]).count() / n
+        assert abs(rank - r["q"]) <= 3.0 / 200 + 1.0 / n, (r["q"], rank)
+
+
+def test_spark_merge_rows_partition_invariant(spark, docs):
+    """The partial/final build must give the SAME final sketch regardless of
+    scan partitioning for the exactly-mergeable kinds (bloom OR, hll max,
+    cms +)."""
+    from cuckoofilter4j_spark.operators import build_sketch, sha256_key
+
+    keyed = docs.select("lang", sha256_key("text").alias("key"))
+    for kind, params in [("bloom", dict(max_keys=1024)), ("hll", dict(precision=12)),
+                         ("cms", dict(eps=0.01, delta=0.01))]:
+        a = build_sketch(keyed.repartition(2), "key", kind, ["lang"], **params)
+        b = build_sketch(keyed.repartition(16), "key", kind, ["lang"], **params)
+        sa = {r["lang"]: bytes(r["sketch"]) for r in a.collect()}
+        sb = {r["lang"]: bytes(r["sketch"]) for r in b.collect()}
+        assert sa == sb, f"{kind} not partition-invariant"
