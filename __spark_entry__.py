@@ -606,6 +606,31 @@ def q_kll_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest sibling sketch: estimated deciles of n_chars within 1% rank
+    error (the merging-variant digest at delta=200 is far tighter than its
+    conservative 2/delta bound — checked in-plan against exact ranks)."""
+    from cuckoofilter4j_spark.operators import build_sketch, kll_quantiles
+
+    vals = _docs(spark, sf_dir).select(F.col("n_chars").cast("double").alias("v"))
+    sk = build_sketch(vals, "v", "tdigest", None, delta=200.0, seed=SEED)
+    qs = kll_quantiles(sk, [], [0.1, 0.5, 0.9])
+    total = vals.agg(F.count("*").alias("__n"))
+    return (
+        vals.crossJoin(F.broadcast(qs))
+        .groupBy("q")
+        .agg(F.sum((F.col("v") <= F.col("value")).cast("long")).alias("__le"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "q",
+            (
+                F.abs(F.col("__le") / F.col("__n") - F.col("q"))
+                <= 0.01 + 1.0 / F.col("__n")
+            ).alias("within_bound"),
+        )
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (applyInPandasWithState, cuckoo filter as
     bounded per-group state): stream every document twice in 4 micro-batches;
@@ -715,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_bound": q_hll_distinct_bound,
         "cms_count_bound": q_cms_count_bound,
         "kll_quantile_bound": q_kll_quantile_bound,
+        "tdigest_quantile_bound": q_tdigest_quantile_bound,
         "stream_dedup": q_stream_dedup,
         "media_decode": q_media_decode,
     }
@@ -870,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_bound": "SELECT lang, TRUE AS within_bound FROM (SELECT DISTINCT lang FROM documents)",
         "cms_count_bound": "SELECT doc_id, TRUE AS count_ok FROM documents",
         "kll_quantile_bound": "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.25), (0.5), (0.75)) t(q)",
+        "tdigest_quantile_bound": "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.1), (0.5), (0.9)) t(q)",
         # media_decode: deterministic numpy synthesis — rows-only check (no SQL form)
     }
     out["ann_topk_vectorized"] = out["ann_topk"]  # identical result contract

@@ -33,6 +33,7 @@ from cuckoofilter4j_spark.sketches import (
     CountMinSketch,
     HyperLogLog,
     KllSketch,
+    TDigest,
 )
 
 _FACTORIES = {
@@ -44,6 +45,8 @@ _FACTORIES = {
         float(params.get("eps", 0.001)), float(params.get("delta", 0.01)), seed
     ),
     "kll": lambda params, seed: KllSketch(int(params.get("k", 200)), seed),
+    # t-digest has no seed (deterministic merging variant)
+    "tdigest": lambda params, seed: TDigest(float(params.get("delta", 200.0))),
 }
 
 _DECODERS = {
@@ -51,6 +54,7 @@ _DECODERS = {
     "hll": HyperLogLog.from_bytes,
     "cms": CountMinSketch.from_bytes,
     "kll": KllSketch.from_bytes,
+    "tdigest": TDigest.from_bytes,
 }
 
 
@@ -61,7 +65,7 @@ def _ingest(kind: str, sk, series: pd.Series) -> None:
         sk.add_batch(series)
     elif kind == "cms":
         sk.add_batch(series)
-    else:  # kll: numeric values
+    else:  # kll / tdigest: numeric values
         sk.update_batch(series.to_numpy(dtype=np.float64))
 
 
@@ -87,7 +91,8 @@ def build_sketch(
 ) -> DataFrame:
     """One mergeable sketch per group: scan-local partials + associative
     merge. kinds: "bloom" (max_keys, fpp), "hll" (precision), "cms"
-    (eps, delta), "kll" (k; key_col must be numeric)."""
+    (eps, delta), "kll" (k), "tdigest" (delta) — the quantile kinds take a
+    numeric key_col."""
     if kind not in _FACTORIES:
         raise ValueError(f"kind must be one of {sorted(_FACTORIES)}, got {kind!r}")
     gcols = list(group_cols) if group_cols else []
@@ -249,7 +254,8 @@ def hll_estimates(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
 def kll_quantiles(
     sketches: DataFrame, group_cols: Sequence[str], qs: Sequence[float]
 ) -> DataFrame:
-    """Explode built KLL sketch rows into (group cols, q, value) quantiles."""
+    """Explode built quantile-sketch rows (kll or tdigest) into
+    (group cols, q, value)."""
     gcols = list(group_cols)
     from pyspark.sql.types import DoubleType
 
@@ -265,7 +271,7 @@ def kll_quantiles(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                sk = KllSketch.from_bytes(bytes(r["sketch"]))
+                sk = _DECODERS[r["kind"]](bytes(r["sketch"]))
                 for q in qs_:
                     rows.append(
                         dict(**{c: r[c] for c in gcols}, q=q, value=sk.quantile(q))

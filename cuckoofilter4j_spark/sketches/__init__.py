@@ -7,5 +7,6 @@ from cuckoofilter4j_spark.sketches.bloom import BloomFilter
 from cuckoofilter4j_spark.sketches.cms import CountMinSketch
 from cuckoofilter4j_spark.sketches.hll import HyperLogLog
 from cuckoofilter4j_spark.sketches.kll import KllSketch
+from cuckoofilter4j_spark.sketches.tdigest import TDigest
 
-__all__ = ["BloomFilter", "CountMinSketch", "HyperLogLog", "KllSketch"]
+__all__ = ["BloomFilter", "CountMinSketch", "HyperLogLog", "KllSketch", "TDigest"]

@@ -169,3 +169,49 @@ def test_spark_merge_rows_partition_invariant(spark, docs):
         sa = {r["lang"]: bytes(r["sketch"]) for r in a.collect()}
         sb = {r["lang"]: bytes(r["sketch"]) for r in b.collect()}
         assert sa == sb, f"{kind} not partition-invariant"
+
+
+def test_tdigest_kernel_bounds_merge_serde():
+    from cuckoofilter4j_spark.sketches import TDigest
+
+    rng = np.random.default_rng(3)
+    vals = rng.standard_normal(200_000)
+    svals = np.sort(vals)
+
+    def max_rank_err(sk, grid):
+        return max(
+            abs(np.searchsorted(svals, sk.quantile(q), side="right") / vals.size - q)
+            for q in grid
+        )
+
+    t = TDigest(delta=200)
+    t.update_batch(vals)
+    assert max_rank_err(t, np.linspace(0.01, 0.99, 25)) <= t.rank_error()
+    # tails are t-digest's specialty: much tighter than mid-range
+    assert max_rank_err(t, [0.001, 0.999]) < 0.002
+    parts = []
+    for i in range(8):
+        p = TDigest(200)
+        p.update_batch(vals[i * 25000 : (i + 1) * 25000])
+        parts.append(p)
+    m = parts[0]
+    for p in parts[1:]:
+        m.merge_in_place(p)
+    assert m.n == vals.size
+    assert max_rank_err(m, np.linspace(0.01, 0.99, 25)) <= m.rank_error()
+    t2 = TDigest.from_bytes(t.to_bytes())
+    assert t2.n == t.n and t2.quantile(0.5) == t.quantile(0.5)
+    with pytest.raises(ValueError, match="delta"):
+        t.merge(TDigest(100))
+
+
+def test_spark_tdigest_quantiles_within_rank_bound(spark, docs):
+    from cuckoofilter4j_spark.operators import build_sketch, kll_quantiles
+
+    vals = docs.select(F.col("n_chars").cast("double").alias("v"))
+    sk = build_sketch(vals.repartition(8), "v", "tdigest", None, delta=200)
+    qs = kll_quantiles(sk, [], [0.1, 0.5, 0.9])
+    n = vals.count()
+    for r in qs.collect():
+        rank = vals.filter(F.col("v") <= r["value"]).count() / n
+        assert abs(rank - r["q"]) <= 0.01 + 1.0 / n, (r["q"], rank)
