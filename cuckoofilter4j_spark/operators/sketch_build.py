@@ -87,12 +87,20 @@ def build_sketch(
     kind: str,
     group_cols: Optional[Sequence[str]] = None,
     seed: int = 42,
+    method: str = "scan_local",
     **params,
 ) -> DataFrame:
-    """One mergeable sketch per group: scan-local partials + associative
-    merge. kinds: "bloom" (max_keys, fpp), "hll" (precision), "cms"
-    (eps, delta), "kll" (k), "tdigest" (delta) — the quantile kinds take a
-    numeric key_col."""
+    """One mergeable sketch per group. kinds: "bloom" (max_keys, fpp),
+    "hll" (precision), "cms" (eps, delta), "kll" (k), "tdigest" (delta) —
+    the quantile kinds take a numeric key_col.
+
+    method="scan_local" (default): zero-data-shuffle partials per
+    (group x scan partition) + associative merge of the tiny sketch rows —
+    right when groups-per-partition is modest (partial state is one sketch
+    per live group per task). method="grouped": one hash shuffle of the raw
+    (group, key) rows, each group's sketch built whole in one task — right
+    at millions of groups, where per-partition partial state would not fit.
+    """
     if kind not in _FACTORIES:
         raise ValueError(f"kind must be one of {sorted(_FACTORIES)}, got {kind!r}")
     gcols = list(group_cols) if group_cols else []
@@ -100,6 +108,22 @@ def build_sketch(
     out_schema = sketch_row_schema(df, gcols)
     kind_, seed_, params_, kc = str(kind), int(seed), dict(params), key_col
     out_cols = [f.name for f in out_schema.fields]
+
+    if method == "grouped":
+
+        def build_group(key_tuple, pdf):
+            sk = _FACTORIES[kind_](params_, seed_)
+            _ingest(kind_, sk, pdf[kc])
+            row = {c: v for c, v in zip(gcols, key_tuple)}
+            row.update(kind=kind_, sketch=sk.to_bytes(), rows_in=len(pdf))
+            return pd.DataFrame([row])[out_cols]
+
+        grouped = (
+            proj.groupBy(*gcols) if gcols else proj.groupBy(F.lit(0).alias("__g"))
+        )
+        return grouped.applyInPandas(build_group, out_schema)
+    if method != "scan_local":
+        raise ValueError(f"method must be 'scan_local' or 'grouped', got {method!r}")
 
     def build_partials(batches):
         sketches: Dict[tuple, object] = {}

@@ -215,3 +215,19 @@ def test_spark_tdigest_quantiles_within_rank_bound(spark, docs):
     for r in qs.collect():
         rank = vals.filter(F.col("v") <= r["value"]).count() / n
         assert abs(rank - r["q"]) <= 0.01 + 1.0 / n, (r["q"], rank)
+
+
+def test_spark_grouped_method_matches_scan_local_for_exact_kinds(spark, docs):
+    """method='grouped' (hash-shuffle, one task per group — the
+    millions-of-groups path) must produce byte-identical sketches to the
+    scan-local partial/final path for the exactly-mergeable kinds."""
+    from cuckoofilter4j_spark.operators import build_sketch, sha256_key
+
+    keyed = docs.select("lang", sha256_key("text").alias("key"))
+    for kind, params in [("bloom", dict(max_keys=1024)), ("hll", dict(precision=12)),
+                         ("cms", dict(eps=0.01, delta=0.01))]:
+        a = build_sketch(keyed, "key", kind, ["lang"], method="scan_local", **params)
+        b = build_sketch(keyed, "key", kind, ["lang"], method="grouped", **params)
+        sa = {r["lang"]: bytes(r["sketch"]) for r in a.collect()}
+        sb = {r["lang"]: bytes(r["sketch"]) for r in b.collect()}
+        assert sa == sb, f"{kind}: grouped != scan_local"
