@@ -316,6 +316,14 @@ def headline_queries(spark) -> dict:
         "minhash_dedup": q_minhash_dedup,
         "ann_topk": q_ann_topk,
     }
+    # Warm the Python workers + JIT before timing (same rationale as the
+    # scaling child): the session's FIRST pandas-UDF stage otherwise pays
+    # worker fork + numpy import + kernel JIT (~2-4 s on this host) that
+    # belongs to the session, not to whichever query happens to run first.
+    build_filter_sharded(
+        keyed.select("key").sample(0.02, seed=1), "key", num_shards=8,
+        max_keys=max(n_li // 50, 1000), fpp=FPP, seed=SEED, sizing="paper",
+    ).agg(F.sum("count")).collect()
     timings = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()

@@ -231,3 +231,57 @@ def test_spark_grouped_method_matches_scan_local_for_exact_kinds(spark, docs):
         sa = {r["lang"]: bytes(r["sketch"]) for r in a.collect()}
         sb = {r["lang"]: bytes(r["sketch"]) for r in b.collect()}
         assert sa == sb, f"{kind}: grouped != scan_local"
+
+
+def test_sketch_serde_rejects_garbage():
+    from cuckoofilter4j_spark.sketches import TDigest
+
+    for cls in (BloomFilter, CountMinSketch, HyperLogLog, KllSketch, TDigest):
+        with pytest.raises((ValueError, Exception)):
+            cls.from_bytes(b"garbage-not-a-sketch-blob-xx")
+    # cross-kind bytes are rejected by magic, not mis-decoded
+    b = BloomFilter.create(100, 0.01, 1)
+    with pytest.raises(ValueError, match="magic"):
+        HyperLogLog.from_bytes(b.to_bytes())
+
+
+def test_sketch_merge_associativity_property():
+    """hypothesis: for the exactly-mergeable kinds, any merge ORDER over
+    random partitions equals the direct build."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.binary(min_size=1, max_size=16), min_size=1, max_size=200),
+        st.integers(min_value=2, max_value=5),
+        st.randoms(use_true_random=False),
+    )
+    def check(keys, n_parts, rnd):
+        chunks = [keys[i::n_parts] for i in range(n_parts)]
+        order = list(range(n_parts))
+        rnd.shuffle(order)
+        for factory in (
+            lambda: BloomFilter.create(512, 0.01, 3),
+            lambda: HyperLogLog(8, 3),
+            lambda: CountMinSketch.create(0.01, 0.1, 3),
+        ):
+            parts = []
+            for ch in chunks:
+                s = factory()
+                if isinstance(s, BloomFilter):
+                    s.put_batch(ch) if ch else None
+                else:
+                    s.add_batch(ch) if ch else None
+                parts.append(s)
+            merged = parts[order[0]]
+            for i in order[1:]:
+                merged = merged.merge(parts[i])
+            direct = factory()
+            if isinstance(direct, BloomFilter):
+                direct.put_batch(keys)
+            else:
+                direct.add_batch(keys)
+            assert merged == direct
+
+    check()
