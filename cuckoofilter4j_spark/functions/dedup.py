@@ -56,6 +56,84 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return agg.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
+def minhash_signature_scan_local(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signatures computed scan-locally in numpy — ZERO shuffle.
+
+    Per Arrow batch: one sliding-window view over the concatenated utf-8
+    bytes extracts every k-byte shingle, two splitmix64 hashes per shingle
+    derive the num_hashes xor-rotate family, and per-doc minima come from
+    np.minimum.reduceat over the doc boundaries. ~2-3x the per-core
+    throughput of the Catalyst explode+agg form (which pays a hash-agg
+    table probe per shingle row) and no shuffle at all — signatures land
+    already per-doc. Hash family differs from the Catalyst form (splitmix
+    vs xxhash64) — both are documented-correct MinHash families; pair
+    outputs are hash-seed artifacts either way.
+    """
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from cuckoofilter4j_spark.core import _mix64, _U64  # splitmix finalizer
+
+    if num_hashes > 64:
+        raise ValueError("scan_local supports num_hashes <= 64 (one rotation family)")
+    k = int(shingle_k)
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [StructField("id", id_field.dataType, True),
+         StructField("minhash_sig", ArrayType(LongType()), False)]
+    )
+    nh = int(num_hashes)
+
+    def sigs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bs = [t.encode("utf-8") for t in pdf[text_col]]
+            lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+            buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+            if buf.size < k:  # degenerate tiny batch: pad so windows exist
+                buf = np.concatenate([buf, np.zeros(k - buf.size, dtype=np.uint8)])
+            doc_off = np.concatenate([[0], np.cumsum(lens)])
+            n_sh = np.maximum(lens - (k - 1), 1)
+            wins = sliding_window_view(buf, k)
+            mark = np.zeros(wins.shape[0] + 1, dtype=np.int32)
+            starts = np.minimum(doc_off[:-1], wins.shape[0] - 1)
+            ends = np.minimum(starts + n_sh, wins.shape[0])
+            np.add.at(mark, starts, 1)
+            np.add.at(mark, ends, -1)
+            valid = np.cumsum(mark[:-1]) > 0
+            sel = wins[valid].astype(np.uint64)
+            word = sel[:, 0]
+            for j in range(1, k):
+                word |= sel[:, j] << _U64(8 * j)
+            with np.errstate(over="ignore"):
+                h1 = _mix64(word + _U64(0x5EED0001))
+                h1 = _mix64(h1 ^ _U64(0x9E3779B97F4A7C15))
+                h2 = _mix64(word + _U64(0x5EED0002))
+                h2 = _mix64(h2 ^ _U64(0xC2B2AE3D27D4EB4F))
+                bounds = np.concatenate([[0], np.cumsum(n_sh)])[:-1]
+                sig = np.empty((len(bs), nh), dtype=np.uint64)
+                for s in range(nh):
+                    g = h1 ^ h2 if s == 0 else h1 ^ (
+                        (h2 << _U64(s)) | (h2 >> _U64(64 - s))
+                    )
+                    sig[:, s] = np.minimum.reduceat(g, bounds)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(),
+                 "minhash_sig": list(sig.view(np.int64))}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(sigs, out_schema)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str,
@@ -120,6 +198,7 @@ def minhash_dup_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    method: str = "catalyst",
 ) -> DataFrame:
     """Near-duplicate pairs via LSH banding over MinHash signatures.
 
@@ -138,9 +217,13 @@ def minhash_dup_pairs(
     # still far cheaper than recomputing (MEMORY_AND_DISK default).
     from pyspark import StorageLevel
 
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if method == "scan_local":
+        sigs = minhash_signature_scan_local(df, text_col, id_col, num_hashes, shingle_k)
+    elif method == "catalyst":
+        sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    else:
+        raise ValueError(f"method must be 'catalyst' or 'scan_local', got {method!r}")
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     # candidate generation carries ONLY (id, band, band_hash): the banded
     # self-join shuffles identically on both sides (ReusedExchange) and the
     # pair set stays narrow even when LSH buckets are hot

@@ -232,3 +232,27 @@ def test_exact_dedup_skew_immune_and_partial_agg(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # partial_min_by before the exchange == skew collapses map-side
     assert "partial_min_by" in plan or "partial min_by" in plan.lower()
+
+
+def test_minhash_scan_local_matches_planted_pairs(spark):
+    """The zero-shuffle numpy signature path finds the same planted near-dup
+    pairs as the Catalyst path (hash families differ; the pair decision on
+    clearly-near documents does not)."""
+    from cuckoofilter4j_spark.functions import minhash_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dups = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" x")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(dups)
+    for method in ("catalyst", "scan_local"):
+        pairs = minhash_dup_pairs(both, "text", "doc_id", method=method)
+        planted = pairs.filter(F.col("id_b") == F.col("id_a") + 10000).count()
+        assert planted == docs.count(), f"{method}: planted recall incomplete"
+    with pytest.raises(ValueError, match="method"):
+        minhash_dup_pairs(both, "text", "doc_id", method="nope")
+    from cuckoofilter4j_spark.functions.dedup import minhash_signature_scan_local
+
+    with pytest.raises(ValueError, match="64"):
+        minhash_signature_scan_local(both, "text", "doc_id", num_hashes=128)
