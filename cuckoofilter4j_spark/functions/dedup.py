@@ -84,6 +84,11 @@ def minhash_signature_scan_local(
 
     if num_hashes > 64:
         raise ValueError("scan_local supports num_hashes <= 64 (one rotation family)")
+    if not (2 <= int(shingle_k) <= 8):
+        raise ValueError(
+            "scan_local packs each shingle into one u64: shingle_k must be "
+            "in [2, 8] (use the catalyst method for longer shingles)"
+        )
     k = int(shingle_k)
     id_field = df.schema[id_col]
     out_schema = StructType(
@@ -92,40 +97,63 @@ def minhash_signature_scan_local(
     )
     nh = int(num_hashes)
 
+    def _base(word: np.ndarray):
+        h1 = _mix64(word + _U64(0x5EED0001))
+        h1 = _mix64(h1 ^ _U64(0x9E3779B97F4A7C15))
+        h2 = _mix64(word + _U64(0x5EED0002))
+        h2 = _mix64(h2 ^ _U64(0xC2B2AE3D27D4EB4F))
+        return h1, h2
+
+    def _derived(h1: np.ndarray, h2: np.ndarray, s: int) -> np.ndarray:
+        if s == 0:
+            return h1 ^ h2
+        return h1 ^ ((h2 << _U64(s)) | (h2 >> _U64(64 - s)))
+
     def sigs(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            n_docs = len(pdf)
             bs = [t.encode("utf-8") for t in pdf[text_col]]
-            lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
-            buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
-            if buf.size < k:  # degenerate tiny batch: pad so windows exist
-                buf = np.concatenate([buf, np.zeros(k - buf.size, dtype=np.uint8)])
-            doc_off = np.concatenate([[0], np.cumsum(lens)])
-            n_sh = np.maximum(lens - (k - 1), 1)
-            wins = sliding_window_view(buf, k)
-            mark = np.zeros(wins.shape[0] + 1, dtype=np.int32)
-            starts = np.minimum(doc_off[:-1], wins.shape[0] - 1)
-            ends = np.minimum(starts + n_sh, wins.shape[0])
-            np.add.at(mark, starts, 1)
-            np.add.at(mark, ends, -1)
-            valid = np.cumsum(mark[:-1]) > 0
-            sel = wins[valid].astype(np.uint64)
-            word = sel[:, 0]
-            for j in range(1, k):
-                word |= sel[:, j] << _U64(8 * j)
+            lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n_docs)
+            sig = np.empty((n_docs, nh), dtype=np.uint64)
+            long_mask = lens >= k
             with np.errstate(over="ignore"):
-                h1 = _mix64(word + _U64(0x5EED0001))
-                h1 = _mix64(h1 ^ _U64(0x9E3779B97F4A7C15))
-                h2 = _mix64(word + _U64(0x5EED0002))
-                h2 = _mix64(h2 ^ _U64(0xC2B2AE3D27D4EB4F))
-                bounds = np.concatenate([[0], np.cumsum(n_sh)])[:-1]
-                sig = np.empty((len(bs), nh), dtype=np.uint64)
-                for s in range(nh):
-                    g = h1 ^ h2 if s == 0 else h1 ^ (
-                        (h2 << _U64(s)) | (h2 >> _U64(64 - s))
-                    )
-                    sig[:, s] = np.minimum.reduceat(g, bounds)
+                # docs shorter than k: ONE shingle = the whole doc, packed
+                # into a u64 with the byte length in the top byte (keeps
+                # "ab" distinct from "ab\\0"); never mixes with neighbors
+                if (~long_mask).any():
+                    short_idx = np.flatnonzero(~long_mask)
+                    sw = np.zeros(short_idx.size, dtype=np.uint64)
+                    for row, i in enumerate(short_idx):
+                        b = bs[i]
+                        v = int.from_bytes(b, "little") | (len(b) << 56)
+                        sw[row] = v
+                    sh1, sh2 = _base(sw)
+                    for s in range(nh):
+                        sig[short_idx, s] = _derived(sh1, sh2, s)
+                if long_mask.any():
+                    long_idx = np.flatnonzero(long_mask)
+                    lbs = [bs[i] for i in long_idx]
+                    llens = lens[long_idx]
+                    buf = np.frombuffer(b"".join(lbs), dtype=np.uint8)
+                    doc_off = np.concatenate([[0], np.cumsum(llens)])
+                    n_sh = llens - (k - 1)  # >= 1 for every long doc
+                    wins = sliding_window_view(buf, k)
+                    mark = np.zeros(wins.shape[0] + 1, dtype=np.int32)
+                    np.add.at(mark, doc_off[:-1], 1)
+                    np.add.at(mark, doc_off[:-1] + n_sh, -1)
+                    valid = np.cumsum(mark[:-1]) > 0
+                    sel = wins[valid].astype(np.uint64)
+                    word = sel[:, 0]
+                    for j in range(1, k):
+                        word |= sel[:, j] << _U64(8 * j)
+                    bounds = np.concatenate([[0], np.cumsum(n_sh)])[:-1]
+                    lh1, lh2 = _base(word)
+                    for s in range(nh):
+                        sig[long_idx, s] = np.minimum.reduceat(
+                            _derived(lh1, lh2, s), bounds
+                        )
             yield pd.DataFrame(
                 {"id": pdf[id_col].to_numpy(),
                  "minhash_sig": list(sig.view(np.int64))}

@@ -256,3 +256,26 @@ def test_minhash_scan_local_matches_planted_pairs(spark):
 
     with pytest.raises(ValueError, match="64"):
         minhash_signature_scan_local(both, "text", "doc_id", num_hashes=128)
+
+
+def test_minhash_scan_local_short_and_empty_docs(spark):
+    """Docs shorter than the shingle width take the single-padded-shingle
+    path: distinct signatures, no cross-doc bleed, partition-invariant."""
+    from cuckoofilter4j_spark.functions.dedup import minhash_signature_scan_local
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "abcd"), (4, "exactly five chars here"),
+         (5, "x"), (6, "abcde")],
+        "doc_id long, text string",
+    )
+    out = minhash_signature_scan_local(df, "text", "doc_id").collect()
+    assert len(out) == 6 and all(len(r["minhash_sig"]) == 64 for r in out)
+    sigs = {r["id"]: tuple(r["minhash_sig"]) for r in out}
+    assert len({sigs[1], sigs[2], sigs[5]}) == 3  # short docs all distinct
+    df2 = spark.createDataFrame(
+        [(10, "hello world document"), (11, "hello world document")],
+        "doc_id long, text string",
+    ).repartition(2)
+    s2 = {r["id"]: tuple(r["minhash_sig"]) for r in
+          minhash_signature_scan_local(df2, "text", "doc_id").collect()}
+    assert s2[10] == s2[11]
