@@ -125,26 +125,109 @@ def build_sketch(
     if method != "scan_local":
         raise ValueError(f"method must be 'scan_local' or 'grouped', got {method!r}")
 
-    def build_partials(batches):
+    # Arrow fast path (binary keys, no/integer group cols): key bytes go
+    # straight from Arrow buffers to the word matrix — no per-row Python
+    # bytes objects on the build side (same rationale as the cuckoo build's
+    # applyInArrow; string-grouped builds keep the pandas path below).
+    from pyspark.sql.types import IntegerType, ShortType
+
+    int_types = (IntegerType, LongType, ShortType)
+    arrow_ok = (
+        kind_ in ("bloom", "hll", "cms")
+        and isinstance(df.schema[key_col].dataType, BinaryType)
+        and all(isinstance(df.schema[c].dataType, int_types) for c in gcols)
+    )
+    if arrow_ok:
+        partials = _build_partials_arrow(
+            proj, kc, gcols, kind_, params_, seed_, out_schema, out_cols
+        )
+    else:
+
+        def build_partials(batches):
+            sketches: Dict[tuple, object] = {}
+            rows_in: Dict[tuple, int] = {}
+            for pdf in batches:
+                items = (
+                    [(k if isinstance(k, tuple) else (k,), g)
+                     for k, g in pdf.groupby(gcols, dropna=False, sort=False)]
+                    if gcols
+                    else [((), pdf)]
+                )
+                for gvals, g in items:
+                    sk = sketches.get(gvals)
+                    if sk is None:
+                        sk = _FACTORIES[kind_](params_, seed_)
+                        sketches[gvals] = sk
+                        rows_in[gvals] = 0
+                    _ingest(kind_, sk, g[kc])
+                    rows_in[gvals] += len(g)
+            if sketches:
+                yield pd.DataFrame(
+                    [
+                        dict(
+                            **{c: v for c, v in zip(gcols, gv)},
+                            kind=kind_,
+                            sketch=sk.to_bytes(),
+                            rows_in=rows_in[gv],
+                        )
+                        for gv, sk in sketches.items()
+                    ]
+                )[out_cols]
+
+        partials = proj.mapInPandas(build_partials, out_schema)
+    return merge_sketch_rows(partials, gcols)
+
+
+def _build_partials_arrow(
+    proj: DataFrame, kc, gcols, kind_, params_, seed_, out_schema, out_cols
+) -> DataFrame:
+    """mapInArrow partial builder for binary keys (bloom/hll/cms ingest
+    word matrices directly)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from cuckoofilter4j_spark.operators.build import words_from_arrow_binary
+
+    key_idx = proj.columns.index(kc)
+    g_idx = [proj.columns.index(c) for c in gcols]
+    arrow_schema = to_arrow_schema(out_schema)
+
+    def build(batches):
         sketches: Dict[tuple, object] = {}
         rows_in: Dict[tuple, int] = {}
-        for pdf in batches:
-            items = (
-                [(k if isinstance(k, tuple) else (k,), g)
-                 for k, g in pdf.groupby(gcols, dropna=False, sort=False)]
-                if gcols
-                else [((), pdf)]
+
+        def ingest(gv, w):
+            sk = sketches.get(gv)
+            if sk is None:
+                sk = _FACTORIES[kind_](params_, seed_)
+                sketches[gv] = sk
+                rows_in[gv] = 0
+            (sk.put_batch if kind_ == "bloom" else sk.add_batch)(w)
+            rows_in[gv] += w.shape[0]
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            words = words_from_arrow_binary(batch.column(key_idx))
+            if not gcols:
+                ingest((), words)
+                continue
+            gs = np.stack(
+                [batch.column(i).to_numpy(zero_copy_only=False) for i in g_idx],
+                axis=1,
             )
-            for gvals, g in items:
-                sk = sketches.get(gvals)
-                if sk is None:
-                    sk = _FACTORIES[kind_](params_, seed_)
-                    sketches[gvals] = sk
-                    rows_in[gvals] = 0
-                _ingest(kind_, sk, g[kc])
-                rows_in[gvals] += len(g)
+            order = np.lexsort(gs.T[::-1])
+            sg = gs[order]
+            change = np.ones(n, dtype=bool)
+            change[1:] = (sg[1:] != sg[:-1]).any(axis=1)
+            starts = np.flatnonzero(change)
+            ends = np.concatenate([starts[1:], [n]])
+            for s, e in zip(starts, ends):
+                idx = order[s:e]
+                ingest(tuple(int(v) for v in sg[s]), np.ascontiguousarray(words[idx]))
         if sketches:
-            yield pd.DataFrame(
+            pdf = pd.DataFrame(
                 [
                     dict(
                         **{c: v for c, v in zip(gcols, gv)},
@@ -155,9 +238,11 @@ def build_sketch(
                     for gv, sk in sketches.items()
                 ]
             )[out_cols]
+            yield pa.RecordBatch.from_pandas(
+                pdf, schema=arrow_schema, preserve_index=False
+            )
 
-    partials = proj.mapInPandas(build_partials, out_schema)
-    return merge_sketch_rows(partials, gcols)
+    return proj.mapInArrow(build, out_schema)
 
 
 def merge_sketch_rows(partials: DataFrame, group_cols: Sequence[str]) -> DataFrame:
@@ -205,12 +290,21 @@ def sketch_probe(
     if isinstance(sketches, DataFrame):
         sketches = _collect_sketch_map(sketches, gcols)
     bc = df.sparkSession.sparkContext.broadcast(dict(sketches))
-    from pyspark.sql.types import BooleanType
+    from pyspark.sql.types import BooleanType, IntegerType, ShortType
 
     rc = result_col or ("might_contain" if mode == "contains" else "est_count")
     rtype = BooleanType() if mode == "contains" else LongType()
     out_schema = StructType(df.schema.fields + [StructField(rc, rtype, False)])
     kc, mode_ = key_col, mode
+
+    # Arrow fast path for binary keys (and no/integer group cols): key bytes
+    # go straight from Arrow buffers to the word matrix — zero per-row
+    # Python objects, same as the cuckoo probes' 100 TB path
+    int_types = (IntegerType, LongType, ShortType)
+    if isinstance(df.schema[kc].dataType, BinaryType) and all(
+        isinstance(df.schema[c].dataType, int_types) for c in gcols
+    ):
+        return _sketch_probe_arrow(df, bc, kc, gcols, rc, out_schema, mode_)
 
     def probe(batches):
         cache: Dict[tuple, object] = {}
@@ -249,6 +343,68 @@ def sketch_probe(
             yield pdf
 
     return df.mapInPandas(probe, out_schema)
+
+
+def _sketch_probe_arrow(
+    df: DataFrame, bc, key_col: str, gcols, rc: str, out_schema, mode: str
+) -> DataFrame:
+    """mapInArrow probe twin of the pandas path (see sketch_probe)."""
+    import pyarrow as pa
+
+    from cuckoofilter4j_spark.operators.build import words_from_arrow_binary
+
+    key_idx = df.columns.index(key_col)
+    g_idx = [df.columns.index(c) for c in gcols]
+    res_dtype = bool if mode == "contains" else np.int64
+    pa_type = pa.bool_() if mode == "contains" else pa.int64()
+
+    def probe(batches):
+        cache: Dict[tuple, object] = {}
+        smap = bc.value
+
+        def sk_for(gv):
+            if gv not in cache:
+                ent = smap.get(gv)
+                cache[gv] = _DECODERS[ent[0]](ent[1]) if ent is not None else None
+            return cache[gv]
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            words = words_from_arrow_binary(batch.column(key_idx))
+            res = np.zeros(n, dtype=res_dtype)
+            if gcols:
+                gs = np.stack(
+                    [batch.column(i).to_numpy(zero_copy_only=False) for i in g_idx],
+                    axis=1,
+                )
+                order = np.lexsort(gs.T[::-1])
+                sg = gs[order]
+                change = np.ones(n, dtype=bool)
+                change[1:] = (sg[1:] != sg[:-1]).any(axis=1)
+                starts = np.flatnonzero(change)
+                ends = np.concatenate([starts[1:], [n]])
+                for s, e in zip(starts, ends):
+                    idx = order[s:e]
+                    sk = sk_for(tuple(int(v) for v in sg[s]))
+                    if sk is None:
+                        continue
+                    w = np.ascontiguousarray(words[idx])
+                    res[idx] = (
+                        sk.contains_batch(w) if mode == "contains" else sk.estimate_batch(w)
+                    )
+            else:
+                sk = sk_for(())
+                if sk is not None:
+                    res = (
+                        sk.contains_batch(words)
+                        if mode == "contains"
+                        else sk.estimate_batch(words)
+                    )
+            yield batch.append_column(rc, pa.array(res, type=pa_type))
+
+    return df.mapInArrow(probe, out_schema)
 
 
 def hll_estimates(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:

@@ -285,3 +285,35 @@ def test_sketch_merge_associativity_property():
             assert merged == direct
 
     check()
+
+
+def test_arrow_fast_paths_match_pandas_paths(spark, docs):
+    """Binary-key/no-group builds+probes take mapInArrow (zero per-row
+    Python objects); output must be byte-identical to the pandas path
+    (forced via a string group col for the build, dict probe otherwise)."""
+    from cuckoofilter4j_spark.operators import build_sketch, sha256_key, sketch_probe
+
+    keyed = docs.select(sha256_key("text").alias("key"))
+    # global bloom: arrow path (binary key, no groups)
+    a = build_sketch(keyed, "key", "bloom", None, max_keys=1024, fpp=0.01)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan or "mapInArrow" in plan.lower(), plan[:2000]
+    # same data via the pandas path (string group col disables arrow)
+    with_g = docs.select(F.lit("g").alias("g"), sha256_key("text").alias("key"))
+    b = build_sketch(with_g, "key", "bloom", ["g"], max_keys=1024, fpp=0.01)
+    sa = bytes(a.select("sketch").first()[0])
+    sb = bytes(b.select("sketch").first()[0])
+    assert sa == sb
+    # probe: arrow path, zero false negatives
+    probed = sketch_probe(keyed, a, "key", None, mode="contains")
+    pplan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in pplan or "mapInArrow" in pplan.lower()
+    assert probed.filter(~F.col("might_contain")).count() == 0
+    # int-group sharded-style probe through arrow
+    sharded = docs.select(
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+        sha256_key("text").alias("key"),
+    )
+    sk = build_sketch(sharded, "key", "bloom", ["shard"], max_keys=1024, fpp=0.01)
+    probed2 = sketch_probe(sharded, sk, "key", ["shard"], mode="contains")
+    assert probed2.filter(~F.col("might_contain")).count() == 0
