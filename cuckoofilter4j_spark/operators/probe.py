@@ -290,6 +290,132 @@ def _resolve_sharded(sketches, num_shards: Optional[int]):
     return smap, num_shards
 
 
+# worker-process cache of stacked shard tables, keyed by a plan-time token
+# (python workers are reused, so the S-way sketch decode happens once per
+# worker, not once per task)
+_STACKED_CACHE: Dict[str, tuple] = {}
+
+
+def _stacked_ok(smap: Dict[tuple, bytes]) -> bool:
+    """Stacked probing requires every shard filter to share
+    (num_buckets, tag_bits, seed, hash_algo) — true for every
+    build_filter_sharded* output (they size all shards identically)."""
+    from cuckoofilter4j_spark.core import CuckooFilter
+
+    if not smap:
+        return False
+    params = set()
+    for blob in smap.values():
+        f = CuckooFilter.from_bytes(blob)
+        params.add((f.num_buckets, f.tag_bits, f.seed, f.hash_algo))
+        if len(params) > 1:
+            return False
+    return True
+
+
+def _probe_sharded_stacked(
+    df: DataFrame,
+    smap: Dict[tuple, bytes],
+    num_shards: int,
+    key_col: str,
+    result_col: str,
+    mode: str,
+) -> DataFrame:
+    """Sharded probe with NO per-shard grouping: all shard tables stack into
+    one (S, num_buckets, 4) array per worker, the shard id is derived in
+    numpy (byte-exact replication of the Catalyst routing hash
+    pmod(xxhash64(key, lit(seed)), S) — pinned by tests), and membership is
+    two fancy-indexed gathers per batch. Removes the per-batch
+    sort-and-loop over up to S tiny groups that dominated the routed probe
+    (an Arrow batch of 10k rows over 512 shards means ~20-row group calls).
+    """
+    import uuid
+
+    import pyarrow as pa
+
+    from cuckoofilter4j_spark.core import CuckooFilter, IndexTagGen, alt_index
+    from cuckoofilter4j_spark.hashing import xxh64_words
+    from cuckoofilter4j_spark.operators.build import (
+        _SHARD_HASH_SEED,
+        words_from_arrow_binary,
+    )
+
+    out_type = BooleanType() if mode == "contains" else LongType()
+    out_schema = StructType(
+        df.schema.fields + [StructField(result_col, out_type, False)]
+    )
+    bc = df.sparkSession.sparkContext.broadcast(dict(smap))
+    token = uuid.uuid4().hex
+    key_idx = df.columns.index(key_col)
+    S = int(num_shards)
+    mode_ = mode
+
+    def _build_stack(blob_map):
+        first = CuckooFilter.from_bytes(next(iter(blob_map.values())))
+        nb, tb = first.num_buckets, first.tag_bits
+        tables = np.zeros((S, nb, 4), dtype=first.table.dtype)
+        v1 = np.full(S, -1, dtype=np.int64)
+        v2 = np.full(S, -1, dtype=np.int64)
+        vt = np.zeros(S, dtype=np.uint64)
+        hasv = np.zeros(S, dtype=bool)
+        for (sh,), blob in blob_map.items():
+            f = CuckooFilter.from_bytes(blob)
+            if (f.num_buckets, f.tag_bits, f.seed, f.hash_algo) != (
+                nb, tb, first.seed, first.hash_algo
+            ):
+                raise ValueError("stacked probe requires uniform shard params")
+            tables[sh] = f.table
+            if f.has_victim:
+                hasv[sh] = True
+                v1[sh], v2[sh], vt[sh] = f.victim_i1, f.victim_i2, np.uint64(f.victim_tag)
+        gen = IndexTagGen(nb, tb, first.seed, first.hash_algo)
+        return tables, gen, v1, v2, vt, hasv
+
+    def probe(batches):
+        if token not in _STACKED_CACHE:
+            _STACKED_CACHE[token] = _build_stack(bc.value)
+        tables, gen, v1, v2, vt, hasv = _STACKED_CACHE[token]
+        pa_type = pa.bool_() if mode_ == "contains" else pa.int64()
+        seed_words = None
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            words = words_from_arrow_binary(batch.column(key_idx))
+            # shard routing: pmod(xxhash64(key, lit(int seed)), S) — the
+            # int literal hashes as a 4-byte message chained on the key hash
+            h1 = xxh64_words(words, 42)
+            if seed_words is None or seed_words.shape[0] != n:
+                seed_words = np.empty((n, 2), dtype=np.uint64)
+                seed_words[:, 0] = 4
+                seed_words[:, 1] = np.uint64(_SHARD_HASH_SEED)
+            shard = (xxh64_words(seed_words, h1).view(np.int64) % S).astype(np.int64)
+            i1, tag = gen.generate(words)
+            i2 = gen.alt(i1, tag)
+            t = tag.astype(tables.dtype)
+            rows1 = tables[shard, i1]
+            rows2 = tables[shard, i2]
+            is_v = hasv[shard] & (tag == vt[shard]) & (
+                (i1 == v1[shard]) | (i1 == v2[shard])
+                | (i2 == v1[shard]) | (i2 == v2[shard])
+            )
+            if mode_ == "contains":
+                res = (
+                    (rows1 == t[:, None]).any(axis=1)
+                    | (rows2 == t[:, None]).any(axis=1)
+                    | is_v
+                )
+            else:
+                res = (
+                    (rows1 == t[:, None]).sum(axis=1)
+                    + (rows2 == t[:, None]).sum(axis=1)
+                    + is_v.astype(np.int64)
+                ).astype(np.int64)
+            yield batch.append_column(result_col, pa.array(res, type=pa_type))
+
+    return df.mapInArrow(probe, out_schema)
+
+
 def might_contain_sharded(
     df: DataFrame,
     sketches,
@@ -300,10 +426,19 @@ def might_contain_sharded(
     """Membership probe against a sharded global filter (build_filter_sharded):
     routes each key to its shard with the same hash and probes that shard.
     The shard modulus comes from `num_shards` or the stamped sketch column —
-    see _resolve_sharded for why it must never come from the row count."""
+    see _resolve_sharded for why it must never come from the row count.
+
+    Binary keys take the stacked fast path (_probe_sharded_stacked: one
+    gather per candidate bucket, no per-shard grouping); other key types
+    fall back to the routed per-group probe."""
     from cuckoofilter4j_spark.operators.build import SHARD_COL, shard_column
+    from pyspark.sql.types import BinaryType as _BinaryType
 
     smap, num_shards = _resolve_sharded(sketches, num_shards)
+    if isinstance(df.schema[key_col].dataType, _BinaryType) and _stacked_ok(smap):
+        return _probe_sharded_stacked(
+            df, smap, num_shards, key_col, result_col, "contains"
+        )
     routed = df.withColumn(SHARD_COL, shard_column(key_col, num_shards))
     out = _probe_map(
         routed, smap, key_col, [SHARD_COL], result_col, BooleanType(), "contains"
@@ -319,8 +454,13 @@ def approx_count_sharded(
     num_shards: Optional[int] = None,
 ) -> DataFrame:
     from cuckoofilter4j_spark.operators.build import SHARD_COL, shard_column
+    from pyspark.sql.types import BinaryType as _BinaryType
 
     smap, num_shards = _resolve_sharded(sketches, num_shards)
+    if isinstance(df.schema[key_col].dataType, _BinaryType) and _stacked_ok(smap):
+        return _probe_sharded_stacked(
+            df, smap, num_shards, key_col, result_col, "count"
+        )
     routed = df.withColumn(SHARD_COL, shard_column(key_col, num_shards))
     out = _probe_map(
         routed, smap, key_col, [SHARD_COL], result_col, LongType(), "count"

@@ -150,3 +150,64 @@ def test_sharded_delete_preserves_stamp(spark, keyed):
     assert "num_shards" in drained.columns
     assert drained.agg(F.sum("count")).first()[0] == 0
     few.unpersist()
+
+
+def test_stacked_probe_matches_routed_probe_and_catalyst_routing(spark, keyed):
+    """The stacked fast probe must agree exactly with the routed per-group
+    probe on members, absent keys, and counts — and its numpy shard routing
+    must be byte-equal to the Catalyst shard_column hash."""
+    from cuckoofilter4j_spark.operators.build import shard_column
+    from cuckoofilter4j_spark.operators.probe import (
+        _probe_map,
+        _probe_sharded_stacked,
+        _resolve_sharded,
+    )
+
+    n = keyed.count()
+    sk = build_filter_sharded(keyed, "key", num_shards=64, max_keys=n, seed=42)
+    smap, S = _resolve_sharded(sk, None)
+
+    # numpy routing == Catalyst routing
+    import numpy as np
+
+    from cuckoofilter4j_spark.core import encode_keys
+    from cuckoofilter4j_spark.hashing import xxh64_words
+    from cuckoofilter4j_spark.operators.build import _SHARD_HASH_SEED
+
+    rows = keyed.select("key", shard_column("key", 64).alias("s")).limit(500).collect()
+    keys = [bytes(r["key"]) for r in rows]
+    w = encode_keys(keys)
+    h1 = xxh64_words(w, 42)
+    sw = np.empty((len(keys), 2), dtype=np.uint64)
+    sw[:, 0] = 4
+    sw[:, 1] = np.uint64(_SHARD_HASH_SEED)
+    ours = (xxh64_words(sw, h1).view(np.int64) % 64).astype(int)
+    assert all(int(ours[i]) == rows[i]["s"] for i in range(len(rows)))
+
+    # membership parity on members and absent keys
+    absent = keyed.select(F.sha2(F.base64("key"), 256).cast("binary").alias("key")).select(
+        F.col("key")
+    )
+    absent = keyed.select(sha256_key(F.base64("key")).alias("key"))
+    for probe_df in (keyed, absent):
+        fast = _probe_sharded_stacked(probe_df, smap, S, "key", "mc", "contains")
+        slow = might_contain_sharded(probe_df, smap, "key", "mc2", num_shards=S)
+        joined = fast.join(slow, "key")
+        assert joined.filter(F.col("mc") != F.col("mc2")).count() == 0
+
+    # count parity with 3x duplicates. Keys must be DISTINCT first: the
+    # synthetic lineitem carries up-to-5x duplicate (orderkey, linenumber)
+    # pairs, and tripling those exceeds the reference's 9-copies-per-key
+    # limit (legitimate failed_inserts).
+    uniq = keyed.distinct().cache()
+    nu = uniq.count()
+    tripled = uniq.union(uniq).union(uniq)
+    sk3 = build_filter_sharded(tripled, "key", num_shards=16, max_keys=12 * nu, seed=42)
+    assert sk3.agg(F.sum("failed_inserts")).first()[0] == 0
+    smap3, S3 = _resolve_sharded(sk3, None)
+    fast = _probe_sharded_stacked(uniq, smap3, S3, "key", "c", "count")
+    slow = approx_count_sharded(uniq, smap3, "key", "c2", num_shards=S3)
+    joined = fast.join(slow, "key")
+    assert joined.filter(F.col("c") != F.col("c2")).count() == 0
+    assert fast.filter(F.col("c") < 3).count() == 0
+    uniq.unpersist()
