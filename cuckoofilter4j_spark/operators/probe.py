@@ -292,8 +292,19 @@ def _resolve_sharded(sketches, num_shards: Optional[int]):
 
 # worker-process cache of stacked shard tables, keyed by a plan-time token
 # (python workers are reused, so the S-way sketch decode happens once per
-# worker, not once per task)
+# worker, not once per task). Bounded: a long-lived worker serving many
+# distinct probe plans would otherwise accumulate one (S, nb, 4) array per
+# plan.
 _STACKED_CACHE: Dict[str, tuple] = {}
+_STACKED_CACHE_MAX = 4
+
+
+def _stacked_cache_get(token: str, builder):
+    if token not in _STACKED_CACHE:
+        while len(_STACKED_CACHE) >= _STACKED_CACHE_MAX:
+            _STACKED_CACHE.pop(next(iter(_STACKED_CACHE)))
+        _STACKED_CACHE[token] = builder()
+    return _STACKED_CACHE[token]
 
 
 def _stacked_ok(smap: Dict[tuple, bytes]) -> bool:
@@ -372,9 +383,9 @@ def _probe_sharded_stacked(
         return tables, gen, v1, v2, vt, hasv
 
     def probe(batches):
-        if token not in _STACKED_CACHE:
-            _STACKED_CACHE[token] = _build_stack(bc.value)
-        tables, gen, v1, v2, vt, hasv = _STACKED_CACHE[token]
+        tables, gen, v1, v2, vt, hasv = _stacked_cache_get(
+            token, lambda: _build_stack(bc.value)
+        )
         pa_type = pa.bool_() if mode_ == "contains" else pa.int64()
         seed_words = None
         for batch in batches:
