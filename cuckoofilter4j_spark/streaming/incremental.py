@@ -132,9 +132,17 @@ def streaming_dedup(
     min_max_keys: int = 256,
     sizing: str = "reference",
     hash_algo: str = "mix64",
+    idle_timeout_ms: Optional[int] = None,
 ) -> DataFrame:
     """Stateful streaming deduplication with a cuckoo filter as the state —
     the custom stateful operator path (applyInPandasWithState).
+
+    `idle_timeout_ms` bounds TOTAL state across unbounded group churn: a
+    group whose filter saw no events for that long (processing time) is
+    dropped, so keys seen only before the gap may be re-emitted once after
+    it — the standard dedup-window tradeoff (Spark's own dropDuplicates
+    uses a watermark the same way). Default None keeps state forever
+    (bounded per group, unbounded in the number of groups).
 
     Emits only the FIRST occurrence of each key per group across the whole
     stream; later occurrences are dropped. The per-group state is one
@@ -164,11 +172,17 @@ def streaming_dedup(
     seed_, algo_, kc = int(seed), str(hash_algo), key_col
     out_cols = [f.name for f in stream.schema.fields]
 
+    timeout_ms = None if idle_timeout_ms is None else int(idle_timeout_ms)
+
     def dedup(key_tuple, pdfs, state: "GroupState"):
         import pandas as pd
 
         from cuckoofilter4j_spark.operators.build import _rng_seed_for
 
+        if timeout_ms is not None and state.hasTimedOut:
+            # idle group: drop the filter (keys may re-emit once after the gap)
+            state.remove()
+            return
         if state.exists:
             filt = CuckooFilter.from_bytes(bytes(state.get[0]))
         else:
@@ -188,8 +202,15 @@ def streaming_dedup(
                 filt.put_batch(fresh[kc])
                 yield fresh[out_cols]
         state.update((filt.to_bytes(),))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
 
     grouped = stream.groupBy(*gcols) if gcols else stream.groupBy(F.lit(0).alias("__g"))
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return grouped.applyInPandasWithState(
-        dedup, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        dedup, out_schema, state_schema, "append", timeout_conf
     )
