@@ -211,3 +211,42 @@ def test_stacked_probe_matches_routed_probe_and_catalyst_routing(spark, keyed):
     assert joined.filter(F.col("c") != F.col("c2")).count() == 0
     assert fast.filter(F.col("c") < 3).count() == 0
     uniq.unpersist()
+
+
+def test_stacked_probe_sees_victim_cache_entries(spark):
+    """A shard filter carrying a parked victim must still answer True/count
+    for the victim key through the stacked probe (checkIsVictim parity,
+    CuckooFilter.java:605-627)."""
+    import numpy as np
+
+    from cuckoofilter4j_spark.core import CuckooFilter
+    from cuckoofilter4j_spark.operators.probe import _probe_sharded_stacked
+
+    # overfill a tiny filter until the victim slot is occupied
+    rng = np.random.default_rng(3)
+    f = CuckooFilter(num_buckets=8, tag_bits=8, seed=42)
+    keys, victim_key = [], None
+    for i in range(200):
+        k = rng.bytes(16)
+        if f.put(k):
+            keys.append(k)
+        if f.has_victim:
+            break
+    assert f.has_victim
+    # find a key that is ONLY findable via the victim slot: the parked
+    # fingerprint itself — probe every inserted key; all must be True
+    smap = {(0,): f.to_bytes()}
+    probe_keys = keys
+    df = spark.createDataFrame([(k,) for k in probe_keys], "key binary")
+    out = _probe_sharded_stacked(df, smap, 1, "key", "mc", "contains")
+    kernel = f.contains_batch(probe_keys)
+    got = {bytes(r["key"]): r["mc"] for r in out.collect()}
+    for i, k in enumerate(probe_keys):
+        assert got[k] == bool(kernel[i])
+    assert all(kernel)  # zero false negatives incl. the victim-held key
+    # count parity too
+    outc = _probe_sharded_stacked(df, smap, 1, "key", "c", "count")
+    kc = f.count_batch(probe_keys)
+    gotc = {bytes(r["key"]): r["c"] for r in outc.collect()}
+    for i, k in enumerate(probe_keys):
+        assert gotc[k] == int(kc[i])
