@@ -317,3 +317,31 @@ def test_arrow_fast_paths_match_pandas_paths(spark, docs):
     sk = build_sketch(sharded, "key", "bloom", ["shard"], max_keys=1024, fpp=0.01)
     probed2 = sketch_probe(sharded, sk, "key", ["shard"], mode="contains")
     assert probed2.filter(~F.col("might_contain")).count() == 0
+
+
+def test_sharded_bloom_composes_from_existing_primitives(spark, docs):
+    """The very-large-m Bloom answer (BASELINE.md) needs no new operator:
+    shard with the same routing hash as the cuckoo path, build one bloom
+    per shard (method='grouped': one task per shard), probe with the
+    int-group arrow path — zero false negatives, bounded fpp."""
+    from cuckoofilter4j_spark.operators import build_sketch, sha256_key, sketch_probe
+    from cuckoofilter4j_spark.operators.build import shard_column
+
+    keyed = docs.select(sha256_key("text").alias("key")).cache()
+    n = keyed.count()
+    S = 8
+    sharded = keyed.withColumn("shard", shard_column("key", S))
+    sk = build_sketch(
+        sharded, "key", "bloom", ["shard"], method="grouped",
+        max_keys=max(n // S * 2, 64), fpp=0.01,
+    )
+    assert sk.count() <= S
+    probed = sketch_probe(sharded, sk, "key", ["shard"], mode="contains")
+    assert probed.filter(~F.col("might_contain")).count() == 0
+    absent = docs.select(sha256_key(F.concat("text", F.lit("_nope"))).alias("key"))
+    absent_sh = absent.withColumn("shard", shard_column("key", S))
+    fp = sketch_probe(absent_sh, sk, "key", ["shard"], mode="contains").filter(
+        F.col("might_contain")
+    ).count()
+    assert fp / max(n, 1) < 0.05
+    keyed.unpersist()
