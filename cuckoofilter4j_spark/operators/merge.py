@@ -67,13 +67,17 @@ def tree_merge(
     df = partials.persist()
     cached: List[DataFrame] = [df]
     try:
-        for rnd in range(max_rounds):
-            # the count action also materializes this round's cache, so each
-            # round computes exactly once (no lineage recomputation)
-            n_partials = df.groupBy(*gcols).count().agg(F.max("count")).collect()[0][0]
-            if n_partials is None or n_partials <= fanout:
-                break
-            n_buckets = (int(n_partials) + fanout - 1) // fanout
+        # ONE driver action: P = max partials in any group. Every later
+        # round's bucket count derives from it (round r output has at most
+        # ceil(P / fanout^(r+1)) rows per group BY CONSTRUCTION — one row per
+        # occupied bucket), so no per-round count is needed and the whole
+        # reduction runs as a single lazy chain materialized by the final
+        # action (each persisted stage computes exactly once inside it).
+        row = df.groupBy(*gcols).count().agg(F.max("count")).collect()[0]
+        p = int(row[0]) if row[0] is not None else 0
+        rnd = 0
+        while p > fanout and rnd < max_rounds:
+            n_buckets = (p + fanout - 1) // fanout
             # deterministic bucket from sketch bytes' xxhash — no RNG, resumable
             bucketed = df.withColumn(
                 _BUCKET_COL,
@@ -81,6 +85,8 @@ def tree_merge(
             )
             df = merge_sketches(bucketed, gcols + [_BUCKET_COL]).drop(_BUCKET_COL).persist()
             cached.append(df)
+            p = n_buckets
+            rnd += 1
         final = merge_sketches(df, gcols).persist()
         final.count()  # materialize before releasing parents
         return final

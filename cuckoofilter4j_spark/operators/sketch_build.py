@@ -447,15 +447,19 @@ def kll_quantiles(
     )
     qs_ = [float(q) for q in qs]
 
+    out_cols = [*gcols, "q", "value"]
+
     def proj(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                sk = _DECODERS[r["kind"]](bytes(r["sketch"]))
+            gvals = zip(*(pdf[c] for c in gcols)) if gcols else ((),) * len(pdf)
+            for gv, kind, blob in zip(gvals, pdf["kind"], pdf["sketch"]):
+                sk = _DECODERS[kind](bytes(blob))
                 for q in qs_:
-                    rows.append(
-                        dict(**{c: r[c] for c in gcols}, q=q, value=sk.quantile(q))
-                    )
-            yield pd.DataFrame(rows)[[*gcols, "q", "value"]]
+                    rows.append(dict(zip(gcols, gv), q=q, value=sk.quantile(q)))
+            if not rows:
+                yield pd.DataFrame({c: [] for c in out_cols})
+                continue
+            yield pd.DataFrame(rows)[out_cols]
 
     return sketches.mapInPandas(proj, schema)

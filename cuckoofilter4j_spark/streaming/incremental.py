@@ -133,6 +133,7 @@ def streaming_dedup(
     sizing: str = "reference",
     hash_algo: str = "mix64",
     idle_timeout_ms: Optional[int] = None,
+    on_overflow: str = "emit",
 ) -> DataFrame:
     """Stateful streaming deduplication with a cuckoo filter as the state —
     the custom stateful operator path (applyInPandasWithState).
@@ -151,9 +152,18 @@ def streaming_dedup(
     sketch instead of Spark's exact dropDuplicates (whose state grows with
     the distinct-key count and must be bounded with a watermark).
 
-    Semantics (documented approximation): duplicates are ALWAYS dropped
-    (membership has zero false negatives); a new key is wrongly dropped at
-    ~fpp (a filter false positive). Use fpp to trade state size vs loss.
+    Semantics (documented approximation): WHILE a group stays within its
+    `max_keys` capacity, duplicates are ALWAYS dropped (membership has zero
+    false negatives); a new key is wrongly dropped at ~fpp (a filter false
+    positive). Use fpp to trade state size vs loss. If a group OVERFLOWS
+    (more distinct keys than max_keys), some inserts fail and those keys are
+    absent from state — `on_overflow` picks the failure mode:
+      - "emit"  (default): the key is emitted now but may be RE-emitted on a
+        later occurrence (duplicate leak under overflow);
+      - "drop"  : only keys actually recorded in the filter are emitted —
+        never emits a key twice, but an overflowing key is LOST entirely;
+      - "error" : raise in the task (fail the query loudly — size max_keys up
+        or add group salting upstream).
 
     Scale shape: state ships as one binary per group per micro-batch; the
     probe+insert inside the UDF is the same vectorized kernel as the batch
@@ -162,6 +172,10 @@ def streaming_dedup(
     """
     if max_keys is None:
         raise ValueError("max_keys is required (expected distinct keys per group)")
+    if on_overflow not in ("emit", "drop", "error"):
+        raise ValueError(
+            f"on_overflow must be 'emit', 'drop' or 'error', got {on_overflow!r}"
+        )
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import BinaryType, StructField, StructType
 
@@ -169,7 +183,7 @@ def streaming_dedup(
     out_schema = StructType([f for f in stream.schema.fields])
     state_schema = StructType([StructField("sketch", BinaryType(), True)])
     nb, tb = validate_params(max(int(max_keys), int(min_max_keys), 2), fpp, sizing)
-    seed_, algo_, kc = int(seed), str(hash_algo), key_col
+    seed_, algo_, kc, overflow_ = int(seed), str(hash_algo), key_col, on_overflow
     out_cols = [f.name for f in stream.schema.fields]
 
     timeout_ms = None if idle_timeout_ms is None else int(idle_timeout_ms)
@@ -199,8 +213,19 @@ def streaming_dedup(
             seen = filt.contains_batch(pdf[kc])
             fresh = pdf.loc[~seen]
             if len(fresh):
-                filt.put_batch(fresh[kc])
-                yield fresh[out_cols]
+                ok = filt.put_batch(fresh[kc])
+                if not ok.all():
+                    if overflow_ == "error":
+                        raise RuntimeError(
+                            f"streaming_dedup: group {tuple(key_tuple)!r} "
+                            f"overflowed its filter ({int((~ok).sum())} failed "
+                            f"inserts this batch) — raise max_keys or salt "
+                            "the group upstream"
+                        )
+                    if overflow_ == "drop":
+                        fresh = fresh.loc[ok]
+                if len(fresh):
+                    yield fresh[out_cols]
         state.update((filt.to_bytes(),))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)

@@ -149,3 +149,77 @@ def test_streaming_dedup_idle_timeout_reopens_window(spark, tmp_path):
     assert per_key.filter(F.col("count") > 2).count() == 0
     assert per_key.filter(F.col("count") == 2).count() >= n // 2
     keyed.unpersist()
+
+def test_streaming_dedup_overflow_drop_never_double_emits(spark, tmp_path):
+    """on_overflow='drop': only keys actually recorded in the filter are
+    emitted, so even a massively overflowing group never emits a key twice
+    (overflowing keys are lost, by contract)."""
+    from cuckoofilter4j_spark.streaming import streaming_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = (
+        docs.select("lang", "doc_id", sha256_key("text").alias("key"))
+        .limit(60)
+        .select(F.lit("g").alias("lang"), "doc_id", "key")
+        .cache()
+    )
+    src_dir = str(tmp_path / "ovf_src")
+    keyed.coalesce(1).write.parquet(f"{src_dir}/f=0")
+    keyed.coalesce(1).write.parquet(f"{src_dir}/f=1")  # pure replay
+
+    stream = (
+        spark.readStream.schema("lang string, doc_id bigint, key binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/f=*")
+    )
+    # capacity 4 slots + victim: 60 distinct keys overflow hard
+    deduped = streaming_dedup(
+        stream, key_col="key", group_cols=["lang"], max_keys=2, fpp=0.01,
+        seed=42, min_max_keys=2, on_overflow="drop",
+    )
+    out_dir = str(tmp_path / "ovf_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ovf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.groupBy("key").count().filter(F.col("count") > 1).count() == 0
+    assert 0 < got.count() < 60  # some recorded, overflow lost
+    keyed.unpersist()
+
+
+def test_streaming_dedup_overflow_error_fails_loud(spark, tmp_path):
+    """on_overflow='error': an overflowing group fails the query instead of
+    silently leaking duplicates."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from cuckoofilter4j_spark.streaming import streaming_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = (
+        docs.select(F.lit("g").alias("lang"), "doc_id", sha256_key("text").alias("key"))
+        .limit(60)
+    )
+    src_dir = str(tmp_path / "ovferr_src")
+    keyed.coalesce(1).write.parquet(f"{src_dir}/f=0")
+    stream = (
+        spark.readStream.schema("lang string, doc_id bigint, key binary")
+        .parquet(f"{src_dir}/f=*")
+    )
+    deduped = streaming_dedup(
+        stream, key_col="key", group_cols=["lang"], max_keys=2, fpp=0.01,
+        seed=42, min_max_keys=2, on_overflow="error",
+    )
+    q = (
+        deduped.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ovferr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(StreamingQueryException, match="overflowed its filter"):
+        q.awaitTermination(120)
