@@ -227,6 +227,8 @@ def minhash_dup_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     method: str = "catalyst",
+    max_bucket_size: Optional[int] = None,
+    stats_out: Optional[dict] = None,
 ) -> DataFrame:
     """Near-duplicate pairs via LSH banding over MinHash signatures.
 
@@ -234,6 +236,22 @@ def minhash_dup_pairs(
     of the signature matches exactly. Collisions are verified by estimated
     Jaccard = fraction of agreeing signature positions >= threshold.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    `max_bucket_size` caps degenerate LSH buckets (a boilerplate corpus puts
+    thousands of docs in one band bucket → B²/2 candidate pairs → the classic
+    100 TB OOM): buckets above the cap are deterministically thinned to
+    ~cap members (pairs among dropped members are lost — mega-duplicate
+    groups belong to exact_dedup, which collapses them in ONE shuffle).
+    No silent caps: pass `stats_out` (a dict) to receive
+    stats_out["drop_stats"], a lazy 1-row DataFrame
+    (hot_buckets, dropped_rows, dropped_candidate_pairs) to collect/log
+    after the pairs materialize.
+
+    Cache lifetime: the signature table is persisted (MEMORY_AND_DISK) —
+    it feeds banding plus both sides of the verification join. The cache
+    lives as long as the returned plan; callers running many dedup passes
+    in one session can pass `stats_out` and call
+    stats_out["signatures"].unpersist() once the pairs are materialized.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -252,6 +270,8 @@ def minhash_dup_pairs(
     else:
         raise ValueError(f"method must be 'catalyst' or 'scan_local', got {method!r}")
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    if stats_out is not None:
+        stats_out["signatures"] = sigs
     # candidate generation carries ONLY (id, band, band_hash): the banded
     # self-join shuffles identically on both sides (ReusedExchange) and the
     # pair set stays narrow even when LSH buckets are hot
@@ -267,6 +287,14 @@ def minhash_dup_pairs(
             ])
         ).alias("bh"),
     ).select("id", "bh.band", "bh.band_hash")
+    if max_bucket_size is not None:
+        from cuckoofilter4j_spark.functions.lsh import cap_hot_buckets
+
+        banded, drop_stats = cap_hot_buckets(
+            banded, ["band", "band_hash"], "id", max_bucket_size
+        )
+        if stats_out is not None:
+            stats_out["drop_stats"] = drop_stats
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -340,6 +368,8 @@ def simhash_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     shingle_k: int = 4,
+    max_bucket_size: Optional[int] = None,
+    stats_out: Optional[dict] = None,
 ) -> DataFrame:
     """Near-dup pairs with simhash distance <= max_hamming.
 
@@ -347,6 +377,10 @@ def simhash_dup_pairs(
     pair within the distance budget must agree exactly on >=1 block
     (pigeonhole), so candidates join on (block_idx, block_value), never a
     cross join. Returns (id_a, id_b, hamming).
+
+    `max_bucket_size` thins degenerate (block, value) buckets exactly like
+    minhash_dup_pairs (see there); drop metrics land in
+    stats_out["drop_stats"] when a dict is passed.
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
@@ -366,6 +400,14 @@ def simhash_dup_pairs(
             ])
         ).alias("b"),
     ).select("id", "simhash", "b.blk", "b.blk_val")
+    if max_bucket_size is not None:
+        from cuckoofilter4j_spark.functions.lsh import cap_hot_buckets
+
+        blocks, drop_stats = cap_hot_buckets(
+            blocks, ["blk", "blk_val"], "id", max_bucket_size
+        )
+        if stats_out is not None:
+            stats_out["drop_stats"] = drop_stats
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

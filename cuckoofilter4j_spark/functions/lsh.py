@@ -1,0 +1,76 @@
+"""Hot-bucket capping for LSH candidate generation.
+
+Every LSH self-join in this library (MinHash bands, SimHash blocks,
+hyperplane buckets) is O(n·bands) in shuffle rows — the right shape — but a
+single degenerate bucket with B members (a boilerplate corpus, a
+near-constant embedding cluster) still emits B²/2 candidate pairs inside
+that bucket: the classic training-corpus OOM at 100 TB. `cap_hot_buckets`
+bounds that to O(cap²) per bucket by deterministically thinning buckets
+above `max_bucket_size`, and reports exactly what was dropped
+(no-silent-caps: the drop metric is part of the contract).
+
+Scale shape: the bucket-size aggregation is map-side combinable on the SAME
+key the self-join shuffles on; the hot set (only buckets above the cap) is
+tiny by construction and broadcast back, so capping adds one narrow
+aggregation and zero extra shuffles of the banded rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+DROP_STATS_COLS = ("hot_buckets", "dropped_rows", "dropped_candidate_pairs")
+
+
+def cap_hot_buckets(
+    df: DataFrame,
+    bucket_cols: Sequence[str],
+    id_col: str,
+    max_bucket_size: int,
+    salt: int = 0,
+) -> Tuple[DataFrame, DataFrame]:
+    """Thin every bucket above `max_bucket_size` down to ~max_bucket_size
+    members; buckets at or below the cap pass through UNTOUCHED.
+
+    Thinning is deterministic and sort-free: a member survives iff
+    pmod(xxhash64(id, bucket, salt), bucket_size) < cap — an independent
+    keep-decision per row (expected `cap` survivors, no per-bucket sort, so
+    a 10^8-member bucket never concentrates into one skewed sort task).
+
+    Returns (kept, drop_stats). `drop_stats` is a lazy ONE-row DataFrame
+    (hot_buckets, dropped_rows, dropped_candidate_pairs) computed from the
+    same bucket-size aggregate the cap uses — collect it after the pairs
+    materialize to log what the cap removed. dropped_candidate_pairs counts
+    within-bucket pairs lost vs the uncapped join (upper bound: thinning
+    keeps ~cap members, so ~cap²/2 pairs per hot bucket survive).
+    """
+    cap = int(max_bucket_size)
+    if cap < 2:
+        raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
+    bcols = list(bucket_cols)
+    sizes = df.groupBy(*bcols).agg(F.count("*").alias("__bsz"))
+    hot = sizes.filter(F.col("__bsz") > cap)
+    capl = F.lit(cap).cast("long")
+    drop_stats = hot.agg(
+        F.count("*").alias("hot_buckets"),
+        F.coalesce(F.sum(F.col("__bsz") - capl), F.lit(0)).cast("long").alias("dropped_rows"),
+        F.coalesce(
+            F.sum(
+                (F.col("__bsz") * (F.col("__bsz") - 1) - capl * (capl - 1)) / 2
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dropped_candidate_pairs"),
+    )
+    keep = F.col("__bsz").isNull() | (
+        F.pmod(
+            F.xxhash64(F.col(id_col), *[F.col(c) for c in bcols], F.lit(int(salt))),
+            F.col("__bsz"),
+        )
+        < capl
+    )
+    kept = df.join(F.broadcast(hot), bcols, "left").filter(keep).drop("__bsz")
+    return kept, drop_stats

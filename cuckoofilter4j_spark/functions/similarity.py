@@ -270,6 +270,8 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     dim: Optional[int] = None,
     seed: int = 42,
+    max_bucket_size: Optional[int] = None,
+    stats_out: Optional[dict] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join: pairs sharing
     a hyperplane bucket are scored, kept when cosine >= min_cosine.
@@ -278,11 +280,19 @@ def embedding_near_dup_pairs(
     Scale shape: bucket ids come from a broadcast plane matrix (one matmul
     per batch, no plan literals — survives dim 768+); the self-join shuffles
     on __bucket (never all-pairs); candidate pairs are scored with a
-    vectorized einsum."""
+    vectorized einsum. `max_bucket_size` thins degenerate hyperplane buckets
+    (a near-constant embedding cluster) exactly like minhash_dup_pairs —
+    drop metrics land in stats_out["drop_stats"] when a dict is passed."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     b = with_lsh_bucket(corpus.select(id_col, vec_col), vec_col, planes)
+    if max_bucket_size is not None:
+        from cuckoofilter4j_spark.functions.lsh import cap_hot_buckets
+
+        b, drop_stats = cap_hot_buckets(b, ["__bucket"], id_col, max_bucket_size)
+        if stats_out is not None:
+            stats_out["drop_stats"] = drop_stats
     a_, b_ = b.alias("a"), b.alias("b")
     cand = a_.join(
         b_,

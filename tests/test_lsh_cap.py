@@ -1,0 +1,156 @@
+"""Hot-bucket capping for the LSH self-joins (minhash / simhash / embedding).
+
+The 100x-scale risk these tests pin: a degenerate LSH bucket with K members
+emits K²/2 candidate pairs without a cap. With max_bucket_size=cap the
+candidate volume must stay O(cap²) per bucket, true pairs OUTSIDE the hot
+bucket must still be found, and the drop metrics must report exactly what
+was removed (no silent caps).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import (
+    cap_hot_buckets,
+    embedding_near_dup_pairs,
+    minhash_dup_pairs,
+    simhash_dup_pairs,
+)
+
+K_HOT = 1000  # planted hot-bucket size
+CAP = 20
+
+
+def test_cap_hot_buckets_unit(spark):
+    """Cold buckets pass through untouched; a hot bucket thins to ~cap with
+    exact drop accounting."""
+    rows = [(i, "hot") for i in range(500)] + [(1000 + i, f"cold{i % 7}") for i in range(21)]
+    df = spark.createDataFrame(rows, "id long, bucket string")
+    kept, stats = cap_hot_buckets(df, ["bucket"], "id", max_bucket_size=10)
+    sizes = {r["bucket"]: r["n"] for r in kept.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    # cold buckets (3 members each): identical
+    for b, n in sizes.items():
+        if b != "hot":
+            assert n == 3
+    # hot bucket: expected 10 survivors, binomial tail bound
+    assert 1 <= sizes["hot"] <= 30
+    s = stats.collect()[0]
+    assert s["hot_buckets"] == 1
+    assert s["dropped_rows"] == 500 - 10
+    assert s["dropped_candidate_pairs"] == (500 * 499 - 10 * 9) // 2
+    with pytest.raises(ValueError):
+        cap_hot_buckets(df, ["bucket"], "id", max_bucket_size=1)
+
+
+def _hot_corpus(spark):
+    """K_HOT identical docs (EVERY minhash band / simhash block / bucket is
+    hot for them) + 20 planted near-dup pairs with distinct content."""
+    hot = spark.range(K_HOT).select(
+        F.col("id"),
+        F.lit(
+            "the same boilerplate paragraph repeated verbatim across the corpus "
+            "exactly as crawled from a navigation template page"
+        ).alias("text"),
+    )
+    base = spark.range(100000, 100020).select(
+        "id",
+        F.concat(
+            F.lit("unique document number "),
+            F.col("id").cast("string"),
+            F.lit(" with enough distinct words to shingle into its own buckets and stay clear of the boilerplate"),
+        ).alias("text"),
+    )
+    dups = base.select((F.col("id") + 500).alias("id"), F.concat("text", F.lit(" x")).alias("text"))
+    return hot.unionByName(base).unionByName(dups)
+
+
+def test_minhash_cap_bounds_candidates_keeps_outside_pairs(spark):
+    docs = _hot_corpus(spark)
+    stats = {}
+    pairs = minhash_dup_pairs(
+        docs, "text", "id", num_hashes=64, bands=16, threshold=0.6,
+        max_bucket_size=CAP, stats_out=stats,
+    ).cache()
+    try:
+        hot_pairs = pairs.filter((F.col("id_a") < K_HOT) & (F.col("id_b") < K_HOT)).count()
+        # uncapped would be K_HOT*(K_HOT-1)/2 = 499,500; capped stays O(cap²·bands)
+        assert 0 < hot_pairs <= 16 * CAP * CAP
+        # all 20 planted true pairs outside the hot bucket still found
+        planted = pairs.filter((F.col("id_a") >= 100000) & (F.col("id_b") == F.col("id_a") + 500))
+        assert planted.count() == 20
+        s = stats["drop_stats"].collect()[0]
+        assert s["hot_buckets"] >= 16  # every band's boilerplate bucket
+        assert s["dropped_rows"] >= 16 * (K_HOT - CAP)
+        assert s["dropped_candidate_pairs"] > 0
+    finally:
+        pairs.unpersist()
+        stats["signatures"].unpersist()
+
+
+def test_simhash_cap_bounds_candidates_keeps_outside_pairs(spark):
+    from cuckoofilter4j_spark.functions import hamming64, simhash_table
+
+    docs = _hot_corpus(spark)
+    # ground truth: how many planted pairs are really within max_hamming=3
+    # (the pigeonhole block join is EXACT for those — none may be lost)
+    sh = simhash_table(docs.filter(F.col("id") >= 100000), "text", "id", 4)
+    a, b = sh.alias("a"), sh.alias("b")
+    expected = (
+        a.join(b, F.col("b.id") == F.col("a.id") + 500)
+        .filter(hamming64(F.col("a.simhash"), F.col("b.simhash")) <= 3)
+        .count()
+    )
+    assert expected >= 15  # the fixture really plants near-dups
+    stats = {}
+    pairs = simhash_dup_pairs(
+        docs, "text", "id", max_hamming=3, max_bucket_size=CAP, stats_out=stats
+    ).cache()
+    try:
+        hot_pairs = pairs.filter((F.col("id_a") < K_HOT) & (F.col("id_b") < K_HOT)).count()
+        assert 0 < hot_pairs <= 4 * CAP * CAP
+        planted = pairs.filter((F.col("id_a") >= 100000) & (F.col("id_b") == F.col("id_a") + 500))
+        assert planted.count() == expected
+        s = stats["drop_stats"].collect()[0]
+        assert s["hot_buckets"] >= 4
+    finally:
+        pairs.unpersist()
+
+
+def test_embedding_cap_bounds_candidates_keeps_outside_pairs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    hot_vec = rng.standard_normal(dim).tolist()
+    rows = [(i, hot_vec) for i in range(K_HOT)]
+    for i in range(20):
+        v = rng.standard_normal(dim)
+        w = v + rng.standard_normal(dim) * 0.01  # near-dup partner
+        rows.append((100000 + i, v.tolist()))
+        rows.append((100500 + i, w.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = {}
+    pairs = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", min_cosine=0.95, n_planes=8, dim=dim,
+        max_bucket_size=CAP, stats_out=stats,
+    ).cache()
+    try:
+        hot_pairs = pairs.filter((F.col("id_a") < K_HOT) & (F.col("id_b") < K_HOT)).count()
+        assert 0 < hot_pairs <= 3 * CAP * CAP  # one bucket, binomial slack
+        planted = pairs.filter(
+            (F.col("id_a") >= 100000) & (F.col("id_b") == F.col("id_a") + 500)
+        )
+        assert planted.count() >= 15  # LSH recall < 1 by construction
+        s = stats["drop_stats"].collect()[0]
+        assert s["hot_buckets"] >= 1
+        assert s["dropped_rows"] >= K_HOT - 3 * CAP
+    finally:
+        pairs.unpersist()
+
+
+def test_minhash_uncapped_unchanged(spark):
+    """Default (no cap) takes the exact pre-existing plan: no joins against
+    bucket sizes appear."""
+    docs = _hot_corpus(spark).limit(50)
+    plan = minhash_dup_pairs(docs, "text", "id")._jdf.queryExecution().executedPlan().toString()
+    assert "__bsz" not in plan
