@@ -30,6 +30,7 @@ from cuckoofilter4j_spark.operators import (
     build_filter_sharded,
     build_partials_scan_local,
     delete_keys,
+    delete_keys_sharded,
     might_contain,
     might_contain_sharded,
     merge_sketches,
@@ -192,6 +193,33 @@ def q_ckf_sharded_empty_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg_s = sk.agg((F.count("*") < F.first("num_shards")).alias("had_empty_shard"))
     return agg_p.crossJoin(agg_s)
+
+
+def q_ckf_sharded_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed delete through a SHARDED global filter (delete_keys_sharded,
+    probe.py): each delete routes to its shard with the build hash. Deleting
+    present keys always succeeds (zero false negatives ⇒ exact counts) and
+    every remaining key stays found; the 64-shard layout over 40 keys also
+    exercises empty shards through the delete path."""
+    sub = _docs_keyed(spark, sf_dir).filter(F.col("doc_id") < 40)
+    sk = build_filter_sharded(sub, "key", num_shards=64, max_keys=256, fpp=FPP, seed=SEED)
+    dels = sub.filter(F.col("doc_id") % 10 == 0)
+    kept = sub.filter(F.col("doc_id") % 10 != 0)
+    after = delete_keys_sharded(sk, dels, "key", num_shards=64)
+    agg_before = sk.agg(
+        F.sum("count").alias("n_before"),
+        (F.count("*") < F.first("num_shards")).alias("had_empty_shard"),
+    )
+    agg_after = after.agg(F.sum("count").alias("n_after"))
+    probed = might_contain_sharded(kept, after, "key", num_shards=64)
+    agg_found = probed.agg(
+        F.sum(F.col("might_contain").cast("long")).alias("n_remaining_found")
+    )
+    return (
+        agg_before.crossJoin(agg_after)
+        .crossJoin(agg_found)
+        .select("n_before", "n_after", "n_remaining_found", "had_empty_shard")
+    )
 
 
 def q_ckf_delete_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,10 +720,23 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media → mapInPandas decode →
-    typed features. Deterministic but not SQL-expressible (rows-only check)."""
+    typed features. Fully oracle-checked: the synth payload stores an exact
+    pixel_sum checksum, the decoder recomputes it from the decoded pixels,
+    and width/height follow the deterministic synth formulas the DuckDB
+    oracle reproduces (multimodal.py:51-77)."""
     media = synth_media(spark, rows=64, num_partitions=4)
-    return decode_images(media, fake=True).select(
-        "media_id", "width", "height", "mean_intensity"
+    decoded = decode_images(media, fake=True)
+    return (
+        decoded.join(
+            media.select("media_id", F.col("pixel_sum").alias("__expected_sum")),
+            "media_id",
+        )
+        .select(
+            "media_id",
+            "width",
+            "height",
+            (F.col("pixel_sum") == F.col("__expected_sum")).alias("checksum_ok"),
+        )
     )
 
 
@@ -715,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_approx_count": q_ckf_approx_count,
         "ckf_get_count": q_ckf_get_count,
         "ckf_sharded_empty_shards": q_ckf_sharded_empty_shards,
+        "ckf_sharded_delete": q_ckf_sharded_delete,
         "ckf_delete_drain": q_ckf_delete_drain,
         "ckf_false_delete_rate": q_ckf_false_delete_rate,
         "ckf_salted_build": q_ckf_salted_build,
@@ -827,6 +869,13 @@ def oracle_sql() -> dict[str, str]:
         "ckf_approx_count": "SELECT doc_id, TRUE AS count_ok FROM documents",
         "ckf_get_count": "SELECT CAST(3 * count(*) AS BIGINT) AS n_stored, CAST(0 AS BIGINT) AS n_failed FROM documents",
         "ckf_sharded_empty_shards": "SELECT CAST(count(*) AS BIGINT) AS n_probed, CAST(count(*) AS BIGINT) AS n_found, TRUE AS had_empty_shard FROM documents WHERE doc_id < 40",
+        "ckf_sharded_delete": """
+            SELECT CAST(count(*) AS BIGINT) AS n_before,
+                   CAST(sum(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+                   CAST(sum(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_remaining_found,
+                   TRUE AS had_empty_shard
+            FROM documents WHERE doc_id < 40
+        """,
         "ckf_delete_drain": "SELECT lang, CAST(0 AS BIGINT) AS remaining FROM documents GROUP BY lang",
         "ckf_false_delete_rate": "SELECT 1 AS n_filters, TRUE AS false_delete_rate_ok",
         "ckf_salted_build": "SELECT lang, count(*) AS n_inserted, CAST(0 AS BIGINT) AS n_failed FROM documents GROUP BY lang",
@@ -897,7 +946,15 @@ def oracle_sql() -> dict[str, str]:
         "cms_count_bound": "SELECT doc_id, TRUE AS count_ok FROM documents",
         "kll_quantile_bound": "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.25), (0.5), (0.75)) t(q)",
         "tdigest_quantile_bound": "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.1), (0.5), (0.9)) t(q)",
-        # media_decode: deterministic numpy synthesis — rows-only check (no SQL form)
+        # media_decode: the synth formulas (multimodal.py synth_media) are
+        # w = 8 + id % 24, h = 8 + 7*id % 24; checksum verified in-plan
+        "media_decode": """
+            SELECT CAST(range AS BIGINT) AS media_id,
+                   CAST(8 + range % 24 AS INT) AS width,
+                   CAST(8 + (range * 7) % 24 AS INT) AS height,
+                   TRUE AS checksum_ok
+            FROM range(64)
+        """,
     }
     out["ann_topk_vectorized"] = out["ann_topk"]  # identical result contract
     return out

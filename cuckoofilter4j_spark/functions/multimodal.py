@@ -41,6 +41,9 @@ MEDIA_SCHEMA = StructType(
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("duration_ms", IntegerType(), True),
+        # exact checksum stored AT SYNTH TIME so decode output is
+        # oracle-verifiable end-to-end (decoded sum(pixels) must reproduce it)
+        StructField("pixel_sum", LongType(), False),
         StructField("payload", BinaryType(), False),
     ]
 )
@@ -69,6 +72,7 @@ def synth_media(spark, rows: int = 256, num_partitions: int = 4) -> DataFrame:
                         width=w,
                         height=h,
                         duration_ms=None,
+                        pixel_sum=int(pixels.sum(dtype=np.int64)),
                         payload=payload,
                     )
                 )
@@ -85,6 +89,8 @@ DECODED_SCHEMA = StructType(
         StructField("mean_intensity", FloatType(), False),
         StructField("std_intensity", FloatType(), False),
         StructField("histogram", ArrayType(LongType()), False),
+        # exact sum of decoded pixels: the oracle-checkable checksum
+        StructField("pixel_sum", LongType(), False),
     ]
 )
 
@@ -146,6 +152,7 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
                         mean_intensity=float(px.mean()),
                         std_intensity=float(px.std()),
                         histogram=hist.astype(np.int64).tolist(),
+                        pixel_sum=int(px.sum(dtype=np.int64)),
                     )
                 )
             yield pd.DataFrame(out)
