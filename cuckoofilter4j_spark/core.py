@@ -244,7 +244,20 @@ def alt_index(index: np.ndarray, tag: np.ndarray, num_buckets: int) -> np.ndarra
     return x & _U64(num_buckets - 1)
 
 
-HASH_ALGOS = ("mix64", "xxhash64", "murmur3_128")
+HASH_ALGOS = ("mix64", "xxhash64", "murmur3_128", "murmur3_32", "siphash24")
+# bit width of each algorithm's output — the analog of the reference's
+# hash-size validation (IndexTagCalc.java:111-122 isHashConfigurationIsSupported:
+# a config needing index+tag bits beyond the hash width is rejected)
+HASH_WIDTHS = {
+    "mix64": 128,  # auto dual-hash wide path (the reference's auto-upgrade)
+    "xxhash64": 64,
+    "murmur3_128": 128,
+    "murmur3_32": 32,
+    "siphash24": 64,
+}
+# second SipHash key word derives from the seed (the analog of the
+# reference's independent addlSipSeed, SerializableSaltedHasher.java:79-82)
+_SIP_K1_MIX = 0xA0761D6478BD642F
 # xxhash64 zero-tag rescue: chained re-hash h_k = xxh64(key, seed=h_{k-1}) —
 # exactly Spark's multi-argument xxhash64(key, key, ..., key) — capped at 8
 # levels with fallback tag=1. The cap makes the derivation expressible as a
@@ -274,6 +287,12 @@ class IndexTagGen:
                       exactly as the reference rejects too-small hash sizes
       - "murmur3_128" — byte-exact MurmurHash3_x64_128; serves both widths
                       (narrow uses h1, wide splits h1/h2)
+      - "murmur3_32"  — byte-exact MurmurHash3_x86_32 (the reference enum's
+                      DEFAULT member, Utils.java:45-48); 32-bit, so configs
+                      needing index+tag > 32 bits are rejected exactly as
+                      isHashConfigurationIsSupported rejects them
+      - "siphash24"   — byte-exact SipHash-2-4 (Utils.java:58-59); keyed
+                      64-bit hash, k0 = seed, k1 derived (addlSipSeed analog)
     """
 
     def __init__(self, num_buckets: int, tag_bits: int, seed: int, hash_algo: str = "mix64"):
@@ -289,12 +308,13 @@ class IndexTagGen:
         # hashLength selection (SerializableSaltedHasher.java:70-73 analog):
         # 64-bit hash when index+tag bits fit, else a 128-bit derivation.
         self.wide = (self.index_bits + tag_bits) > 64
-        if self.wide and hash_algo == "xxhash64":
+        width = HASH_WIDTHS[hash_algo]
+        if self.index_bits + tag_bits > width and width <= 64:
             raise ValueError(
-                f"xxhash64 is a 64-bit algorithm but index_bits+tag_bits = "
-                f"{self.index_bits + tag_bits} > 64 — use murmur3_128 (the "
-                "reference auto-selects a 128-bit algorithm here, "
-                "IndexTagCalc.java:111-122)"
+                f"{hash_algo} is a {width}-bit algorithm but index_bits+"
+                f"tag_bits = {self.index_bits + tag_bits} > {width} — use "
+                "murmur3_128 or a 64-bit algorithm (the reference rejects "
+                "too-small hash sizes the same way, IndexTagCalc.java:111-122)"
             )
 
     def _hash_pair(self, words: np.ndarray, salt: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
@@ -308,9 +328,18 @@ class IndexTagGen:
                 hash64(words, self.seed, salt),
                 hash64(words, self.seed ^ _SHARD_SEED_MIX, salt),
             )
+        seed = self.seed if salt == 0 else _salted_seed(self.seed, salt)
+        if self.hash_algo == "murmur3_32":
+            from cuckoofilter4j_spark.hashing import murmur3_32_words
+
+            return murmur3_32_words(words, seed), None
+        if self.hash_algo == "siphash24":
+            from cuckoofilter4j_spark.hashing import siphash24_words
+
+            k1 = _mix64_int(seed ^ _SIP_K1_MIX)
+            return siphash24_words(words, seed, k1), None
         from cuckoofilter4j_spark.hashing import murmur3_128_words
 
-        seed = self.seed if salt == 0 else _salted_seed(self.seed, salt)
         h1, h2 = murmur3_128_words(words, seed)
         return (h1, h2) if self.wide else (h1, None)
 

@@ -38,6 +38,18 @@ _XP5 = 0x27D4EB2F165667C5
 _MC1 = 0x87C37B91114253D5
 _MC2 = 0x4CF5AD432745937F
 
+# MurmurHash3 x86 32 constants (public spec)
+_M32 = 0xFFFFFFFF
+_MC1_32 = 0xCC9E2D51
+_MC2_32 = 0x1B873593
+
+# SipHash initialization constants ("somepseudorandomlygeneratedbytes",
+# Aumasson & Bernstein, the SipHash paper §2)
+_SIP_C0 = 0x736F6D6570736575
+_SIP_C1 = 0x646F72616E646F6D
+_SIP_C2 = 0x6C7967656E657261
+_SIP_C3 = 0x7465646279746573
+
 
 def _rotl(x: np.ndarray, r: int) -> np.ndarray:
     return (x << _U64(r)) | (x >> _U64(64 - r))
@@ -89,6 +101,79 @@ def xxh64_scalar(data: bytes, seed: int = 0) -> int:
     h = (h * _XP3) & _M64
     h ^= h >> 32
     return h
+
+
+def _rotl32_i(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def murmur3_32_scalar(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3_x86_32 spec transcription (the reference enum's DEFAULT
+    algorithm, Utils.java:45-48 / SerializableSaltedHasher.java:97-98)."""
+    n = len(data)
+    h = seed & _M32
+    nblocks = n // 4
+    for b in range(nblocks):
+        k = int.from_bytes(data[4 * b : 4 * b + 4], "little")
+        k = _rotl32_i((k * _MC1_32) & _M32, 15) * _MC2_32 & _M32
+        h = (_rotl32_i(h ^ k, 13) * 5 + 0xE6546B64) & _M32
+    tail = data[4 * nblocks :]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = _rotl32_i((k * _MC1_32) & _M32, 15) * _MC2_32 & _M32
+        h ^= k
+    h ^= n & _M32
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _sip_round_i(v0: int, v1: int, v2: int, v3: int):
+    v0 = (v0 + v1) & _M64
+    v1 = _rotl_i(v1, 13) ^ v0
+    v0 = _rotl_i(v0, 32)
+    v2 = (v2 + v3) & _M64
+    v3 = _rotl_i(v3, 16) ^ v2
+    v0 = (v0 + v3) & _M64
+    v3 = _rotl_i(v3, 21) ^ v0
+    v2 = (v2 + v1) & _M64
+    v1 = _rotl_i(v1, 17) ^ v2
+    v2 = _rotl_i(v2, 32)
+    return v0, v1, v2, v3
+
+
+def siphash24_scalar(data: bytes, k0: int, k1: int) -> int:
+    """SipHash-2-4 spec transcription (Aumasson & Bernstein; the reference
+    enum's sipHash24, Utils.java:58-59) — 128-bit key as (k0, k1)."""
+    v0 = (k0 ^ _SIP_C0) & _M64
+    v1 = (k1 ^ _SIP_C1) & _M64
+    v2 = (k0 ^ _SIP_C2) & _M64
+    v3 = (k1 ^ _SIP_C3) & _M64
+    n = len(data)
+    nwords = n // 8
+    for i in range(nwords):
+        m = int.from_bytes(data[8 * i : 8 * i + 8], "little")
+        v3 ^= m
+        v0, v1, v2, v3 = _sip_round_i(v0, v1, v2, v3)
+        v0, v1, v2, v3 = _sip_round_i(v0, v1, v2, v3)
+        v0 ^= m
+    b = ((n & 0xFF) << 56) | int.from_bytes(data[8 * nwords :].ljust(8, b"\0"), "little")
+    v3 ^= b
+    v0, v1, v2, v3 = _sip_round_i(v0, v1, v2, v3)
+    v0, v1, v2, v3 = _sip_round_i(v0, v1, v2, v3)
+    v0 ^= b
+    v2 ^= 0xFF
+    for _ in range(4):
+        v0, v1, v2, v3 = _sip_round_i(v0, v1, v2, v3)
+    return v0 ^ v1 ^ v2 ^ v3
 
 
 def _fmix64_i(x: int) -> int:
@@ -229,6 +314,102 @@ def xxh64_words(words: np.ndarray, seed=0) -> np.ndarray:
         h = h * _U64(_XP3)
         h = h ^ (h >> _U64(32))
     return h
+
+
+def murmur3_32_words(words: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized, byte-exact MurmurHash3_x86_32 of each row's message bytes.
+    Returns uint64 values < 2^32 (a 32-bit hash — the reference restricts it
+    to configs with index+tag bits <= 32, IndexTagCalc.java:111-122)."""
+    lens, data = _lens_and_data(words)
+    n_rows = lens.shape[0]
+    if n_rows == 0:
+        return np.empty(0, dtype=np.uint64)
+    m32 = _U64(_M32)
+    with np.errstate(over="ignore"):
+        h = np.full(n_rows, seed & _M32, dtype=np.uint64)
+        nblocks = lens >> 2
+        for b in range(int(nblocks.max())):
+            live = nblocks > b
+            word = _gather_word(data, np.full(n_rows, b >> 1, dtype=np.int64))
+            k = (word >> _U64(32 * (b & 1))) & m32
+            k = (k * _U64(_MC1_32)) & m32
+            k = ((k << _U64(15)) | (k >> _U64(17))) & m32
+            k = (k * _U64(_MC2_32)) & m32
+            nh = h ^ k
+            nh = ((nh << _U64(13)) | (nh >> _U64(19))) & m32
+            nh = (nh * _U64(5) + _U64(0xE6546B64)) & m32
+            h = np.where(live, nh, h)
+        # tail: (len & 3) bytes at byte offset nblocks*4. Rows are zero-padded
+        # to the batch width, so masking to the live tail bytes reproduces the
+        # spec's byte-wise XOR accumulation exactly.
+        rem = lens & 3
+        has_tail = rem > 0
+        if has_tail.any():
+            off = nblocks << 2
+            word = _gather_word(data, off >> 3)
+            k = (word >> ((off & 7).astype(np.uint64) << _U64(3))) & m32
+            k = k & ((_U64(1) << (rem.astype(np.uint64) << _U64(3))) - _U64(1))
+            k = (k * _U64(_MC1_32)) & m32
+            k = ((k << _U64(15)) | (k >> _U64(17))) & m32
+            k = (k * _U64(_MC2_32)) & m32
+            h = np.where(has_tail, h ^ k, h)
+        h = h ^ (lens.view(np.uint64) & m32)
+        h = h ^ (h >> _U64(16))
+        h = (h * _U64(0x85EBCA6B)) & m32
+        h = h ^ (h >> _U64(13))
+        h = (h * _U64(0xC2B2AE35)) & m32
+        h = h ^ (h >> _U64(16))
+    return h
+
+
+def _sip_round(v0, v1, v2, v3):
+    v0 = v0 + v1
+    v1 = _rotl(v1, 13) ^ v0
+    v0 = _rotl(v0, 32)
+    v2 = v2 + v3
+    v3 = _rotl(v3, 16) ^ v2
+    v0 = v0 + v3
+    v3 = _rotl(v3, 21) ^ v0
+    v2 = v2 + v1
+    v1 = _rotl(v1, 17) ^ v2
+    v2 = _rotl(v2, 32)
+    return v0, v1, v2, v3
+
+
+def siphash24_words(words: np.ndarray, k0: int, k1: int) -> np.ndarray:
+    """Vectorized, byte-exact SipHash-2-4 of each row's message bytes."""
+    lens, data = _lens_and_data(words)
+    n_rows = lens.shape[0]
+    if n_rows == 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        v0 = np.full(n_rows, (k0 ^ _SIP_C0) & _M64, dtype=np.uint64)
+        v1 = np.full(n_rows, (k1 ^ _SIP_C1) & _M64, dtype=np.uint64)
+        v2 = np.full(n_rows, (k0 ^ _SIP_C2) & _M64, dtype=np.uint64)
+        v3 = np.full(n_rows, (k1 ^ _SIP_C3) & _M64, dtype=np.uint64)
+        nwords = lens >> 3
+        for i in range(int(nwords.max())):
+            live = nwords > i
+            m = _gather_word(data, np.full(n_rows, i, dtype=np.int64))
+            a0, a1, a2, a3 = _sip_round(v0, v1, v2, v3 ^ m)
+            a0, a1, a2, a3 = _sip_round(a0, a1, a2, a3)
+            a0 = a0 ^ m
+            v0 = np.where(live, a0, v0)
+            v1 = np.where(live, a1, v1)
+            v2 = np.where(live, a2, v2)
+            v3 = np.where(live, a3, v3)
+        # final word: remaining (len % 8) bytes, top byte = len & 0xff —
+        # zero-padded data words ARE the spec's zero-filled remainder
+        rem = lens & 7
+        tail = np.where(rem > 0, _gather_word(data, nwords), _U64(0))
+        b = tail | ((lens.view(np.uint64) & _U64(0xFF)) << _U64(56))
+        v0, v1, v2, v3 = _sip_round(v0, v1, v2, v3 ^ b)
+        v0, v1, v2, v3 = _sip_round(v0, v1, v2, v3)
+        v0 = v0 ^ b
+        v2 = v2 ^ _U64(0xFF)
+        for _ in range(4):
+            v0, v1, v2, v3 = _sip_round(v0, v1, v2, v3)
+    return v0 ^ v1 ^ v2 ^ v3
 
 
 def _fmix64(x: np.ndarray) -> np.ndarray:

@@ -7,11 +7,18 @@ import pytest
 
 from cuckoofilter4j_spark.core import BUCKET_SIZE, CuckooFilter, IndexTagGen, encode_keys
 from cuckoofilter4j_spark.hashing import (
+    murmur3_32_scalar,
+    murmur3_32_words,
     murmur3_128_scalar,
     murmur3_128_words,
+    siphash24_scalar,
+    siphash24_words,
     xxh64_scalar,
     xxh64_words,
 )
+
+SIP_K0 = int.from_bytes(bytes(range(8)), "little")
+SIP_K1 = int.from_bytes(bytes(range(8, 16)), "little")
 
 BOUNDARY_LENS = list(range(0, 49)) + [63, 64, 65, 127, 128, 129, 255]
 
@@ -26,6 +33,24 @@ def test_murmur3_known_vector():
     assert murmur3_128_scalar(b"", 0) == (0, 0)
 
 
+def test_murmur3_32_known_vectors():
+    # canonical published MurmurHash3_x86_32 vectors (SMHasher verification)
+    assert murmur3_32_scalar(b"", 0) == 0x00000000
+    assert murmur3_32_scalar(b"", 1) == 0x514E28B7
+    assert murmur3_32_scalar(b"", 0xFFFFFFFF) == 0x81F16F39
+    assert murmur3_32_scalar(b"test", 0) == 0xBA6BD213
+    assert murmur3_32_scalar(b"Hello, world!", 0x9747B28C) == 0x24884CBA
+
+
+def test_siphash24_known_vectors():
+    # SipHash paper Appendix A: key 000102..0f, 15-byte message 00..0e
+    assert siphash24_scalar(bytes(range(15)), SIP_K0, SIP_K1) == 0xA129CA6149BE45E5
+    # published reference-vector table entries (lengths 0, 1, 8)
+    assert siphash24_scalar(b"", SIP_K0, SIP_K1) == 0x726FDB47DD0E0E31
+    assert siphash24_scalar(bytes([0]), SIP_K0, SIP_K1) == 0x74F839C593DC67FD
+    assert siphash24_scalar(bytes(range(8)), SIP_K0, SIP_K1) == 0x93F5F5799A932462
+
+
 @pytest.mark.parametrize("seed", [0, 42, 0xDEADBEEF])
 def test_vectorized_matches_scalar_at_every_boundary(seed):
     rng = np.random.default_rng(1)
@@ -33,9 +58,13 @@ def test_vectorized_matches_scalar_at_every_boundary(seed):
     w = encode_keys(keys)
     vx = xxh64_words(w, seed)
     v1, v2 = murmur3_128_words(w, seed)
+    v32 = murmur3_32_words(w, seed)
+    vs = siphash24_words(w, seed, SIP_K1)
     for i, k in enumerate(keys):
         assert int(vx[i]) == xxh64_scalar(k, seed), f"xxh64 len={len(k)}"
         assert (int(v1[i]), int(v2[i])) == murmur3_128_scalar(k, seed), f"m3 len={len(k)}"
+        assert int(v32[i]) == murmur3_32_scalar(k, seed), f"m32 len={len(k)}"
+        assert int(vs[i]) == siphash24_scalar(k, seed, SIP_K1), f"sip len={len(k)}"
 
 
 def test_integer_key_path_is_le64_message():
@@ -90,7 +119,9 @@ def test_algorithms_give_independent_hash_families():
         assert same.mean() < 0.05, f"{a} vs {b} agree too often"
 
 
-@pytest.mark.parametrize("algo", ["mix64", "xxhash64", "murmur3_128"])
+@pytest.mark.parametrize(
+    "algo", ["mix64", "xxhash64", "murmur3_128", "murmur3_32", "siphash24"]
+)
 def test_seed_independence_and_determinism(algo):
     keys = [b"key%d" % i for i in range(200)]
     w = encode_keys(keys)
@@ -120,8 +151,24 @@ def test_width_validation_mirrors_reference():
         IndexTagGen(1 << 10, 8, seed=1, hash_algo="sha1")
 
 
+def test_murmur3_32_width_validation():
+    """murmur3_32 is 32-bit: index+tag bits must fit in 32
+    (IndexTagCalc.java:111-122 'case 32: return hashBitsNeeded <= hashSize');
+    any 64-bit algorithm accepts the same config."""
+    # 1<<30 buckets -> 30 index bits; 30+8=38 > 32 rejects
+    with pytest.raises(ValueError, match="32"):
+        IndexTagGen(1 << 30, 8, seed=1, hash_algo="murmur3_32")
+    IndexTagGen(1 << 30, 8, seed=1, hash_algo="siphash24")  # 64-bit: fine
+    # 24 index bits + 8 tag bits == 32 exactly: accepted
+    g = IndexTagGen(1 << 24, 8, seed=1, hash_algo="murmur3_32")
+    i, t = g.generate(encode_keys([b"abc", b"defg", b"hij"]))
+    assert (t != 0).all() and (i < (1 << 24)).all()
+
+
 # -- filter-level behavior with selectable algorithms -------------------------
-@pytest.mark.parametrize("algo", ["mix64", "xxhash64", "murmur3_128"])
+@pytest.mark.parametrize(
+    "algo", ["mix64", "xxhash64", "murmur3_128", "murmur3_32", "siphash24"]
+)
 def test_filter_round_trip_with_algo(algo):
     rng = np.random.default_rng(5)
     keys = [rng.bytes(int(n)) for n in rng.integers(1, 64, size=2000)]
