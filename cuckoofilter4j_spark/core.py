@@ -1056,8 +1056,11 @@ class CuckooFilter:
         CuckooFilter.java:754-759). Header + tag_bits-wide bit-packed slot
         stream (same space profile as the reference's LongBitSet packing —
         e.g. 10-bit tags serialize 37.5% smaller than their uint16 in-memory
-        form). ver=3 (adds a hash-algo byte after the fixed header); ver=2
-        (implied mix64) and ver=1 (raw slot array) still deserialize."""
+        form). ver=3 adds a hash-algo byte after the fixed header. Blobs
+        with ver<3 are REJECTED: they predate a change to the mix64 hash
+        semantics (batch width no longer folds in; trailing pad words are
+        skipped), so they would deserialize cleanly yet silently return
+        false negatives on probe."""
         hdr = self._HDR.pack(
             MAGIC, 3, self.tag_bits,
             self.num_buckets, int(self.seed) if self.seed < 2**63 else int(self.seed) - 2**64,
@@ -1075,20 +1078,23 @@ class CuckooFilter:
          has_victim, v1, v2, vt) = hdr
         if magic != MAGIC:
             raise ValueError("bad sketch bytes: wrong magic")
+        if _ver < 3:
+            # ver=1/2 blobs were written before the mix64 hash became
+            # width-invariant — their stored fingerprints use a different
+            # hash family, so probing them would silently return false
+            # negatives. Fail loudly instead (ADVICE r2).
+            raise ValueError(
+                f"sketch codec ver={_ver} predates the width-invariant hash "
+                "(hash-incompatible fingerprints) — rebuild the filter; only "
+                "ver>=3 blobs deserialize"
+            )
         dt = _DTYPE_CODES[itemsize]
         offset = cls._HDR.size
-        hash_algo = "mix64"
-        if _ver >= 3:
-            hash_algo = HASH_ALGOS[data[offset]]
-            offset += 1
-        if _ver >= 2:
-            table = _unpack_bits(
-                data, offset, num_buckets * BUCKET_SIZE, tag_bits, dt
-            ).reshape(num_buckets, BUCKET_SIZE)
-        else:  # ver=1: raw slot array
-            table = np.frombuffer(
-                data, dtype=dt, offset=offset
-            ).reshape(num_buckets, BUCKET_SIZE).copy()
+        hash_algo = HASH_ALGOS[data[offset]]
+        offset += 1
+        table = _unpack_bits(
+            data, offset, num_buckets * BUCKET_SIZE, tag_bits, dt
+        ).reshape(num_buckets, BUCKET_SIZE)
         return cls(num_buckets, tag_bits, seed & _M64, table=table, count=count,
                    has_victim=bool(has_victim), victim=(v1, v2, vt),
                    hash_algo=hash_algo)

@@ -482,13 +482,21 @@ def ivf_topk(
     n_probe = min(n_probe, sims.shape[1])
     probe_lists = np.argsort(-sims, axis=1)[:, :n_probe]
     spark = corpus.sparkSession
+    # preserve the caller's query-id / vector types (a string or int query id
+    # must survive — hardcoded DDL broke non-bigint ids, ADVICE r2)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    q_schema = queries.select(query_id_col, query_vec_col).schema
+    probes_schema = StructType(
+        list(q_schema.fields) + [StructField("__ivf_list", IntegerType(), False)]
+    )
     probes = spark.createDataFrame(
         [
             (r[0], r[1], int(probe_lists[i, j]))
             for i, r in enumerate(q_rows)
             for j in range(n_probe)
         ],
-        f"{query_id_col} long, {query_vec_col} array<float>, __ivf_list int",
+        probes_schema,
     )
     cand = assigned.join(F.broadcast(probes), "__ivf_list").select(
         query_id_col, id_col, vec_col, query_vec_col

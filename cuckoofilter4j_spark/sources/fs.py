@@ -48,12 +48,27 @@ def read_text(spark: SparkSession, path: str) -> Optional[str]:
 
 def replace_text(spark: SparkSession, path: str, text: str) -> None:
     """Pointer-file update: write <path>.tmp then swap it into place.
-    On HDFS the rename is atomic; on object stores it degrades to
-    copy+delete with the same (documented) crash window the epoch replay
-    logic already tolerates."""
-    _, fs, hpath = _fs(spark, path)
+
+    Prefers FileContext.rename(..., Options.Rename.OVERWRITE) — ATOMIC on
+    HDFS and local filesystems, so a crash never leaves a window with no
+    pointer file. Where FileContext is unavailable (some object-store
+    connectors), falls back to delete+rename with the (documented) crash
+    window the epoch replay logic already tolerates."""
+    jvm, fs, hpath = _fs(spark, path)
     tmp = _fs(spark, path + ".tmp")[2]
     write_text(spark, path + ".tmp", text)
+    try:
+        gw = spark.sparkContext._gateway
+        fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration()
+        )
+        rename_enum = getattr(jvm.org.apache.hadoop.fs, "Options$Rename")
+        opts = gw.new_array(rename_enum, 1)
+        opts[0] = rename_enum.OVERWRITE
+        fctx.rename(tmp, hpath, opts)
+        return
+    except Exception:  # noqa: BLE001 — connector without FileContext support
+        pass
     if fs.exists(hpath):
         fs.delete(hpath, False)
     fs.rename(tmp, hpath)

@@ -33,23 +33,49 @@ def save_sketches(
     mode: str = "overwrite",
     extra_meta: Optional[dict] = None,
 ) -> None:
-    """Persist a sketch DataFrame plus its parameter manifest."""
+    """Persist a sketch DataFrame plus its parameter manifest.
+
+    Handles BOTH sketch-row families:
+      - cuckoo rows (operators.build: num_buckets/tag_bits/seed columns) —
+        the manifest pins the sizing + seed a reader must agree on;
+      - sibling-sketch rows (operators.sketch_build: kind/sketch/rows_in) —
+        the manifest pins the kind set; each sketch's own parameters travel
+        inside its serialized bytes (from_bytes restores them), so pass the
+        build seed/params via `extra_meta` when readers must pre-validate
+        them (e.g. extra_meta={"seed": 42, "precision": 12}).
+    """
     gcols = list(group_cols) if group_cols else []
-    params = (
-        sketches.select("num_buckets", "tag_bits", "seed").distinct().collect()
-    )
-    meta = {
-        "group_cols": gcols,
-        "params": [
-            {"num_buckets": r["num_buckets"], "tag_bits": r["tag_bits"], "seed": r["seed"]}
-            for r in params
-        ],
-        "n_sketches": sketches.count(),
-    }
-    if "num_shards" in sketches.columns:
-        shard_vals = [r[0] for r in sketches.select("num_shards").distinct().collect()]
-        if len(shard_vals) == 1:
-            meta["num_shards"] = int(shard_vals[0])
+    if "num_buckets" in sketches.columns:
+        params = (
+            sketches.select("num_buckets", "tag_bits", "seed").distinct().collect()
+        )
+        meta = {
+            "family": "cuckoo",
+            "group_cols": gcols,
+            "params": [
+                {"num_buckets": r["num_buckets"], "tag_bits": r["tag_bits"], "seed": r["seed"]}
+                for r in params
+            ],
+            "n_sketches": sketches.count(),
+        }
+        if "num_shards" in sketches.columns:
+            shard_vals = [r[0] for r in sketches.select("num_shards").distinct().collect()]
+            if len(shard_vals) == 1:
+                meta["num_shards"] = int(shard_vals[0])
+    elif "kind" in sketches.columns:
+        kinds = sorted(r[0] for r in sketches.select("kind").distinct().collect())
+        meta = {
+            "family": "sibling",
+            "group_cols": gcols,
+            "kinds": kinds,
+            "n_sketches": sketches.count(),
+        }
+    else:
+        raise ValueError(
+            "not a sketch DataFrame: expected cuckoo rows (num_buckets/"
+            "tag_bits/seed columns) or sibling-sketch rows (kind column), "
+            f"got columns {sketches.columns}"
+        )
     if extra_meta:
         meta.update(extra_meta)
     sketches.write.mode(mode).parquet(os.path.join(path, "data"))
@@ -64,18 +90,36 @@ def load_sketches(
     spark: SparkSession,
     path: str,
     expect_seed: Optional[int] = None,
+    expect_kinds: Optional[Sequence[str]] = None,
 ) -> DataFrame:
-    """Load a sketch store; optionally assert the seed it was built with."""
+    """Load a sketch store; optionally assert the seed / kinds it was built
+    with (probing with mismatched parameters silently yields garbage)."""
     raw = read_text(spark, os.path.join(path, META_FILE))
     if raw is None:
         raise FileNotFoundError(f"no {META_FILE} manifest at {path}")
     meta = json.loads(raw)
+    family = meta.get("family", "cuckoo")
     if expect_seed is not None:
-        seeds = {p["seed"] for p in meta["params"]}
+        if family == "cuckoo":
+            seeds = {p["seed"] for p in meta["params"]}
+        elif "seed" in meta:
+            seeds = {meta["seed"]}
+        else:
+            raise ValueError(
+                f"sketch store at {path} recorded no seed (sibling family: "
+                "pass extra_meta={'seed': ...} at save time to pin it)"
+            )
         if seeds != {expect_seed}:
             raise ValueError(
                 f"sketch store at {path} was built with seed(s) {sorted(seeds)}, "
                 f"expected {expect_seed} — probes would silently return garbage"
+            )
+    if expect_kinds is not None:
+        got = set(meta.get("kinds", []))
+        if got != set(expect_kinds):
+            raise ValueError(
+                f"sketch store at {path} holds kinds {sorted(got)}, "
+                f"expected {sorted(set(expect_kinds))}"
             )
     return spark.read.parquet(os.path.join(path, "data"))
 

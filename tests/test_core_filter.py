@@ -323,3 +323,23 @@ def test_copy_and_serde_empty_and_part_full():
     assert r == part and r.contains_batch(keys(0, 1000)).all()
     # empty filter: no false positives at all (nothing stored)
     assert not empty.contains_batch(keys(0, 10_000)).any()
+
+
+def test_from_bytes_rejects_pre_ver3_blobs():
+    """ver=1/2 blobs predate the width-invariant mix64 hash: deserializing
+    them would silently return false negatives, so they must fail loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from cuckoofilter4j_spark.core import MAGIC, CuckooFilter
+
+    f = CuckooFilter.create(1000, 0.01, seed=3)
+    f.put(b"x")
+    blob = bytearray(f.to_bytes())
+    assert blob[:4] == MAGIC
+    for old_ver in (1, 2):
+        bad = bytearray(blob)
+        bad[4] = old_ver  # version byte follows the 4-byte magic
+        with _pytest.raises(ValueError, match="ver=%d" % old_ver):
+            CuckooFilter.from_bytes(bytes(bad))

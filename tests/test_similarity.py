@@ -164,3 +164,26 @@ def test_ivf_at_dim_768(spark):
     approx = ivf_topk(corpus, q, k=5, n_lists=8, n_probe=2, seed=4)
     hits = approx.filter((F.col("vec_id") == F.col("query_id")) & (F.col("rank") == 1))
     assert hits.count() == 2
+
+
+def test_ivf_topk_preserves_string_query_ids(spark):
+    """The probe set derives its schema from the caller's queries (a string
+    query id must survive createDataFrame — hardcoded DDL broke this)."""
+    import numpy as np
+
+    from cuckoofilter4j_spark.functions import ivf_topk
+
+    rng = np.random.default_rng(11)
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(f"q{i}", rng.standard_normal(8).tolist()) for i in range(3)],
+        "query_id string, query_vec array<float>",
+    )
+    got = ivf_topk(corpus, queries, k=5, n_lists=8, n_probe=8)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == {"q0", "q1", "q2"}
+    assert all(isinstance(r["query_id"], str) for r in rows)
+    assert got.schema["query_id"].dataType.typeName() == "string"

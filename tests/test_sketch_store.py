@@ -22,3 +22,48 @@ def test_store_roundtrip_and_seed_guard(spark, tmp_path):
 
     with pytest.raises(ValueError):
         load_sketches(spark, path, expect_seed=7)
+
+def test_sibling_sketch_store_roundtrip(spark, tmp_path):
+    """Sibling-sketch rows (kind/sketch/rows_in) round-trip through the
+    manifest-validated store: an HLL per lang saved, reloaded, and its
+    estimates must match the pre-save ones exactly."""
+    from cuckoofilter4j_spark.operators.sketch_build import build_sketch, hll_estimates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sk = build_sketch(docs, "text", "hll", ["lang"], seed=42, precision=12)
+    want = {r["lang"]: r["estimate"] for r in hll_estimates(sk, ["lang"]).collect()}
+    assert len(want) == 5
+
+    path = str(tmp_path / "sibling_store")
+    save_sketches(sk, path, ["lang"], extra_meta={"seed": 42, "precision": 12})
+    meta = store_meta(path)
+    assert meta["family"] == "sibling"
+    assert meta["kinds"] == ["hll"] and meta["n_sketches"] == 5
+
+    loaded = load_sketches(spark, path, expect_seed=42, expect_kinds=["hll"])
+    got = {r["lang"]: r["estimate"] for r in hll_estimates(loaded, ["lang"]).collect()}
+    assert got == want
+
+    with pytest.raises(ValueError, match="kinds"):
+        load_sketches(spark, path, expect_kinds=["bloom"])
+    with pytest.raises(ValueError, match="seed"):
+        load_sketches(spark, path, expect_seed=7)
+
+
+def test_sibling_store_without_recorded_seed_rejects_seed_check(spark, tmp_path):
+    from cuckoofilter4j_spark.operators.sketch_build import build_sketch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sk = build_sketch(docs, "n_chars", "kll", ["lang"], k=100)
+    path = str(tmp_path / "noseed_store")
+    save_sketches(sk, path, ["lang"])
+    loaded = load_sketches(spark, path, expect_kinds=["kll"])  # fine
+    assert loaded.count() == 5
+    with pytest.raises(ValueError, match="recorded no seed"):
+        load_sketches(spark, path, expect_seed=42)
+
+
+def test_store_rejects_non_sketch_frame(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="not a sketch DataFrame"):
+        save_sketches(docs, str(tmp_path / "bad"))
