@@ -417,6 +417,93 @@ def train_ivf_centroids(
     return cent
 
 
+def train_ivf_centroids_distributed(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 64,
+    seed: int = 42,
+    max_iter: int = 10,
+    init_sample: int = 10_000,
+    tol: float = 1e-4,
+) -> np.ndarray:
+    """Distributed spherical k-means over the FULL corpus — the training
+    path when the coarse quantizer must see more data than the bounded
+    driver sample of train_ivf_centroids.
+
+    Per Lloyd round: centroids broadcast once; ONE mapInPandas scan assigns
+    every vector with a (batch × dim) @ (dim × k) matmul and accumulates
+    per-PARTITION per-list partial sums (≤ n_lists tiny rows per partition —
+    the map-side-combine shape), which the driver reduces and renormalizes.
+    No vector ever shuffles; driver traffic per round is k × partitions ×
+    (dim+1) doubles. Stops early when no centroid moves more than `tol`
+    (cosine distance). Empty lists keep their previous centroid.
+
+    Returns an L2-normalized (n_lists, dim) centroid matrix, directly
+    usable as ivf_topk(..., centroids=...).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cent = train_ivf_centroids(
+        corpus, vec_col, n_lists, seed, max_iter=3, train_cap=int(init_sample)
+    )
+    sc = corpus.sparkSession.sparkContext
+    part_schema = StructType(
+        [
+            StructField("list", IntegerType(), False),
+            StructField("s", ArrayType(DoubleType()), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+    vecs = corpus.select(vec_col)
+    k = cent.shape[0]
+    for _ in range(int(max_iter)):
+        bc = sc.broadcast(np.ascontiguousarray(cent))
+
+        def partials(batches):
+            cent_t = bc.value.T  # (dim, k)
+            kk = cent_t.shape[1]
+            sums = np.zeros((kk, cent_t.shape[0]), dtype=np.float64)
+            counts = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax(mat @ cent_t, axis=1)
+                np.add.at(sums, assign, mat)
+                counts += np.bincount(assign, minlength=kk)
+            live = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {"list": live.astype(np.int32), "s": list(sums[live]), "n": counts[live]}
+            )
+
+        rows = vecs.mapInPandas(partials, part_schema).collect()
+        bc.unpersist()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["list"]] += np.asarray(r["s"])
+            counts[r["list"]] += r["n"]
+        new = cent.copy()
+        live = counts > 0
+        new[live] = sums[live] / np.maximum(
+            np.linalg.norm(sums[live], axis=1, keepdims=True), 1e-12
+        )
+        moved = float(np.max(1.0 - np.einsum("ij,ij->i", new, cent)))
+        cent = new
+        if moved <= tol:
+            break
+    return cent
+
+
 def assign_ivf_lists(
     corpus: DataFrame,
     centroids: np.ndarray,

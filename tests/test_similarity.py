@@ -187,3 +187,36 @@ def test_ivf_topk_preserves_string_query_ids(spark):
     assert {r["query_id"] for r in rows} == {"q0", "q1", "q2"}
     assert all(isinstance(r["query_id"], str) for r in rows)
     assert got.schema["query_id"].dataType.typeName() == "string"
+
+
+def test_distributed_ivf_training_exceeds_sample_cap(spark):
+    """Distributed Lloyd rounds train on the FULL corpus (init sample far
+    smaller than the data): centroids are unit-norm, and ivf_topk with
+    n_probe=n_lists over them is EXACT (self-query rank-1 recall = 1)."""
+    import numpy as np
+
+    from cuckoofilter4j_spark.functions import (
+        ivf_topk,
+        train_ivf_centroids_distributed,
+    )
+
+    rng = np.random.default_rng(23)
+    # 3000 vectors in 8 loose clusters, trained with init_sample=200 << 3000
+    centers = rng.standard_normal((8, 12)) * 4
+    rows = [
+        (i, (centers[i % 8] + rng.standard_normal(12)).tolist())
+        for i in range(3000)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = train_ivf_centroids_distributed(
+        corpus, "embedding", n_lists=8, seed=5, max_iter=6, init_sample=200
+    )
+    assert cent.shape == (8, 12)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(5)], "query_id long, query_vec array<float>"
+    )
+    got = ivf_topk(
+        corpus, queries, k=1, n_lists=8, n_probe=8, centroids=cent
+    ).collect()
+    assert {r["query_id"]: r["vec_id"] for r in got} == {i: i for i in range(5)}
