@@ -445,6 +445,27 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b").filter(F.col("id_b") == F.col("id_a") + 10000)
 
 
+def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket capping under the correctness gate: on the dup fixture no
+    LSH bucket approaches the cap, so the capped plan (groupBy sizes +
+    broadcast hot-set join + thinning filter) must reproduce the uncapped
+    planted-pair set EXACTLY, and the drop metrics must be zero — both
+    asserted against the same oracle (zero-row drops cross-joined in)."""
+    stats: dict = {}
+    pairs = minhash_dup_pairs(
+        _dup_docs(spark, sf_dir), "text", "doc_id", num_hashes=64, bands=16,
+        threshold=0.7, max_bucket_size=500, stats_out=stats,
+    )
+    planted = pairs.select("id_a", "id_b").filter(F.col("id_b") == F.col("id_a") + 10000)
+    zero_drops = F.broadcast(
+        stats["drop_stats"].select(
+            ((F.col("hot_buckets") == 0) & (F.col("dropped_candidate_pairs") == 0))
+            .alias("no_drops")
+        )
+    )
+    return planted.crossJoin(zero_drops)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the dup fixture. Block-LSH with
     max_hamming=7 (8 blocks) is EXACT by pigeonhole — every pair within the
@@ -771,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_capped": q_minhash_pairs_capped,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
@@ -906,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM doubled GROUP BY text
         """,
         "minhash_pairs": "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
+        "minhash_pairs_capped": "SELECT doc_id AS id_a, doc_id + 10000 AS id_b, TRUE AS no_drops FROM documents",
         "simhash_pairs": "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
         "ngram_jaccard": f"""
             WITH {_DUP_DOCS_CTE.strip()},

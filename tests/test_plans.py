@@ -118,3 +118,16 @@ def test_catalyst_fingerprints_are_codegen_only(spark):
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow", "MapInPandas"):
         assert bad not in plan, plan
     assert "WholeStageCodegen" in plan_string(fp, "formatted") or "xxhash64" in plan
+
+
+def test_capped_minhash_broadcasts_hot_set_no_cartesian(spark):
+    """With max_bucket_size set, the bucket-size cap must add only a
+    broadcast join against the (tiny) hot set — never a cartesian product,
+    and no extra shuffle of the banded rows beyond the self-join's own."""
+    from cuckoofilter4j_spark.functions import minhash_dup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = minhash_dup_pairs(docs, "text", "doc_id", max_bucket_size=100)
+    plan = plan_string(out, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
