@@ -484,6 +484,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(cands, dd, "text", "doc_id", shingle_k=5, threshold=0.0)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (functions/cluster.py): connected
+    components over a deterministic chained edge list (doc ↔ doc+10000,
+    doc+10000 ↔ doc+20000). Transitive closure must land all three ids on
+    keeper doc_id even though (doc, doc+20000) has no direct edge."""
+    from cuckoofilter4j_spark.functions import dup_clusters
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e1 = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 10000).alias("id_b")
+    )
+    e2 = d.select(
+        (F.col("doc_id") + 10000).alias("id_a"),
+        (F.col("doc_id") + 20000).alias("id_b"),
+    )
+    return dup_clusters(e1.unionByName(e2)).select("id", "cluster_id")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors (exact ANN baseline)."""
     emb = _emb(spark, sf_dir)
@@ -795,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_capped": q_minhash_pairs_capped,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
         "ann_topk": q_ann_topk,
         "ann_topk_vectorized": q_ann_topk_vectorized,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -938,6 +957,10 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000
             WHERE a.doc_id < 10000
+        """,
+        "dup_clusters": """
+            SELECT doc_id + 10000 * g AS id, doc_id AS cluster_id
+            FROM documents, (VALUES (0), (1), (2)) t(g)
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec

@@ -1,0 +1,110 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+Pair lists (from minhash/simhash/embedding LSH) don't dedup a corpus by
+themselves — duplicates are transitive (a~b, b~c ⇒ {a,b,c} is ONE group even
+when (a,c) never collided in any band). `dup_clusters` closes the pair list
+into components and elects the minimum id as each component's canonical
+keeper; `dedup_by_pairs` applies that to the corpus (keep one row per
+cluster, keep all singletons).
+
+Scale shape: min-label propagation — each round is one shuffle join of the
+label table against the (undirected) edge list plus a groupBy-min, so a
+round costs O(|E|) shuffled rows and rounds = component diameter. Near-dup
+clusters are shallow (boilerplate groups are stars around the template, so
+diameter is typically ≤ 2-4); cap runaway graphs with max_iter. For
+web-graph-diameter inputs swap in the large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+— same output contract. Convergence is checked with a one-row aggregate per
+round (no driver-side data).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an (id_a, id_b) pair list.
+
+    Returns (id, cluster_id) for every id that appears in some pair, with
+    cluster_id = the component's minimum id (deterministic keeper).
+    Raises if max_iter rounds don't converge (pathological diameter —
+    see module docstring for the large-star/small-star upgrade path).
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("__src"), F.col(id_b).alias("__dst")
+    ).filter(F.col("__src") != F.col("__dst"))
+    und = edges.unionByName(
+        edges.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+    ).dropDuplicates(["__src", "__dst"]).persist()
+    labels = (
+        und.select(F.col("__src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .persist()
+    )
+    cached = [und, labels]
+    try:
+        for _ in range(int(max_iter)):
+            # each node adopts min(own label, neighbors' labels): labels flow
+            # one hop per round, so rounds = component diameter
+            neigh = und.join(
+                labels.withColumnRenamed("id", "__dst"), "__dst"
+            ).select(F.col("__src").alias("id"), "cluster_id")
+            new_labels = (
+                labels.unionByName(neigh)
+                .groupBy("id")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+                .persist()
+            )
+            cached.append(new_labels)
+            changed = (
+                labels.withColumnRenamed("cluster_id", "__old")
+                .join(new_labels, "id")
+                .filter(F.col("__old") != F.col("cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — the pair "
+            "graph has a longer diameter than near-dup clusters should; "
+            "raise max_iter or use a large-star/small-star implementation"
+        )
+    finally:
+        final = labels
+        for c in cached:
+            if c is not final:
+                c.unpersist()
+
+
+def dedup_by_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep ONE row per duplicate cluster (the minimum id) and every row
+    that appears in no pair. The corpus-level consumer of the LSH pair
+    producers: near_dups = minhash_dup_pairs(...);
+    deduped = dedup_by_pairs(docs, near_dups, "doc_id").
+
+    One broadcast-or-shuffle join of the corpus against the (tiny relative
+    to the corpus) cluster map; non-keeper members are dropped in-plan.
+    """
+    clusters = dup_clusters(pairs, id_a, id_b, max_iter)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,73 @@
+"""Duplicate-cluster resolution (connected components over near-dup pairs):
+transitive closure, keeper election, corpus-level dedup, convergence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import dedup_by_pairs, dup_clusters
+
+
+def test_chain_star_and_disjoint_components(spark):
+    # chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, disjoint pair (20,21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_transitive_closure_without_direct_edge(spark):
+    """a~b and b~c must land a and c in one cluster even though (a,c) never
+    collided — the reason pair lists alone don't dedup a corpus."""
+    pairs = spark.createDataFrame([(5, 9), (9, 7)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {5: 5, 9: 5, 7: 5}
+
+
+def test_dedup_by_pairs_keeps_keeper_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 6), (2, 5)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup_by_pairs(docs, pairs, "doc_id").collect())
+    # clusters {0,3,6} -> keep 0; {2,5} -> keep 2; singletons 1,4,7 kept
+    assert kept == [0, 1, 2, 4, 7]
+
+
+def test_nonconvergence_raises(spark):
+    # a path graph of diameter 6 with max_iter=2 cannot converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iter=2)
+    # and converges fine with enough rounds
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs, max_iter=10).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_end_to_end_minhash_to_dedup(spark):
+    """Full pipeline: minhash pairs -> clusters -> deduped corpus on a
+    fixture with a transitive chain (doc, doc+' x', doc+' x y')."""
+    from cuckoofilter4j_spark.functions import minhash_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.select("doc_id", "text")
+    b = docs.select((F.col("doc_id") + 10000).alias("doc_id"),
+                    F.concat("text", F.lit(" x")).alias("text"))
+    c = docs.select((F.col("doc_id") + 20000).alias("doc_id"),
+                    F.concat("text", F.lit(" x y")).alias("text"))
+    corpus = a.unionByName(b).unionByName(c)
+    pairs = minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.7)
+    deduped = dedup_by_pairs(corpus, pairs, "doc_id")
+    n_docs = docs.count()
+    kept = deduped.count()
+    # every planted chain collapses onto its original (kept <= n_docs);
+    # the word-salad corpus also holds NATURAL cross-doc near-dups whose
+    # clusters merge further, so kept can dip below n_docs — but never by
+    # much, and never grows
+    assert n_docs * 0.9 <= kept <= n_docs
+    # every keeper is an original id: each cluster contains its original,
+    # and originals have the minimum id in their chain
+    assert deduped.filter(F.col("doc_id") >= 10000).count() == 0
