@@ -34,9 +34,12 @@ def dup_clusters(
     """Connected components over an (id_a, id_b) pair list.
 
     Returns (id, cluster_id) for every id that appears in some pair, with
-    cluster_id = the component's minimum id (deterministic keeper).
-    Raises if max_iter rounds don't converge (pathological diameter —
-    see module docstring for the large-star/small-star upgrade path).
+    cluster_id = the component's minimum id (deterministic keeper). The
+    returned DataFrame is PERSISTED (it was materialized by the convergence
+    check) — call .unpersist() when done with it. Raises if max_iter rounds
+    don't converge (pathological diameter — see module docstring for the
+    large-star/small-star upgrade path); on any raise every intermediate
+    cache, including the final round's, is released.
     """
     edges = pairs.select(
         F.col(id_a).alias("__src"), F.col(id_b).alias("__dst")
@@ -51,6 +54,7 @@ def dup_clusters(
         .persist()
     )
     cached = [und, labels]
+    returned = None  # stays None on any raise -> ALL caches released
     try:
         for _ in range(int(max_iter)):
             # each node adopts min(own label, neighbors' labels): labels flow
@@ -74,6 +78,7 @@ def dup_clusters(
             )
             labels = new_labels
             if changed == 0:
+                returned = labels
                 return labels
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iter} rounds — the pair "
@@ -81,9 +86,8 @@ def dup_clusters(
             "raise max_iter or use a large-star/small-star implementation"
         )
     finally:
-        final = labels
         for c in cached:
-            if c is not final:
+            if c is not returned:
                 c.unpersist()
 
 
@@ -102,6 +106,10 @@ def dedup_by_pairs(
 
     One broadcast-or-shuffle join of the corpus against the (tiny relative
     to the corpus) cluster map; non-keeper members are dropped in-plan.
+    The cluster map stays persisted for the life of the returned plan (it
+    is re-read by every action on the result); long-lived sessions running
+    many dedup passes should call dup_clusters themselves and unpersist it
+    once the deduped output is materialized.
     """
     clusters = dup_clusters(pairs, id_a, id_b, max_iter)
     losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(

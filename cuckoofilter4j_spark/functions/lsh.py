@@ -5,14 +5,24 @@ hyperplane buckets) is O(n·bands) in shuffle rows — the right shape — but a
 single degenerate bucket with B members (a boilerplate corpus, a
 near-constant embedding cluster) still emits B²/2 candidate pairs inside
 that bucket: the classic training-corpus OOM at 100 TB. `cap_hot_buckets`
-bounds that to O(cap²) per bucket by deterministically thinning buckets
-above `max_bucket_size`, and reports exactly what was dropped
-(no-silent-caps: the drop metric is part of the contract).
+bounds that to O(cap²) EXPECTED pairs per bucket by thinning buckets above
+`max_bucket_size`, and reports the planned removal (no-silent-caps: the
+drop metric is part of the contract).
+
+Thinning semantics: each row of a hot bucket keeps independently with
+probability cap/size (a deterministic hash decision), so the survivor
+count is Binomial(size, cap/size) — EXPECTED cap, not exactly cap. An
+exact-count cap would need a per-bucket top-k sort, concentrating a
+10^8-member bucket into one skewed sort task — the very failure mode the
+cap exists to prevent. The reported metrics are therefore the planned
+removal amounts (size − cap per hot bucket), not a post-hoc census.
 
 Scale shape: the bucket-size aggregation is map-side combinable on the SAME
 key the self-join shuffles on; the hot set (only buckets above the cap) is
-tiny by construction and broadcast back, so capping adds one narrow
-aggregation and zero extra shuffles of the banded rows.
+tiny by construction, PERSISTED (so collecting drop_stats after the pairs
+materialize reads it from cache instead of recomputing the upstream scan),
+and broadcast back — capping adds one narrow aggregation and zero extra
+shuffles of the banded rows.
 """
 
 from __future__ import annotations
@@ -32,33 +42,38 @@ def cap_hot_buckets(
     salt: int = 0,
 ) -> Tuple[DataFrame, DataFrame]:
     """Thin every bucket above `max_bucket_size` down to ~max_bucket_size
-    members; buckets at or below the cap pass through UNTOUCHED.
+    members (Binomial(size, cap/size) survivors — see module docstring);
+    buckets at or below the cap pass through UNTOUCHED, bit-for-bit.
 
     Thinning is deterministic and sort-free: a member survives iff
     pmod(xxhash64(id, bucket, salt), bucket_size) < cap — an independent
-    keep-decision per row (expected `cap` survivors, no per-bucket sort, so
-    a 10^8-member bucket never concentrates into one skewed sort task).
+    keep-decision per row (no per-bucket sort, so a 10^8-member bucket
+    never concentrates into one skewed sort task).
 
-    Returns (kept, drop_stats). `drop_stats` is a lazy ONE-row DataFrame
+    Returns (kept, drop_stats). `drop_stats` is a ONE-row DataFrame
     (hot_buckets, dropped_rows, dropped_candidate_pairs) computed from the
-    same bucket-size aggregate the cap uses — collect it after the pairs
-    materialize to log what the cap removed. dropped_candidate_pairs counts
-    within-bucket pairs lost vs the uncapped join (upper bound: thinning
-    keeps ~cap members, so ~cap²/2 pairs per hot bucket survive).
+    persisted hot-bucket aggregate the cap itself joins against, so
+    collecting it after the pairs materialize is a cache read, not a
+    recompute. The dropped_* columns are the PLANNED removal amounts
+    (size−cap rows and the corresponding within-bucket pairs per hot
+    bucket); realized counts vary binomially around them. Pair counts use
+    exact integer halving (the products are always even), valid up to
+    bucket sizes ~3e9 (int64 product bound).
     """
     cap = int(max_bucket_size)
     if cap < 2:
         raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
     bcols = list(bucket_cols)
     sizes = df.groupBy(*bcols).agg(F.count("*").alias("__bsz"))
-    hot = sizes.filter(F.col("__bsz") > cap)
+    hot = sizes.filter(F.col("__bsz") > cap).persist()
     capl = F.lit(cap).cast("long")
+    half = lambda x: F.shiftright(x, 1)  # exact: n*(n-1) is even
     drop_stats = hot.agg(
         F.count("*").alias("hot_buckets"),
         F.coalesce(F.sum(F.col("__bsz") - capl), F.lit(0)).cast("long").alias("dropped_rows"),
         F.coalesce(
             F.sum(
-                (F.col("__bsz") * (F.col("__bsz") - 1) - capl * (capl - 1)) / 2
+                half(F.col("__bsz") * (F.col("__bsz") - 1)) - F.lit((cap * (cap - 1)) // 2)
             ),
             F.lit(0),
         )

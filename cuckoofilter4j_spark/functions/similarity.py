@@ -478,7 +478,11 @@ def train_ivf_centroids_distributed(
                 mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
                 mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
                 assign = np.argmax(mat @ cent_t, axis=1)
-                np.add.at(sums, assign, mat)
+                # one-hot (k x batch) @ mat: a BLAS matmul instead of the
+                # ~10x-slower unbuffered np.add.at scatter in the hot loop
+                onehot = np.zeros((kk, len(mat)), dtype=np.float64)
+                onehot[assign, np.arange(len(mat))] = 1.0
+                sums += onehot @ mat
                 counts += np.bincount(assign, minlength=kk)
             live = np.flatnonzero(counts)
             yield pd.DataFrame(

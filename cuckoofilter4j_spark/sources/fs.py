@@ -67,11 +67,19 @@ def replace_text(spark: SparkSession, path: str, text: str) -> None:
         opts[0] = rename_enum.OVERWRITE
         fctx.rename(tmp, hpath, opts)
         return
-    except Exception:  # noqa: BLE001 — connector without FileContext support
-        pass
+    except Exception as fctx_err:  # noqa: BLE001 — no FileContext support
+        fallback_cause = fctx_err
     if fs.exists(hpath):
         fs.delete(hpath, False)
-    fs.rename(tmp, hpath)
+    # Hadoop FileSystem.rename signals failure by RETURN VALUE, not by
+    # raising — unchecked, a failed rename here would leave NO pointer file
+    # and report success (the destination was just deleted)
+    if not fs.rename(tmp, hpath):
+        raise IOError(
+            f"replace_text: rename {path}.tmp -> {path} failed after the "
+            f"destination was removed — pointer file is GONE until retried "
+            f"(FileContext path failed first with: {fallback_cause!r})"
+        )
 
 
 def exists(spark: SparkSession, path: str) -> bool:
