@@ -502,6 +502,36 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(e1.unionByName(e2)).select("id", "cluster_id")
 
 
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check (functions/contamination.py): a cuckoo
+    filter over the training corpus's distinct 8-grams, probed by an eval
+    set of 20 verbatim copies (zero false negatives ⇒ hit_frac exactly 1.0,
+    contaminated TRUE deterministically) + 20 synthetic clean docs whose
+    digit/punct 8-grams cannot occur in the word corpus (hit_frac ~ fpp,
+    P[≥ threshold 0.5] ≈ binomial tail ~ 1e-80 — deterministic in practice,
+    same concentration argument as ckf_fpp_bound)."""
+    from cuckoofilter4j_spark.functions import ngram_contamination
+
+    train = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = train.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text"
+    )
+    clean = spark.range(20).select(
+        (F.col("id") + 40000).alias("doc_id"),
+        F.concat(
+            F.lit("@@##"),
+            F.col("id").cast("string"),
+            F.lit("$$%%^^&&**(())__++=="),
+            F.repeat(F.concat(F.lit("#"), F.col("id").cast("string"), F.lit("@")), 20),
+        ).alias("text"),
+    )
+    rep = ngram_contamination(
+        train, copies.unionByName(clean), "text", "doc_id",
+        shingle_k=8, threshold=0.5, fpp=0.01,
+    )
+    return rep.select("doc_id", "contaminated")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors (exact ANN baseline)."""
     emb = _emb(spark, sf_dir)
@@ -814,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
+        "ngram_contamination": q_ngram_contamination,
         "ann_topk": q_ann_topk,
         "ann_topk_vectorized": q_ann_topk_vectorized,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -961,6 +992,13 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": """
             SELECT doc_id + 10000 * g AS id, doc_id AS cluster_id
             FROM documents, (VALUES (0), (1), (2)) t(g)
+        """,
+        "ngram_contamination": """
+            SELECT doc_id + 30000 AS doc_id, TRUE AS contaminated
+            FROM documents WHERE doc_id < 20
+            UNION ALL
+            SELECT CAST(range + 40000 AS BIGINT) AS doc_id, FALSE AS contaminated
+            FROM range(20)
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec

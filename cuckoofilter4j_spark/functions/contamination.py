@@ -1,0 +1,127 @@
+"""Train/eval contamination checking — the canonical LLM-pipeline use of an
+approximate-membership sketch: build a cuckoo filter over the TRAINING
+corpus's n-grams once, probe every EVAL document's n-grams against it, and
+flag eval documents whose n-gram hit fraction exceeds a threshold.
+
+Why a sketch: the exact form of this check is an n-gram anti-join of the
+eval set against the training corpus — at 100 TB of training text that is a
+shuffle of every training n-gram. The filter build is one pass over the
+training corpus into S independent shard filters (a few GB of state for
+10^11 n-grams at 8 bits/tag), after which ANY number of eval sets probe it
+broadcast-side with zero shuffles of training data.
+
+Guarantees (inherited from the filter): zero false negatives — a truly
+contaminated document (all n-grams present in training) ALWAYS reports
+hit_frac = 1.0; a clean document's hit_frac concentrates around the
+configured fpp, so any threshold well above fpp separates them
+deterministically in practice (P[clean doc exceeds 0.5] is a binomial tail
+~ fpp^(n/2); astronomically small for real documents).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cuckoofilter4j_spark.operators.build import build_filter_sharded, sha256_key
+from cuckoofilter4j_spark.operators.probe import might_contain_sharded
+
+
+def _ngram_keys(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, key) for every k-char shingle — explode POSITIONS + codegen'd
+    substr (the shingles() transform() lambda is interpreted per char; this
+    stays inside whole-stage codegen, same shape as minhash_signature)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("__t"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(text_col) - (k - 1), F.lit(1)),
+                )
+            ).alias("__i"),
+        )
+        .select("id", F.col("__t").substr(F.col("__i"), F.lit(k)).alias("__g"))
+        .select("id", sha256_key("__g").alias("key"))
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 8,
+    threshold: float = 0.5,
+    fpp: float = 0.01,
+    seed: int = 42,
+    num_shards: int = 64,
+    max_keys: Optional[int] = None,
+    sketches: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Per-eval-document contamination report against the training corpus.
+
+    Returns (id, n_ngrams, n_hits, hit_frac, contaminated) — one row per
+    eval document, where n_ngrams counts the document's DISTINCT k-char
+    shingles, n_hits how many of them the training filter contains, and
+    contaminated = hit_frac >= threshold.
+
+    `max_keys` sizes the filter (expected DISTINCT training n-grams); when
+    omitted it is computed with one approx_count_distinct pass (documented
+    driver action — pass it explicitly in production, the corpus owner
+    knows its scale). Pass `sketches` (from build_contamination_filter) to
+    reuse one trained filter across many eval sets — the intended 100 TB
+    shape: build once, probe forever.
+    """
+    if sketches is None:
+        sketches = build_contamination_filter(
+            train, text_col, id_col, shingle_k, fpp=fpp, seed=seed,
+            num_shards=num_shards, max_keys=max_keys,
+        )
+    probes = _ngram_keys(eval_df, text_col, id_col, shingle_k).dropDuplicates(
+        ["id", "key"]
+    )
+    hit = might_contain_sharded(probes, sketches, "key", num_shards=None)
+    return (
+        hit.groupBy("id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.col("might_contain").cast("long")).alias("n_hits"),
+            F.round(
+                F.sum(F.col("might_contain").cast("long")) / F.count("*"), 6
+            ).alias("hit_frac"),
+            (
+                (F.sum(F.col("might_contain").cast("long")) / F.count("*"))
+                >= F.lit(float(threshold))
+            ).alias("contaminated"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def build_contamination_filter(
+    train: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 8,
+    fpp: float = 0.01,
+    seed: int = 42,
+    num_shards: int = 64,
+    max_keys: Optional[int] = None,
+) -> DataFrame:
+    """Sharded global cuckoo filter over the training corpus's distinct
+    k-char n-grams — build ONCE, persist with sources.save_sketches, probe
+    from every eval/decontamination job. One distinct-shuffle over the
+    n-gram keys (map-side combined), then the standard sharded build."""
+    keys = _ngram_keys(train, text_col, id_col, shingle_k).select("key").distinct()
+    if max_keys is None:
+        max_keys = int(
+            keys.agg(F.approx_count_distinct("key").alias("n")).collect()[0]["n"]
+            * 1.1
+        )
+    return build_filter_sharded(
+        keys, "key", num_shards=num_shards, max_keys=max(int(max_keys), 1024),
+        fpp=fpp, seed=seed, sizing="paper",
+    )

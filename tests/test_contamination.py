@@ -1,0 +1,66 @@
+"""Train/eval n-gram contamination via the sharded cuckoo filter: zero
+false negatives flag exact copies deterministically; clean docs stay under
+any threshold well above fpp; the trained filter is reusable across eval
+sets (the build-once-probe-forever shape)."""
+
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import (
+    build_contamination_filter,
+    ngram_contamination,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _fixture(spark):
+    train = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # eval: 20 verbatim copies (contaminated) + 20 synthetic clean docs whose
+    # 8-grams cannot occur in the word-salad corpus (digits+punct runs)
+    contaminated = train.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text"
+    )
+    clean = spark.range(20).select(
+        (F.col("id") + 40000).alias("doc_id"),
+        F.concat(
+            F.lit("@@##"),
+            F.col("id").cast("string"),
+            F.lit("$$%%^^&&**(())__++=="),
+            F.repeat(F.concat(F.lit("#"), F.col("id").cast("string"), F.lit("@")), 20),
+        ).alias("text"),
+    )
+    return train, contaminated.unionByName(clean)
+
+
+def test_contamination_separates_copies_from_clean(spark):
+    train, eval_df = _fixture(spark)
+    rep = ngram_contamination(
+        train, eval_df, "text", "doc_id", shingle_k=8, threshold=0.5, fpp=0.01
+    )
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    assert len(rows) == 40
+    for did, r in rows.items():
+        if did < 40000:  # verbatim copy: zero false negatives => frac 1.0
+            assert r["hit_frac"] == 1.0 and r["contaminated"], r
+        else:  # clean: hit_frac ~ fpp, far below threshold
+            assert r["hit_frac"] < 0.2 and not r["contaminated"], r
+
+
+def test_filter_reuse_across_eval_sets(spark):
+    train, eval_df = _fixture(spark)
+    sk = build_contamination_filter(train, "text", "doc_id", shingle_k=8).cache()
+    r1 = ngram_contamination(train, eval_df, "text", "doc_id", sketches=sk)
+    # second eval set: partial contamination — half of each doc copied
+    partial = train.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit(" ##@@$$%%^^&&**(())__ uncontaminated suffix 0123456789"),
+        ).alias("text"),
+    )
+    r2 = ngram_contamination(train, partial, "text", "doc_id", sketches=sk)
+    assert r1.filter(F.col("contaminated")).count() == 20
+    part = {r["doc_id"]: r["hit_frac"] for r in r2.collect()}
+    # roughly half of each partial doc's n-grams hit (never below, FPs above)
+    assert all(0.3 <= v <= 0.85 for v in part.values()), part
+    sk.unpersist()
