@@ -49,6 +49,7 @@ MEDIA_SCHEMA = StructType(
 )
 
 _FAKE_MAGIC = b"FAKEIMG1"
+_FAKE_AUDIO_MAGIC = b"FAKEPCM1"
 
 
 def synth_media(spark, rows: int = 256, num_partitions: int = 4) -> DataFrame:
@@ -79,6 +80,102 @@ def synth_media(spark, rows: int = 256, num_partitions: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return spark.range(0, rows, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synth_audio(spark, rows: int = 128, num_partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic audio table matching MEDIA_SCHEMA — payload is
+    a fake PCM format: magic + packed (sample_rate, n_samples) + int16
+    mono samples (seeded sine + noise). Same contract as synth_media:
+    `pixel_sum` carries the exact sum of samples for oracle checking."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id in pdf["id"]:
+                mid = int(media_id)
+                rng = np.random.default_rng(mid + 1_000_003)
+                sr = 8000
+                n = 400 + (mid % 32) * 25
+                t = np.arange(n, dtype=np.float64)
+                freq = 100.0 + (mid % 50) * 17.0
+                wave = 8000.0 * np.sin(2 * np.pi * freq * t / sr)
+                wave += rng.normal(0.0, 500.0, size=n)
+                samples = np.clip(wave, -32768, 32767).astype(np.int16)
+                payload = (
+                    _FAKE_AUDIO_MAGIC + struct.pack("<II", sr, n) + samples.tobytes()
+                )
+                out.append(
+                    dict(
+                        media_id=mid,
+                        kind="audio",
+                        format="fakepcm",
+                        width=None,
+                        height=None,
+                        duration_ms=int(n * 1000 / sr),
+                        pixel_sum=int(samples.sum(dtype=np.int64)),
+                        payload=payload,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return spark.range(0, rows, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("duration_ms", IntegerType(), False),
+        StructField("rms", FloatType(), False),
+        StructField("peak", IntegerType(), False),
+        StructField("zero_crossings", IntegerType(), False),
+        StructField("sample_sum", LongType(), False),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio feature extraction via mapInPandas — same contract as
+    decode_images: fake-format PCM payloads always decode (deterministic,
+    numpy-only); real codecs (wav/mp3 via soundfile/ffmpeg) are
+    environment-gated and raise at plan time when unavailable. Features:
+    duration, RMS, peak amplitude, zero-crossing count, exact sample sum
+    (the oracle checksum)."""
+    if not fake:
+        raise NotImplementedError(
+            "extract_audio_features(fake=False): no audio codec in this "
+            "container (pip install soundfile) — fake=True exercises the "
+            "identical plan shape on the fake PCM format"
+        )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if not payload.startswith(_FAKE_AUDIO_MAGIC):
+                    raise ValueError("not a fake-PCM payload")
+                sr, n = struct.unpack_from("<II", payload, len(_FAKE_AUDIO_MAGIC))
+                samples = np.frombuffer(
+                    payload, dtype="<i2", offset=len(_FAKE_AUDIO_MAGIC) + 8, count=n
+                ).astype(np.float64)
+                zc = int(np.count_nonzero(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+                out.append(
+                    dict(
+                        media_id=int(media_id),
+                        sample_rate=int(sr),
+                        n_samples=int(n),
+                        duration_ms=int(n * 1000 / sr),
+                        rms=float(np.sqrt(np.mean(samples**2))),
+                        peak=int(np.max(np.abs(samples))),
+                        zero_crossings=zc,
+                        sample_sum=int(samples.sum()),
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 DECODED_SCHEMA = StructType(

@@ -54,3 +54,37 @@ def test_real_codec_paths_raise(spark):
         resize_images(media, fake=False)
     with pytest.raises(NotImplementedError):
         sample_frames(media, fake=False)
+
+
+def test_audio_features_fake_pcm(spark):
+    """Fake-PCM audio: synth -> mapInPandas feature extraction; exact sample
+    sum matches the checksum stored at synth time; features deterministic."""
+    from cuckoofilter4j_spark.functions import extract_audio_features, synth_audio
+
+    audio = synth_audio(spark, rows=32, num_partitions=4)
+    feats = extract_audio_features(audio, fake=True)
+    joined = feats.join(
+        audio.select("media_id", F.col("pixel_sum").alias("expected_sum"), "duration_ms"),
+        "media_id",
+    ).collect()
+    assert len(joined) == 32
+    for r in joined:
+        assert r["sample_sum"] == r["expected_sum"]
+        assert r["duration_ms"] == int(r["n_samples"] * 1000 / r["sample_rate"])
+        assert 0 < r["rms"] < 32768 and 0 < r["peak"] <= 32767
+        assert r["zero_crossings"] > 0
+    # twice-decoded is identical (deterministic)
+    again = extract_audio_features(audio, fake=True).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        tuple(r[f] for f in again[0].__fields__) for r in
+        extract_audio_features(audio, fake=True).collect()
+    )
+
+
+def test_audio_real_codec_gated(spark):
+    from cuckoofilter4j_spark.functions import extract_audio_features, synth_audio
+    import pytest as _pytest
+
+    audio = synth_audio(spark, rows=4)
+    with _pytest.raises(NotImplementedError, match="audio codec"):
+        extract_audio_features(audio, fake=False)

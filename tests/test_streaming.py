@@ -223,3 +223,38 @@ def test_streaming_dedup_overflow_error_fails_loud(spark, tmp_path):
     )
     with _pytest.raises(StreamingQueryException, match="overflowed its filter"):
         q.awaitTermination(120)
+
+
+def test_broadcast_probe_composes_with_structured_streaming(spark, tmp_path):
+    """might_contain is a stateless mapInArrow over a broadcast sketch, so it
+    composes directly with readStream (no state store, no shuffle): a stream
+    probed against a batch-built filter flags members/non-members per row."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select("lang", sha256_key("text").alias("key"))
+    sk = build_filter(keyed, "key", ["lang"], max_keys=1024, fpp=0.01, seed=42)
+
+    src = str(tmp_path / "probe_src")
+    absent = docs.select(
+        "lang", sha256_key(F.concat("text", F.lit("_nope_"))).alias("key")
+    )
+    keyed.unionByName(absent).coalesce(1).write.parquet(f"{src}/f=0")
+
+    stream = spark.readStream.schema("lang string, key binary").parquet(f"{src}/f=*")
+    probed = might_contain(stream, sk, "key", ["lang"])
+    out = str(tmp_path / "probe_out")
+    q = (
+        probed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "probe_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n = docs.count()
+    assert got.count() == 2 * n
+    # zero false negatives on the member half; FP-bounded on the absent half
+    member_hits = got.join(keyed, ["lang", "key"]).filter("might_contain").count()
+    assert member_hits == n
+    absent_hits = got.join(absent, ["lang", "key"]).filter("might_contain").count()
+    assert absent_hits <= int(0.03 * n) + 1
