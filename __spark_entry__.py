@@ -49,7 +49,12 @@ from cuckoofilter4j_spark.functions import (
     simhash_dup_pairs,
     text_stats,
 )
-from cuckoofilter4j_spark.functions.multimodal import decode_images, synth_media
+from cuckoofilter4j_spark.functions.multimodal import (
+    decode_images,
+    extract_audio_features,
+    synth_audio,
+    synth_media,
+)
 
 SEED = 42
 FPP = 0.01
@@ -809,6 +814,30 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality plumbing: synthetic fake-PCM payloads -> mapInPandas
+    feature extraction. Fully oracle-checked: sample_rate / n_samples /
+    duration_ms follow the deterministic synth formulas (multimodal.py
+    synth_audio: sr=8000, n=400+(id%32)*25) that the DuckDB oracle
+    reproduces, and the exact sample-sum checksum stored at synth time is
+    verified in-plan against the decoder's recomputation."""
+    audio = synth_audio(spark, rows=64, num_partitions=4)
+    feats = extract_audio_features(audio, fake=True)
+    return (
+        feats.join(
+            audio.select("media_id", F.col("pixel_sum").alias("__expected_sum")),
+            "media_id",
+        )
+        .select(
+            "media_id",
+            "sample_rate",
+            "n_samples",
+            "duration_ms",
+            (F.col("sample_sum") == F.col("__expected_sum")).alias("checksum_ok"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-lang cuckoo sketches over sf0.001 documents with full
     lineage/metrics projection (north rule: load-factor/FPP metrics)."""
@@ -857,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
         "stream_dedup": q_stream_dedup,
         "media_decode": q_media_decode,
+        "audio_features": q_audio_features,
     }
 
 
@@ -1036,6 +1066,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(range AS BIGINT) AS media_id,
                    CAST(8 + range % 24 AS INT) AS width,
                    CAST(8 + (range * 7) % 24 AS INT) AS height,
+                   TRUE AS checksum_ok
+            FROM range(64)
+        """,
+        # audio_features: synth formulas (multimodal.py synth_audio):
+        # sr = 8000, n = 400 + (id % 32) * 25, duration = n*1000 // sr;
+        # the sample-sum checksum is verified in-plan
+        "audio_features": """
+            SELECT CAST(range AS BIGINT) AS media_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(400 + (range % 32) * 25 AS INT) AS n_samples,
+                   CAST(floor((400 + (range % 32) * 25) * 1000.0 / 8000) AS INT)
+                       AS duration_ms,
                    TRUE AS checksum_ok
             FROM range(64)
         """,
