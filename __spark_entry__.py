@@ -605,6 +605,42 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_store_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index (sources/ivf_store.py): write the assigned corpus
+    once as a list-partitioned parquet table, then probe it with partition
+    pruning — each batch reads only the lists it routes to. Probing every
+    list (n_probe = n_lists) over the store degenerates to exact, so every
+    query must rank its own vector first."""
+    import shutil
+    import tempfile
+
+    from cuckoofilter4j_spark.sources import ivf_topk_from_store, save_ivf_index
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    base = tempfile.mkdtemp(prefix="ckf_ivfq_")
+    try:
+        save_ivf_index(emb, base, n_lists=8, seed=SEED)
+        approx = ivf_topk_from_store(spark, base, q, k=10, n_probe=8)
+        out = approx.groupBy("query_id").agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("vec_id") == F.col("query_id")) & (F.col("rank") == 1), 1
+                    ).otherwise(0)
+                )
+                == 1
+            ).alias("self_found"),
+        )
+        out = out.cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_ckf_events_stream_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events-table coverage: sharded global filter over sha256 of the event
     identity; exact per-type membership totals via the sharded probe path."""
@@ -878,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_vectorized": q_ann_topk_vectorized,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_ivf_store_recall": q_ann_ivf_store_recall,
         "emb_near_dup": q_emb_near_dup,
         "bloom_might_contain": q_bloom_might_contain,
         "hll_distinct_bound": q_hll_distinct_bound,
@@ -1053,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
         "ann_ivf_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
+        "ann_ivf_store_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
         "emb_near_dup": "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
         "stream_dedup": "SELECT lang, TRUE AS dedup_ok FROM (SELECT DISTINCT lang FROM documents)",
         "bloom_might_contain": "SELECT doc_id, TRUE AS might_contain FROM documents",

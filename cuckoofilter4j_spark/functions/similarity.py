@@ -566,20 +566,56 @@ def ivf_topk(
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, n_lists, seed)
     assigned = assign_ivf_lists(corpus.select(id_col, vec_col), centroids, vec_col)
+    return ivf_probe(
+        assigned,
+        queries,
+        centroids,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    list_col: str = "__ivf_list",
+    prune_lists: bool = False,
+) -> DataFrame:
+    """Probe an already-list-assigned corpus (`assign_ivf_lists` output, or a
+    persisted list-partitioned index read back from parquet).
+
+    Scale shape: query→list routing is one tiny driver-side matmul; the
+    corpus shuffles once on the list id against a BROADCAST (query, list)
+    probe set; candidates are scored with the vectorized cosine. With
+    `prune_lists=True` the corpus is first filtered to exactly the probed
+    lists — over a `partitionBy(list_col)` parquet layout that filter becomes
+    a partition-pruning predicate, so each query batch READS only
+    n_probe/n_lists of the index (sources/ivf_store.py)."""
     q_rows = queries.select(query_id_col, query_vec_col).collect()
     q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
     sims = q_mat @ np.asarray(centroids, dtype=np.float64).T
     n_probe = min(n_probe, sims.shape[1])
     probe_lists = np.argsort(-sims, axis=1)[:, :n_probe]
-    spark = corpus.sparkSession
+    spark = assigned.sparkSession
     # preserve the caller's query-id / vector types (a string or int query id
     # must survive — hardcoded DDL broke non-bigint ids, ADVICE r2)
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     q_schema = queries.select(query_id_col, query_vec_col).schema
     probes_schema = StructType(
-        list(q_schema.fields) + [StructField("__ivf_list", IntegerType(), False)]
+        list(q_schema.fields) + [StructField(list_col, IntegerType(), False)]
     )
     probes = spark.createDataFrame(
         [
@@ -589,7 +625,10 @@ def ivf_topk(
         ],
         probes_schema,
     )
-    cand = assigned.join(F.broadcast(probes), "__ivf_list").select(
+    if prune_lists:
+        needed = sorted({int(v) for v in probe_lists.ravel()})
+        assigned = assigned.filter(F.col(list_col).isin(needed))
+    cand = assigned.join(F.broadcast(probes), list_col).select(
         query_id_col, id_col, vec_col, query_vec_col
     )
     scored = with_pair_cosine(cand, vec_col, query_vec_col)

@@ -2,6 +2,7 @@
 
 from cuckoofilter4j_spark.plans.explain import (
     codegen_stage_count,
+    partition_filters,
     plan_string,
     read_columns,
     scan_reports,
@@ -10,6 +11,7 @@ from cuckoofilter4j_spark.plans.explain import (
 
 __all__ = [
     "codegen_stage_count",
+    "partition_filters",
     "plan_string",
     "read_columns",
     "scan_reports",

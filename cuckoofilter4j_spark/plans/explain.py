@@ -66,6 +66,17 @@ def read_columns(df: DataFrame) -> List[List[str]]:
     return cols
 
 
+def partition_filters(df: DataFrame) -> List[str]:
+    """PartitionFilters of each parquet scan — non-empty means the scan
+    prunes partition directories instead of listing/reading all of them
+    (the property the list-partitioned IVF store relies on)."""
+    plan = plan_string(df, "formatted")
+    out = []
+    for m in re.finditer(r"PartitionFilters: \[(.*?)\]", plan):
+        out.append(m.group(1))
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (wider is better for JVM-side work)."""
     plan = plan_string(df, "simple")

@@ -1,5 +1,11 @@
 """Input sources: driver testdata loaders + deterministic fixtures."""
 
+from cuckoofilter4j_spark.sources.ivf_store import (
+    ivf_topk_from_store,
+    load_ivf_index,
+    load_ivf_meta,
+    save_ivf_index,
+)
 from cuckoofilter4j_spark.sources.sketch_store import load_sketches, save_sketches, store_meta
 from cuckoofilter4j_spark.sources.source_files import absent_source_files, source_files
 
@@ -22,4 +28,16 @@ def load_table(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-__all__ = ["TPCH_TABLES", "absent_source_files", "load_sketches", "load_table", "save_sketches", "source_files", "store_meta"]
+__all__ = [
+    "TPCH_TABLES",
+    "absent_source_files",
+    "ivf_topk_from_store",
+    "load_ivf_index",
+    "load_ivf_meta",
+    "load_sketches",
+    "load_table",
+    "save_ivf_index",
+    "save_sketches",
+    "source_files",
+    "store_meta",
+]

@@ -1,0 +1,128 @@
+"""IVF index store: write-once, probe-many ANN index.
+
+The assigned corpus is persisted as a parquet table PARTITIONED BY the
+inverted-list id, plus a JSON manifest carrying the coarse centroids and the
+parameters a prober must agree on. Probing then reads ONLY the lists the
+query batch routes to: the `isin(needed_lists)` filter is a partition-
+pruning predicate over the `__ivf_list=<n>/` directory layout, so a batch
+probing n_probe of n_lists lists scans ~n_probe/n_lists of the index bytes
+— the property that makes repeated ANN query batches affordable at 10^12
+vectors (assignment cost is paid once at write time, never per batch).
+
+Layout:
+    <path>/lists/__ivf_list=<n>/*.parquet   (id, vec) rows of list n
+    <path>/_ivf_meta.json                   {n_lists, dim, seed, id_col,
+                                             vec_col, centroids}
+
+Manifest IO goes through the Hadoop FileSystem API (sources/fs.py) so the
+store works on every filesystem the data does (s3a://, hdfs://, local).
+Same write-once pattern as operators.build.write_bucketed_keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cuckoofilter4j_spark.functions.similarity import (
+    assign_ivf_lists,
+    ivf_probe,
+    train_ivf_centroids,
+)
+from cuckoofilter4j_spark.sources.fs import read_text, write_text
+
+IVF_META_FILE = "_ivf_meta.json"
+LIST_COL = "__ivf_list"
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    mode: str = "overwrite",
+) -> np.ndarray:
+    """Train (or accept) coarse centroids, assign every corpus vector to its
+    inverted list, and persist the assigned corpus list-partitioned.
+
+    One shuffle (the repartition that collapses each list's rows into its
+    partition directory) paid once at write time. Returns the centroids so
+    the caller can reuse them without re-reading the manifest."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_lists, seed)
+    cm = np.asarray(centroids, dtype=np.float64)
+    assigned = assign_ivf_lists(corpus.select(id_col, vec_col), cm, vec_col)
+    (
+        assigned.repartition(F.col(LIST_COL))
+        .write.mode(mode)
+        .partitionBy(LIST_COL)
+        .parquet(os.path.join(path, "lists"))
+    )
+    meta = {
+        "n_lists": int(cm.shape[0]),
+        "dim": int(cm.shape[1]),
+        "seed": int(seed),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": cm.tolist(),
+    }
+    write_text(
+        corpus.sparkSession,
+        os.path.join(path, IVF_META_FILE),
+        json.dumps(meta, sort_keys=True),
+    )
+    return cm
+
+
+def load_ivf_meta(spark: SparkSession, path: str) -> dict:
+    """Read the index manifest; `centroids` comes back as an ndarray."""
+    raw = read_text(spark, os.path.join(path, IVF_META_FILE))
+    if raw is None:
+        raise FileNotFoundError(f"no {IVF_META_FILE} manifest at {path}")
+    meta = json.loads(raw)
+    meta["centroids"] = np.asarray(meta["centroids"], dtype=np.float64)
+    return meta
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """The persisted assigned corpus (lazy scan over the list-partitioned
+    layout; `__ivf_list` is the partition column) plus its manifest."""
+    meta = load_ivf_meta(spark, path)
+    df = spark.read.parquet(os.path.join(path, "lists"))
+    return df, meta
+
+
+def ivf_topk_from_store(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF top-k over a persisted index: route queries to lists driver-side,
+    scan ONLY those list partitions (partition pruning — pinned by
+    tests/test_plans.py), broadcast the (query, list) probe set, score with
+    the vectorized cosine. Results are identical to `ivf_topk` called with
+    the stored centroids on the original corpus."""
+    assigned, meta = load_ivf_index(spark, path)
+    return ivf_probe(
+        assigned,
+        queries,
+        meta["centroids"],
+        k=k,
+        n_probe=n_probe,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        list_col=LIST_COL,
+        prune_lists=True,
+    )

@@ -1,0 +1,92 @@
+"""Persisted IVF index: write-once list-partitioned layout, probe-many with
+partition pruning. The scale property under test: a probe batch must READ
+only the lists it routes to (pruned parquet scan), and results must be
+byte-identical to the in-memory ivf_topk with the same centroids."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import ivf_topk
+from cuckoofilter4j_spark.plans import partition_filters, plan_string
+from cuckoofilter4j_spark.sources import (
+    ivf_topk_from_store,
+    load_ivf_index,
+    load_ivf_meta,
+    save_ivf_index,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _queries(emb, n=5):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_store_roundtrip_matches_in_memory_ivf(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    cents = save_ivf_index(emb, path, n_lists=16, seed=42)
+    q = _queries(emb)
+
+    from_store = ivf_topk_from_store(spark, path, q, k=10, n_probe=2)
+    in_memory = ivf_topk(emb, q, k=10, n_probe=2, centroids=cents)
+    cols = ["query_id", "vec_id", "rank"]
+    assert sorted(map(tuple, from_store.select(cols).collect())) == sorted(
+        map(tuple, in_memory.select(cols).collect())
+    )
+
+
+def test_store_layout_and_manifest(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    cents = save_ivf_index(emb, path, n_lists=8, seed=7)
+    meta = load_ivf_meta(spark, path)
+    assert meta["n_lists"] == 8 and meta["seed"] == 7
+    assert meta["centroids"].shape == tuple(cents.shape)
+    # list-partitioned directory layout on disk
+    dirs = [d for d in os.listdir(os.path.join(path, "lists")) if d.startswith("__ivf_list=")]
+    assert 1 <= len(dirs) <= 8
+    # nothing lost in assignment: every corpus row is in exactly one list
+    assigned, _ = load_ivf_index(spark, path)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_store_probe_prunes_partitions(spark, tmp_path):
+    """The probe's scan must carry a PartitionFilter on __ivf_list (reads
+    only the probed n_probe lists, not the whole index) and broadcast the
+    probe set (no sort-merge join, no cartesian)."""
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, path, n_lists=16, seed=42)
+    out = ivf_topk_from_store(spark, path, _queries(emb, 3), k=5, n_probe=1)
+    pf = partition_filters(out)
+    assert any("__ivf_list" in f and f.strip() for f in pf), plan_string(out, "formatted")
+    plan = plan_string(out, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_store_missing_manifest_fails_loud(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="_ivf_meta.json"):
+        load_ivf_meta(spark, str(tmp_path / "nope"))
+
+
+def test_store_degenerate_exact_when_probing_all_lists(spark, tmp_path):
+    """n_probe = n_lists over the store degenerates to exact brute force:
+    every query finds itself at rank 1."""
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, path, n_lists=4, seed=42)
+    out = ivf_topk_from_store(spark, path, _queries(emb), k=1, n_probe=4)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["vec_id"] == r["query_id"] and r["rank"] == 1 for r in rows)
