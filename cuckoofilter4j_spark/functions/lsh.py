@@ -40,6 +40,7 @@ def cap_hot_buckets(
     id_col: str,
     max_bucket_size: int,
     salt: int = 0,
+    _sizes: DataFrame = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Thin every bucket above `max_bucket_size` down to ~max_bucket_size
     members (Binomial(size, cap/size) survivors — see module docstring);
@@ -64,7 +65,11 @@ def cap_hot_buckets(
     if cap < 2:
         raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
     bcols = list(bucket_cols)
-    sizes = df.groupBy(*bcols).agg(F.count("*").alias("__bsz"))
+    sizes = (
+        _sizes
+        if _sizes is not None
+        else df.groupBy(*bcols).agg(F.count("*").alias("__bsz"))
+    )
     hot = sizes.filter(F.col("__bsz") > cap).persist()
     capl = F.lit(cap).cast("long")
     half = lambda x: F.shiftright(x, 1)  # exact: n*(n-1) is even
@@ -89,3 +94,42 @@ def cap_hot_buckets(
     )
     kept = df.join(F.broadcast(hot), bcols, "left").filter(keep).drop("__bsz")
     return kept, drop_stats
+
+
+def cap_hot_buckets_adaptive(
+    df: DataFrame,
+    bucket_cols: Sequence[str],
+    id_col: str,
+    quantile: float = 0.999,
+    min_cap: int = 16,
+    relative_error: float = 0.001,
+    salt: int = 0,
+) -> Tuple[DataFrame, DataFrame, int]:
+    """`cap_hot_buckets` with the cap chosen FROM the data: the `quantile`
+    of the bucket-size distribution (floored at `min_cap`), so only the
+    extreme tail — the degenerate boilerplate/constant-embedding buckets —
+    is thinned, regardless of corpus scale or banding parameters. A fixed
+    cap tuned at one scale silently over- or under-thins at another; a
+    quantile cap tracks the distribution.
+
+    Cost: one extra driver action (approxQuantile, Greenwald-Khanna — no
+    full sort) over the SAME persisted bucket-size aggregate the cap joins
+    against, so the sizes scan is paid once, not twice.
+
+    Returns (kept, drop_stats, cap) — `cap` is surfaced so callers can log
+    it next to the drop metrics (no silent caps).
+
+    Cache ownership: the bucket-size aggregate stays persisted (it backs
+    both the quantile and the hot-set join); callers that loop over many
+    corpora should `spark.catalog.clearCache()` between iterations — same
+    contract as the minhash signature cache (dedup.minhash_dup_pairs)."""
+    if not 0.0 < quantile < 1.0:
+        raise ValueError(f"quantile must be in (0, 1), got {quantile}")
+    bcols = list(bucket_cols)
+    sizes = df.groupBy(*bcols).agg(F.count("*").alias("__bsz")).persist()
+    q = sizes.approxQuantile("__bsz", [float(quantile)], float(relative_error))[0]
+    cap = max(int(min_cap), int(q))
+    kept, drop_stats = cap_hot_buckets(
+        df, bcols, id_col, cap, salt=salt, _sizes=sizes
+    )
+    return kept, drop_stats, cap

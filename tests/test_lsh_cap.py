@@ -154,3 +154,51 @@ def test_minhash_uncapped_unchanged(spark):
     docs = _hot_corpus(spark).limit(50)
     plan = minhash_dup_pairs(docs, "text", "id")._jdf.queryExecution().executedPlan().toString()
     assert "__bsz" not in plan
+
+
+def test_cap_hot_buckets_adaptive_tracks_distribution(spark):
+    """The adaptive cap lands at the tail of the bucket-size distribution:
+    a corpus of 100 size-3 buckets plus one size-500 bucket gets a cap near
+    3 (floored at min_cap), thins ONLY the degenerate bucket, and reports
+    the chosen cap alongside exact drop accounting."""
+    from cuckoofilter4j_spark.functions import cap_hot_buckets_adaptive
+
+    rows = [(i, "hot") for i in range(500)] + [
+        (10_000 + b * 10 + j, f"cold{b}") for b in range(100) for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, "id long, bucket string")
+    kept, stats, cap = cap_hot_buckets_adaptive(
+        df, ["bucket"], "id", quantile=0.99, min_cap=5
+    )
+    assert cap == 5  # q99 of the size distribution is 3 -> floored to min_cap
+    sizes = {
+        r["bucket"]: r["n"]
+        for r in kept.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    for b, n in sizes.items():
+        if b != "hot":
+            assert n == 3  # cold buckets bit-for-bit untouched
+    assert sizes["hot"] <= 20  # ~Binomial(500, 5/500) survivors
+    s = stats.collect()[0]
+    assert s["hot_buckets"] == 1
+    assert s["dropped_rows"] == 500 - 5
+    assert s["dropped_candidate_pairs"] == (500 * 499 - 5 * 4) // 2
+
+    with pytest.raises(ValueError):
+        cap_hot_buckets_adaptive(df, ["bucket"], "id", quantile=1.5)
+
+
+def test_cap_hot_buckets_adaptive_spares_everything_below_tail(spark):
+    """With a high quantile over a benign distribution (no degenerate
+    bucket), the adaptive cap exceeds every bucket size: zero drops."""
+    from cuckoofilter4j_spark.functions import cap_hot_buckets_adaptive
+
+    rows = [(b * 100 + j, f"b{b}") for b in range(50) for j in range(b % 7 + 1)]
+    df = spark.createDataFrame(rows, "id long, bucket string")
+    kept, stats, cap = cap_hot_buckets_adaptive(
+        df, ["bucket"], "id", quantile=0.999, min_cap=8
+    )
+    assert cap >= 7
+    assert kept.count() == df.count()
+    s = stats.collect()[0]
+    assert s["hot_buckets"] == 0 and s["dropped_rows"] == 0
