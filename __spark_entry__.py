@@ -605,6 +605,30 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio codec path under the gate: genuine RIFF/WAVE PCM16
+    payloads (synth_wav) decoded by the stdlib-only chunk walker
+    (fake=False) — same deterministic samples, same formula oracle, same
+    in-plan checksum as the fake-PCM twin."""
+    from cuckoofilter4j_spark.functions import synth_wav
+
+    wav = synth_wav(spark, rows=64, num_partitions=4)
+    feats = extract_audio_features(wav, fake=False)
+    return (
+        feats.join(
+            wav.select("media_id", F.col("pixel_sum").alias("__expected_sum")),
+            "media_id",
+        )
+        .select(
+            "media_id",
+            "sample_rate",
+            "n_samples",
+            "duration_ms",
+            (F.col("sample_sum") == F.col("__expected_sum")).alias("checksum_ok"),
+        )
+    )
+
+
 def q_ann_ivf_store_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF index (sources/ivf_store.py): write the assigned corpus
     once as a list-partitioned parquet table, then probe it with partition
@@ -924,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "media_decode": q_media_decode,
         "audio_features": q_audio_features,
+        "audio_features_wav": q_audio_features_wav,
     }
 
 
@@ -1120,5 +1145,6 @@ def oracle_sql() -> dict[str, str]:
             FROM range(64)
         """,
     }
+    out["audio_features_wav"] = out["audio_features"]  # same formulas, real codec
     out["ann_topk_vectorized"] = out["ann_topk"]  # identical result contract
     return out

@@ -121,6 +121,92 @@ def synth_audio(spark, rows: int = 128, num_partitions: int = 4) -> DataFrame:
     return spark.range(0, rows, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def _wav_bytes(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Serialize int16 mono samples as a genuine RIFF/WAVE PCM16 file."""
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def _parse_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM16 payload -> (sample_rate, int16 samples).
+    Walks the chunk list (real WAV files may carry LIST/fact chunks before
+    data); mono or interleaved multi-channel (averaged to mono). Raises
+    ValueError for non-PCM16 encodings."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, n_ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, n_ch, sr = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV encoding (fmt={fmt_tag}, bits={bits}): "
+                    "only PCM16 decodes without an external codec"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    if n_ch > 1:
+        samples = (
+            samples[: len(samples) - len(samples) % n_ch]
+            .reshape(-1, n_ch)
+            .mean(axis=1)
+            .astype(np.int16)
+        )
+    return int(sr), samples
+
+
+def synth_wav(spark, rows: int = 128, num_partitions: int = 4) -> DataFrame:
+    """Like synth_audio but the payload is a GENUINE RIFF/WAVE PCM16 file
+    (same deterministic samples) — the fixture for the real-codec path."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id in pdf["id"]:
+                mid = int(media_id)
+                rng = np.random.default_rng(mid + 1_000_003)
+                sr = 8000
+                n = 400 + (mid % 32) * 25
+                t = np.arange(n, dtype=np.float64)
+                freq = 100.0 + (mid % 50) * 17.0
+                w = 8000.0 * np.sin(2 * np.pi * freq * t / sr)
+                w += rng.normal(0.0, 500.0, size=n)
+                samples = np.clip(w, -32768, 32767).astype(np.int16)
+                out.append(
+                    dict(
+                        media_id=mid,
+                        kind="audio",
+                        format="wav",
+                        width=None,
+                        height=None,
+                        duration_ms=int(n * 1000 / sr),
+                        pixel_sum=int(samples.sum(dtype=np.int64)),
+                        payload=_wav_bytes(sr, samples),
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return spark.range(0, rows, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -136,30 +222,36 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 
 def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Audio feature extraction via mapInPandas — same contract as
-    decode_images: fake-format PCM payloads always decode (deterministic,
-    numpy-only); real codecs (wav/mp3 via soundfile/ffmpeg) are
-    environment-gated and raise at plan time when unavailable. Features:
-    duration, RMS, peak amplitude, zero-crossing count, exact sample sum
-    (the oracle checksum)."""
-    if not fake:
-        raise NotImplementedError(
-            "extract_audio_features(fake=False): no audio codec in this "
-            "container (pip install soundfile) — fake=True exercises the "
-            "identical plan shape on the fake PCM format"
-        )
+    """Audio feature extraction via mapInPandas. `fake=True` decodes the
+    deterministic fake-PCM format; `fake=False` decodes GENUINE RIFF/WAVE
+    PCM16 payloads (pure struct+numpy — no external codec needed; real WAV
+    chunk walking, multi-channel averaged to mono). Compressed formats
+    (mp3/ogg/flac) raise ValueError per payload — decoding them needs an
+    external codec (soundfile/ffmpeg) this container doesn't ship.
+    Features: duration, RMS, peak amplitude, zero-crossing count, exact
+    sample sum (the oracle checksum)."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                if not payload.startswith(_FAKE_AUDIO_MAGIC):
-                    raise ValueError("not a fake-PCM payload")
-                sr, n = struct.unpack_from("<II", payload, len(_FAKE_AUDIO_MAGIC))
-                samples = np.frombuffer(
-                    payload, dtype="<i2", offset=len(_FAKE_AUDIO_MAGIC) + 8, count=n
-                ).astype(np.float64)
+                if fake:
+                    if not payload.startswith(_FAKE_AUDIO_MAGIC):
+                        raise ValueError("not a fake-PCM payload")
+                    sr, n = struct.unpack_from("<II", payload, len(_FAKE_AUDIO_MAGIC))
+                    samples = np.frombuffer(
+                        payload, dtype="<i2", offset=len(_FAKE_AUDIO_MAGIC) + 8, count=n
+                    )
+                elif payload[:4] == b"RIFF":
+                    sr, samples = _parse_wav(payload)
+                    n = samples.shape[0]
+                else:
+                    raise ValueError(
+                        "unsupported audio format (not RIFF/WAVE): compressed "
+                        "formats need an external codec (pip install soundfile)"
+                    )
+                samples = samples.astype(np.float64)
                 zc = int(np.count_nonzero(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
                 out.append(
                     dict(
