@@ -605,6 +605,77 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image codec path under the gate: genuine 8-bit BMP payloads
+    (synth_bmp) decoded by the stdlib struct+numpy parser (fake=False) —
+    same deterministic pixels, same formula oracle, same in-plan checksum
+    as the fake-format twin."""
+    from cuckoofilter4j_spark.functions import synth_bmp
+
+    bmp = synth_bmp(spark, rows=64, num_partitions=4)
+    decoded = decode_images(bmp, fake=False)
+    return (
+        decoded.join(
+            bmp.select("media_id", F.col("pixel_sum").alias("__expected_sum")),
+            "media_id",
+        )
+        .select(
+            "media_id",
+            "width",
+            "height",
+            (F.col("pixel_sum") == F.col("__expected_sum")).alias("checksum_ok"),
+        )
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video codec path under the gate: genuine YUV4MPEG2 streams
+    (synth_y4m) frame-sampled by the stdlib parser (fake=False). Frame
+    counts follow the synth formula (4 + id % 8) and the sampled luma
+    bytes sum back to the synth-time checksum (verified in-plan via a
+    vectorized pandas UDF over the frame bytes)."""
+    from cuckoofilter4j_spark.functions import sample_frames, synth_y4m
+
+    def frame_sums(batches):
+        import numpy as np
+
+        for pdf in batches:
+            yield pdf.assign(
+                frame_sum=[
+                    int(np.frombuffer(bytes(b), dtype=np.uint8).sum())
+                    for b in pdf["frame"]
+                ]
+            )[["media_id", "frame_sum"]]
+
+    vid = synth_y4m(spark, rows=64, num_partitions=4)
+    fr = sample_frames(vid, every_n=1, fake=False)
+    summed = fr.select("media_id", "frame").mapInPandas(
+        frame_sums, "media_id long, frame_sum long"
+    )
+    agg = summed.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_sum").alias("__luma_sum"),
+    )
+    return (
+        agg.join(
+            vid.select(
+                "media_id",
+                "width",
+                "height",
+                F.col("pixel_sum").alias("__expected_sum"),
+            ),
+            "media_id",
+        )
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "n_frames",
+            (F.col("__luma_sum") == F.col("__expected_sum")).alias("checksum_ok"),
+        )
+    )
+
+
 def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL audio codec path under the gate: genuine RIFF/WAVE PCM16
     payloads (synth_wav) decoded by the stdlib-only chunk walker
@@ -949,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "audio_features": q_audio_features,
         "audio_features_wav": q_audio_features_wav,
+        "media_decode_bmp": q_media_decode_bmp,
+        "video_frames": q_video_frames,
     }
 
 
@@ -1146,5 +1219,17 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     out["audio_features_wav"] = out["audio_features"]  # same formulas, real codec
+    out["media_decode_bmp"] = out["media_decode"]  # same formulas, real codec
+    # video_frames: synth formulas (multimodal.py synth_y4m):
+    # w = 8 + (id%12)*2, h = 8 + (7*id%12)*2, n_frames = 4 + id%8;
+    # the luma checksum is verified in-plan
+    out["video_frames"] = """
+        SELECT CAST(range AS BIGINT) AS media_id,
+               CAST(8 + (range % 12) * 2 AS INT) AS width,
+               CAST(8 + ((range * 7) % 12) * 2 AS INT) AS height,
+               CAST(4 + range % 8 AS BIGINT) AS n_frames,
+               TRUE AS checksum_ok
+        FROM range(64)
+    """
     out["ann_topk_vectorized"] = out["ann_topk"]  # identical result contract
     return out

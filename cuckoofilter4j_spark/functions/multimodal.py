@@ -1,13 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side machinery (schemas, Arrow batch shapes, partitioning, UDF
-signatures) is real and tested; the actual codec work is STUBBED because
-image/audio libraries are not available in this container:
+signatures) is real and tested. Codec coverage is two-tier:
 
-- decode_images     -> NotImplementedError unless `fake=True`, which runs a
-  deterministic fake decoder (parses our own synthetic header) exercising the
-  identical mapInPandas path a real Pillow/ffmpeg decoder would use
-- extract_features / resize_images / sample_frames follow the same pattern
+- REAL, stdlib-only (struct + numpy — no external library): uncompressed
+  formats decode for real on any host: BMP (8/24-bit) images, RIFF/WAVE
+  PCM16 audio, YUV4MPEG2 (y4m) video frame sampling. Each has a
+  deterministic `synth_*` fixture whose exact pixel/sample checksum is
+  stored at synth time and verified end-to-end under the oracle gate.
+- environment-gated: compressed formats (png/jpeg via Pillow, mp3/ogg via
+  soundfile, mp4 via PyAV/ffmpeg) decode when the library is importable
+  and fail loudly (per payload, naming the missing library) when not.
+
+A deterministic fake format (magic + packed dims + raw bytes) also exists
+for every modality so plan-shape tests run without any codec at all.
 
 Scale notes: media processing is mapInPandas over binary columns — perfectly
 parallel, no shuffle; `spark.sql.execution.arrow.maxRecordsPerBatch` should
@@ -17,7 +23,7 @@ be lowered (e.g. 64) so a batch of large blobs fits executor memory.
 from __future__ import annotations
 
 import struct
-from typing import Iterable, Iterator
+from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -114,6 +120,95 @@ def synth_audio(spark, rows: int = 128, num_partitions: int = 4) -> DataFrame:
                         duration_ms=int(n * 1000 / sr),
                         pixel_sum=int(samples.sum(dtype=np.int64)),
                         payload=payload,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return spark.range(0, rows, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _bmp_bytes(pixels: np.ndarray) -> bytes:
+    """Serialize a 2-D uint8 grayscale array as a genuine 8-bit palettized
+    BMP (BITMAPINFOHEADER, identity grayscale palette, bottom-up rows,
+    4-byte row padding)."""
+    h, w = pixels.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = pixels
+    data = rows[::-1].tobytes()  # bottom-up
+    palette = bytes(bytearray(v for i in range(256) for v in (i, i, i, 0)))
+    offset = 14 + 40 + len(palette)
+    file_hdr = b"BM" + struct.pack("<IHHI", offset + len(data), 0, 0, offset)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(data), 0, 0, 256, 0)
+    return file_hdr + info_hdr + palette + data
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an uncompressed 8-bit palettized or 24-bit BMP ->
+    (width, height, flat grayscale uint8 pixels). Handles bottom-up and
+    top-down row order and 4-byte row padding. Compressed BMPs raise."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    _planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) not supported")
+    top_down = h < 0
+    h = abs(h)
+    if bpp == 8:
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        n_colors = clr_used or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, offset=14 + hdr_size, count=n_colors * 4
+        ).reshape(-1, 4)
+        # BGRx palette -> luminance (identity grayscale palettes map exactly)
+        lum = np.rint(
+            0.114 * pal[:, 0] + 0.587 * pal[:, 1] + 0.299 * pal[:, 2]
+        ).astype(np.uint8)
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, offset=data_offset, count=h * stride
+        ).reshape(h, stride)[:, :w]
+        px = lum[rows]
+    elif bpp == 24:
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, offset=data_offset, count=h * stride
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        px = np.rint(
+            0.114 * rows[:, :, 0] + 0.587 * rows[:, :, 1] + 0.299 * rows[:, :, 2]
+        ).astype(np.uint8)
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if not top_down:
+        px = px[::-1]
+    return w, h, np.ascontiguousarray(px).reshape(-1)
+
+
+def synth_bmp(spark, rows: int = 256, num_partitions: int = 4) -> DataFrame:
+    """Like synth_media but the payload is a GENUINE 8-bit BMP file (same
+    deterministic pixels and w/h formulas) — the real-codec image fixture."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id in pdf["id"]:
+                rng = np.random.default_rng(int(media_id))
+                w, h = 8 + int(media_id) % 24, 8 + (int(media_id) * 7) % 24
+                pixels = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+                out.append(
+                    dict(
+                        media_id=int(media_id),
+                        kind="image",
+                        format="bmp",
+                        width=w,
+                        height=h,
+                        duration_ms=None,
+                        pixel_sum=int(pixels.sum(dtype=np.int64)),
+                        payload=_bmp_bytes(pixels.reshape(h, w)),
                     )
                 )
             yield pd.DataFrame(out)
@@ -294,15 +389,15 @@ def _pillow_available() -> bool:
 
 
 def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode + feature-extract image payloads via mapInPandas.
+    """Decode + feature-extract image payloads via mapInPandas (grayscale
+    features: width/height/mean/std/8-bin histogram/exact pixel sum).
 
-    With fake=True, decodes the deterministic fake format (same code path,
-    batch shape, and schema a real decoder would use). With fake=False,
-    real payloads decode through Pillow when it is importable (grayscale
-    features: width/height/mean/std/8-bin histogram); on hosts without any
-    image codec this raises NotImplementedError at plan time (fail fast on
-    the driver, not per task). Fake-format payloads always decode, so mixed
-    corpora work on either kind of host.
+    Formats decoded for REAL with no external library: uncompressed BMP
+    (8-bit palettized and 24-bit, via the struct+numpy parser) and the
+    deterministic fake format. Compressed formats (png/jpeg/...) decode
+    through Pillow when importable; otherwise they raise ValueError per
+    payload naming the missing library. `fake=True` asserts a fake-only
+    corpus (same code path and plan shape, useful on codec-less hosts).
     """
 
     def _decode_one(payload: bytes):
@@ -312,6 +407,16 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
                 payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
             )
             return w, h, px
+        if fake:
+            raise ValueError("fake=True but payload is not the fake format")
+        if payload[:2] == b"BM":
+            return _parse_bmp(payload)
+        if not _pillow_available():
+            raise ValueError(
+                "compressed image payload needs an external codec "
+                "(pip install Pillow); BMP and the fake format decode "
+                "without one"
+            )
         import io
 
         from PIL import Image
@@ -319,13 +424,6 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
         img = Image.open(io.BytesIO(payload)).convert("L")
         px = np.asarray(img, dtype=np.uint8).reshape(-1)
         return img.width, img.height, px
-
-    if not fake and not _pillow_available():
-        raise NotImplementedError(
-            "decode_images(fake=False): no image codec importable on this "
-            "host (pip install Pillow) — the Spark plumbing is ready and "
-            "fake=True exercises the identical plan shape"
-        )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -375,17 +473,12 @@ def resize_images(df: DataFrame, max_side: int = 16, fake: bool = False) -> Data
     """Downscale image payloads via mapInPandas (nearest-neighbor).
 
     Same contract as decode_images: fake-format payloads resize with a pure
-    numpy stride (deterministic); real payloads go through Pillow thumbnail
-    + PNG re-encode when Pillow is importable, else this raises at plan
-    time. The Spark plumbing (schema, batching, partition parallelism) is
-    identical either way.
+    numpy stride (deterministic); genuine BMPs decode, stride-downsample,
+    and re-encode as BMP with no external library; compressed formats go
+    through Pillow thumbnail + PNG re-encode when Pillow is importable,
+    else raise ValueError per payload. The Spark plumbing (schema,
+    batching, partition parallelism) is identical in every case.
     """
-    if not fake and not _pillow_available():
-        raise NotImplementedError(
-            "resize_images(fake=False): no image codec importable on this "
-            "host (pip install Pillow) — fake=True exercises the identical "
-            "plan shape"
-        )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -401,6 +494,21 @@ def resize_images(df: DataFrame, max_side: int = 16, fake: bool = False) -> Data
                     small = px[::scale, ::scale]
                     nh, nw = small.shape
                     blob = _FAKE_MAGIC + struct.pack("<II", nw, nh) + small.tobytes()
+                elif not fake and payload[:2] == b"BM":
+                    w, h, flat = _parse_bmp(payload)
+                    px = flat.reshape(h, w)
+                    scale = max(1, (max(w, h) + max_side - 1) // max_side)
+                    small = px[::scale, ::scale]
+                    nh, nw = small.shape
+                    blob = _bmp_bytes(np.ascontiguousarray(small))
+                elif fake or not _pillow_available():
+                    raise ValueError(
+                        "fake=True but payload is not the fake format"
+                        if fake
+                        else "compressed image payload needs an external "
+                        "codec (pip install Pillow); BMP and the fake "
+                        "format resize without one"
+                    )
                 else:
                     import io
 
@@ -417,6 +525,102 @@ def resize_images(df: DataFrame, max_side: int = 16, fake: bool = False) -> Data
     return df.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
 
 
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _y4m_bytes(
+    w: int, h: int, y_planes: Sequence[np.ndarray], fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Serialize luma planes as a genuine YUV4MPEG2 (y4m) stream, 4:2:0
+    chroma (constant 128 = neutral): the uncompressed interchange format
+    ffmpeg/mplayer read and write (`ffmpeg -f yuv4mpeg2`)."""
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n".encode()
+    chroma = bytes(bytearray([128])) * ((w // 2) * (h // 2) * 2)
+    body = b"".join(
+        b"FRAME\n" + np.ascontiguousarray(y, dtype=np.uint8).tobytes() + chroma
+        for y in y_planes
+    )
+    return hdr + body
+
+
+def _parse_y4m(payload: bytes) -> tuple[int, int, tuple[int, int], list]:
+    """Decode a YUV4MPEG2 stream -> (w, h, (fps_n, fps_d), [Y planes]).
+    Supports C420* and Cmono colorspaces; other chroma subsamplings raise."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    colorspace = "420jpeg"
+    for tag in payload[len(_Y4M_MAGIC) : nl].split():
+        key, val = chr(tag[0]), tag[1:].decode()
+        if key == "W":
+            w = int(val)
+        elif key == "H":
+            h = int(val)
+        elif key == "F":
+            a, b = val.split(":")
+            fps = (int(a), int(b))
+        elif key == "C":
+            colorspace = val
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    if colorspace.startswith("420"):
+        chroma_size = (w // 2) * (h // 2) * 2
+    elif colorspace == "mono":
+        chroma_size = 0
+    else:
+        raise ValueError(f"unsupported y4m colorspace C{colorspace}")
+    y_size = w * h
+    planes = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m: expected FRAME header")
+        pos = fnl + 1
+        planes.append(np.frombuffer(payload, dtype=np.uint8, offset=pos, count=y_size))
+        pos += y_size + chroma_size
+    return w, h, fps, planes
+
+
+def synth_y4m(spark, rows: int = 64, num_partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic video table: genuine y4m payloads,
+    4 + id % 8 frames of 8-bit luma noise at 25 fps; `pixel_sum` stores the
+    exact sum of ALL luma planes and `duration_ms` follows n_frames/fps —
+    both oracle-reproducible."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id in pdf["id"]:
+                mid = int(media_id)
+                rng = np.random.default_rng(mid + 7_000_003)
+                w = 8 + (mid % 12) * 2
+                h = 8 + ((mid * 7) % 12) * 2
+                n_frames = 4 + mid % 8
+                planes = [
+                    rng.integers(0, 256, size=w * h, dtype=np.uint8)
+                    for _ in range(n_frames)
+                ]
+                total = int(sum(int(p.sum(dtype=np.int64)) for p in planes))
+                out.append(
+                    dict(
+                        media_id=mid,
+                        kind="video",
+                        format="y4m",
+                        width=w,
+                        height=h,
+                        duration_ms=int(n_frames * 1000 * 1 / 25),
+                        pixel_sum=total,
+                        payload=_y4m_bytes(w, h, planes),
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return spark.range(0, rows, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -429,28 +633,37 @@ FRAME_SCHEMA = StructType(
 def sample_frames(df: DataFrame, every_n: int = 4, fake: bool = False) -> DataFrame:
     """Explode video payloads into sampled frames via mapInPandas (1 -> many).
 
-    The fake 'video' treats each pixel ROW of the fake image as a frame —
-    exercising the real shape of frame sampling (one input row fanning out to
-    multiple output rows inside an Arrow batch) without an actual codec.
+    `fake=False` decodes GENUINE YUV4MPEG2 (y4m) streams with the
+    stdlib-only parser and emits every_n-th luma plane as `frame` bytes.
+    Compressed containers (mp4/webm) raise ValueError per payload — they
+    need ffmpeg/PyAV, which this container doesn't ship. The fake 'video'
+    (fake=True) treats each pixel ROW of the fake image as a frame —
+    the same 1→many Arrow fan-out shape with no codec at all.
     """
-    if not fake:
-        raise NotImplementedError(
-            "sample_frames(fake=False): no video codec in this container — "
-            "plug ffmpeg/PyAV into the frame iterator below"
-        )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                w, h = struct.unpack_from("<II", payload, len(_FAKE_MAGIC))
-                px = np.frombuffer(
-                    payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
-                ).reshape(h, w)
-                for idx in range(0, h, every_n):
+                if fake:
+                    if not payload.startswith(_FAKE_MAGIC):
+                        raise ValueError("fake=True but payload is not the fake format")
+                    w, h = struct.unpack_from("<II", payload, len(_FAKE_MAGIC))
+                    px = np.frombuffer(
+                        payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
+                    ).reshape(h, w)
+                    frames = [px[idx] for idx in range(h)]
+                elif payload.startswith(_Y4M_MAGIC):
+                    _w, _h, _fps, frames = _parse_y4m(payload)
+                else:
+                    raise ValueError(
+                        "unsupported video format (not YUV4MPEG2): compressed "
+                        "containers need an external codec (ffmpeg/PyAV)"
+                    )
+                for idx in range(0, len(frames), every_n):
                     out.append(dict(media_id=int(media_id), frame_idx=int(idx),
-                                    frame=px[idx].tobytes()))
+                                    frame=frames[idx].tobytes()))
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)

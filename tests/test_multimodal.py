@@ -46,15 +46,83 @@ def test_sample_frames_fanout(spark):
         assert r["count"] == expect
 
 
-def test_real_codec_paths_raise(spark):
+def test_compressed_formats_fail_loud(spark):
+    """Formats needing an external codec (png/mp4) raise ValueError per
+    payload naming the missing library; fake payloads decode regardless."""
+    png_ish = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nfakebody"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="Pillow"):
+        decode_images(png_ish, fake=False).collect()
+    with pytest.raises(Exception, match="Pillow"):
+        resize_images(png_ish, fake=False).collect()
+    mp4_ish = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00 ftypmp42body"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="unsupported video format"):
+        sample_frames(mp4_ish, fake=False).collect()
+    # fake payloads still decode through the real entrypoints
     media = synth_media(spark, rows=2)
-    import pytest
-    with pytest.raises(NotImplementedError):
-        decode_images(media, fake=False)
-    with pytest.raises(NotImplementedError):
-        resize_images(media, fake=False)
-    with pytest.raises(NotImplementedError):
-        sample_frames(media, fake=False)
+    assert decode_images(media, fake=False).count() == 2
+
+
+def test_bmp_real_codec_roundtrip(spark):
+    """REAL image codec: genuine 8-bit BMP payloads (synth_bmp) decode via
+    the struct+numpy parser — exact pixel sums match synth-time checksums
+    and features equal the fake-format twin's (same deterministic pixels)."""
+    from cuckoofilter4j_spark.functions import synth_bmp
+
+    bmp = synth_bmp(spark, rows=16, num_partitions=2)
+    feats = decode_images(bmp, fake=False)
+    joined = feats.join(
+        bmp.select(
+            "media_id",
+            F.col("pixel_sum").alias("expected_sum"),
+            F.col("width").alias("ew"),
+            F.col("height").alias("eh"),
+        ),
+        "media_id",
+    ).collect()
+    assert len(joined) == 16
+    for r in joined:
+        assert r["pixel_sum"] == r["expected_sum"]
+        assert (r["width"], r["height"]) == (r["ew"], r["eh"])
+    fake_rows = sorted(map(tuple, decode_images(synth_media(spark, rows=16), fake=True).collect()))
+    real_rows = sorted(map(tuple, feats.collect()))
+    assert fake_rows == real_rows
+
+    # resize: BMP in, BMP out, pure numpy stride
+    small = resize_images(bmp, max_side=8, fake=False).collect()
+    for r in small:
+        assert max(r["width"], r["height"]) <= 8
+        assert bytes(r["payload"])[:2] == b"BM"
+
+
+def test_y4m_real_video_frame_sampling(spark):
+    """REAL video codec: genuine YUV4MPEG2 streams (synth_y4m) frame-sample
+    via the stdlib parser — with every_n=1 the sampled luma bytes sum back
+    to the synth-time checksum; with every_n=3 the frame count is
+    ceil(n_frames/3)."""
+    import numpy as np
+
+    from cuckoofilter4j_spark.functions import synth_y4m
+
+    vid = synth_y4m(spark, rows=12, num_partitions=2)
+    rows = sample_frames(vid, every_n=1, fake=False).collect()
+    agg = {}
+    for r in rows:
+        n, s = agg.get(r["media_id"], (0, 0))
+        agg[r["media_id"]] = (n + 1, s + int(np.frombuffer(bytes(r["frame"]), dtype=np.uint8).sum()))
+    meta = {r["media_id"]: r for r in vid.collect()}
+    assert len(agg) == 12
+    for mid, (n_frames, luma_sum) in agg.items():
+        assert n_frames == 4 + mid % 8
+        assert luma_sum == meta[mid]["pixel_sum"]
+
+    sampled = sample_frames(vid, every_n=3, fake=False).groupBy("media_id").count().collect()
+    for r in sampled:
+        n = 4 + r["media_id"] % 8
+        assert r["count"] == (n + 2) // 3
 
 
 def test_audio_features_fake_pcm(spark):
