@@ -1,0 +1,83 @@
+"""Property tests for the stdlib media codecs (no Spark session needed):
+encode→decode round-trips must be exact for every shape, length, and
+alignment — the same guarantee the oracle checksums rely on."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cuckoofilter4j_spark.functions.multimodal import (
+    _bmp_bytes,
+    _parse_bmp,
+    _parse_wav,
+    _parse_y4m,
+    _wav_bytes,
+    _y4m_bytes,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_bmp_roundtrip_exact(w, h, seed):
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+    gw, gh, flat = _parse_bmp(_bmp_bytes(px))
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(flat, px.reshape(-1))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=4096),
+    sr=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_roundtrip_exact(n, sr, seed):
+    samples = (
+        np.random.default_rng(seed)
+        .integers(-32768, 32768, size=n)
+        .astype(np.int16)
+    )
+    gsr, got = _parse_wav(_wav_bytes(sr, samples))
+    assert gsr == sr
+    assert np.array_equal(got, samples)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=32).map(lambda x: x * 2),
+    h=st.integers(min_value=1, max_value=32).map(lambda x: x * 2),
+    n_frames=st.integers(min_value=0, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_y4m_roundtrip_exact(w, h, n_frames, seed):
+    rng = np.random.default_rng(seed)
+    planes = [
+        rng.integers(0, 256, size=w * h, dtype=np.uint8) for _ in range(n_frames)
+    ]
+    gw, gh, fps, got = _parse_y4m(_y4m_bytes(w, h, planes, fps=(30, 1)))
+    assert (gw, gh, fps) == (w, h, (30, 1))
+    assert len(got) == n_frames
+    assert all(np.array_equal(a, b) for a, b in zip(planes, got))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=512),
+    n_ch=st.integers(min_value=2, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_multichannel_mono_mix(n, n_ch, seed):
+    """Interleaved multi-channel WAV averages to mono with int16 truncation
+    toward zero of the exact per-frame mean."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(-16000, 16000, size=(n, n_ch)).astype(np.int16)
+    hdr = _wav_bytes(8000, frames.ravel())
+    payload = hdr[:22] + int(n_ch).to_bytes(2, "little") + hdr[24:]
+    sr, got = _parse_wav(payload)
+    assert sr == 8000 and got.shape[0] == n
+    expect = frames.astype(np.float64).mean(axis=1).astype(np.int16)
+    assert np.array_equal(got, expect)
