@@ -605,6 +605,33 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ckf_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accelerated join pruning (operators/join.py): a cuckoo filter
+    over a 2%-selective orders subset prunes the lineitem probe side
+    scan-locally (broadcast sketch, zero shuffle) before the exact join —
+    the runtime-filter semi-join reduction that moves ~(s + fpp) of the big
+    side through the join shuffle at 100 TB. Result must equal the plain
+    join exactly (zero false negatives; the join removes false positives)."""
+    from cuckoofilter4j_spark.operators import pruned_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    small = orders.filter(F.col("o_orderkey") % 50 == 0)
+    n_small = small.count()
+    sk = build_filter_sharded(
+        small.select(sha256_key(F.col("o_orderkey").cast("string")).alias("key")),
+        "key", num_shards=8, max_keys=max(n_small, 256), fpp=FPP, seed=SEED,
+    )
+    big = li.withColumn("key", sha256_key(F.col("l_orderkey").cast("string")))
+    joined = pruned_join(
+        big, small, F.col("l_orderkey") == F.col("o_orderkey"), sk, "key"
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
 def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL image codec path under the gate: genuine 8-bit BMP payloads
     (synth_bmp) decoded by the stdlib struct+numpy parser (fake=False) —
@@ -993,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_catalyst_fingerprints": q_ckf_catalyst_fingerprints,
         "ckf_events_stream_keys": q_ckf_events_stream_keys,
         "ckf_merge_invariance": q_ckf_merge_invariance,
+        "ckf_pruned_join": q_ckf_pruned_join,
         "ckf_checkpoint_resume": q_ckf_checkpoint_resume,
         "ckf_serde_roundtrip": q_ckf_serde_roundtrip,
         "text_stats": q_text_stats,
@@ -1218,6 +1246,14 @@ def oracle_sql() -> dict[str, str]:
             FROM range(64)
         """,
     }
+    out["ckf_pruned_join"] = """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderkey % 50 = 0
+        GROUP BY l_returnflag
+    """
     out["audio_features_wav"] = out["audio_features"]  # same formulas, real codec
     out["media_decode_bmp"] = out["media_decode"]  # same formulas, real codec
     # video_frames: synth formulas (multimodal.py synth_y4m):

@@ -1,0 +1,84 @@
+"""Sketch-accelerated join pruning (runtime-filter semi-join reduction).
+
+The classic production use of an approximate-membership filter at cluster
+scale — the same idea as Spark's own `InjectRuntimeFilter` /
+`BloomFilterAggregate` rewrite and the semi-join reducers in Hive/Trino,
+but with the cuckoo filter's extras (deletion, counting, sharded
+maintenance) and an explicit, reusable filter artifact:
+
+    build a filter over the SMALL side's join keys        (one tiny job)
+    probe the BIG side scan-locally                        (broadcast sketch,
+                                                            ZERO shuffle)
+    drop rows whose keys are definitely absent
+    exact-join only the surviving fraction                 (the only shuffle)
+
+Zero false negatives ⇒ the pruned join returns EXACTLY the plain join's
+rows (the join itself eliminates the filter's false positives). With match
+selectivity s and false-positive rate fpp, the join shuffle moves
+~(s + fpp) of the big side instead of all of it — at 100 TB against a
+1%-selective dimension subset that is a ~99% shuffle reduction for the
+price of one broadcast.
+
+Only `inner` and `left_semi` joins are supported: for those, pruning
+non-members cannot change the result. An anti join must NOT be pruned this
+way — its result rows are exactly the ones the filter would drop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, functions as F
+
+from cuckoofilter4j_spark.operators.probe import might_contain, might_contain_sharded
+
+_PRUNE_COL = "__ckf_prune"
+
+
+def prune_by_filter(
+    df: DataFrame,
+    sketches,
+    key_col: str = "key",
+    group_cols: Optional[Sequence[str]] = None,
+    sharded: bool = False,
+) -> DataFrame:
+    """Keep only rows whose key MIGHT be in the filter (drops ≥(1-fpp) of
+    true non-members, never a member). Scan-local: broadcast sketch +
+    mapInArrow, zero shuffle — the plan shape pinned by test_plans."""
+    probe = might_contain_sharded if sharded else might_contain
+    if sharded:
+        probed = probe(df, sketches, key_col, result_col=_PRUNE_COL)
+    else:
+        probed = probe(df, sketches, key_col, group_cols, result_col=_PRUNE_COL)
+    return probed.filter(F.col(_PRUNE_COL)).drop(_PRUNE_COL)
+
+
+def pruned_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Union[str, Sequence[str]],
+    sketches,
+    key_col: str = "key",
+    how: str = "inner",
+    sharded: bool = True,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Exact join with the big side pre-pruned by a cuckoo filter built
+    over the small side's keys (`sketches` from build_filter_sharded, or a
+    grouped build with sharded=False).
+
+    `key_col` is the probe key column on `big` (the same derivation —
+    e.g. sha256_key(join_col) — used when the filter was built over
+    `small`); `on` is the exact-join condition — column names or unbound
+    F.col expressions (parent-DataFrame attribute refs like big["x"] will
+    not resolve: the probed left side is a re-derived plan). Result rows are identical
+    to `big.join(small, on, how)` — the filter only shrinks the shuffle.
+    """
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            f"pruned_join supports inner/left_semi, got {how!r}: pruning "
+            "non-members would corrupt outer/anti results (an anti join's "
+            "output is exactly the rows the filter drops)"
+        )
+    survivors = prune_by_filter(big, sketches, key_col, group_cols, sharded=sharded)
+    return survivors.join(small, on, how)

@@ -1,0 +1,98 @@
+"""Sketch-accelerated join pruning: the pruned join must return EXACTLY the
+plain join's rows (zero false negatives ⇒ no lost matches; the exact join
+eliminates filter false positives), while the probe stays shuffle-free and
+the pruned input is a small fraction of the big side."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.operators import (
+    build_filter,
+    build_filter_sharded,
+    collect_sketches,
+    prune_by_filter,
+    pruned_join,
+    sha256_key,
+)
+from cuckoofilter4j_spark.plans import plan_string, shuffle_count
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sides(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    small = orders.filter(F.col("o_orderkey") % 50 == 0)
+    big = li.withColumn("key", sha256_key(F.col("l_orderkey").cast("string")))
+    return big, small
+
+
+def test_pruned_join_equals_plain_join(spark):
+    big, small = _sides(spark)
+    n_small = small.count()
+    sk = build_filter_sharded(
+        small.select(sha256_key(F.col("o_orderkey").cast("string")).alias("key")),
+        "key", num_shards=4, max_keys=max(n_small, 256), fpp=0.01, seed=42,
+    )
+    got = pruned_join(big, small, F.col("l_orderkey") == F.col("o_orderkey"), sk, "key")
+    exact = big.join(small, F.col("l_orderkey") == F.col("o_orderkey"))
+    cols = ["l_orderkey", "l_linenumber", "o_orderkey"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, exact.select(cols).collect())
+    )
+
+
+def test_prune_keeps_all_members_and_bounds_survivors(spark):
+    big, small = _sides(spark)
+    n_small = small.count()
+    sk = build_filter_sharded(
+        small.select(sha256_key(F.col("o_orderkey").cast("string")).alias("key")),
+        "key", num_shards=4, max_keys=max(n_small, 256), fpp=0.01, seed=42,
+    )
+    survivors = prune_by_filter(big, sk, "key", sharded=True)
+    n_big = big.count()
+    true_matches = big.join(
+        small.select("o_orderkey"), big["l_orderkey"] == small["o_orderkey"], "left_semi"
+    ).count()
+    n_surv = survivors.count()
+    assert n_surv >= true_matches  # zero false negatives
+    # survivors ≤ matches + fpp-bounded false positives
+    assert n_surv <= true_matches + int(0.03 * n_big) + 1
+    # and the prune genuinely shrinks the join input on this 2% selectivity
+    assert n_surv < n_big // 2
+
+
+def test_prune_probe_adds_no_shuffle(spark):
+    big, small = _sides(spark)
+    n_small = small.count()
+    sk = build_filter_sharded(
+        small.select(sha256_key(F.col("o_orderkey").cast("string")).alias("key")),
+        "key", num_shards=4, max_keys=max(n_small, 256), fpp=0.01, seed=42,
+    )
+    survivors = prune_by_filter(big, sk, "key", sharded=True)
+    assert shuffle_count(survivors) == 0, plan_string(survivors, "simple")
+
+
+def test_pruned_join_grouped_unsharded_path(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    small = docs.filter(F.col("doc_id") % 25 == 0).select("doc_id", "lang", "text")
+    keyed_small = small.select("lang", sha256_key("text").alias("key"))
+    sk = build_filter(keyed_small, "key", ["lang"], max_keys=1024, fpp=0.01, seed=42)
+    sketch_map = collect_sketches(sk, ["lang"])
+    big = docs.select("doc_id", "lang", sha256_key("text").alias("key"))
+    got = pruned_join(
+        big, small.select(F.col("doc_id").alias("small_id")),
+        F.col("doc_id") == F.col("small_id"), sketch_map, "key",
+        sharded=False, group_cols=["lang"],
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in small.collect()
+    )
+
+
+def test_pruned_join_rejects_outer_and_anti(spark):
+    big, small = _sides(spark)
+    with pytest.raises(ValueError, match="anti"):
+        pruned_join(big, small, F.col("l_orderkey") == F.col("o_orderkey"), {}, "key", how="left_anti")
+    with pytest.raises(ValueError, match="anti"):
+        pruned_join(big, small, F.col("l_orderkey") == F.col("o_orderkey"), {}, "key", how="left")
