@@ -363,9 +363,12 @@ def q_ckf_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_probed"),
             (F.sum(F.col("might_contain").cast("long")) == F.count("*")).alias("all_found"),
         )
-        out = out.cache()
-        out.count()
-        return out
+        # materialize and DECOUPLE from the tmp dir before the rmtree below:
+        # a cached plan can still recompute from the deleted path (eviction,
+        # re-plan); a driver-collected literal frame cannot, and nothing
+        # stays pinned in executor storage (rows here are a handful)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -756,9 +759,12 @@ def q_ann_ivf_store_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 == 1
             ).alias("self_found"),
         )
-        out = out.cache()
-        out.count()
-        return out
+        # materialize and DECOUPLE from the tmp dir before the rmtree below:
+        # a cached plan can still recompute from the deleted path (eviction,
+        # re-plan); a driver-collected literal frame cannot, and nothing
+        # stays pinned in executor storage (rows here are a handful)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -943,9 +949,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("dedup_ok"),
             )
         )
-        out = out.cache()
-        out.count()
-        return out
+        # materialize and DECOUPLE from the tmp dir before the rmtree below:
+        # a cached plan can still recompute from the deleted path (eviction,
+        # re-plan); a driver-collected literal frame cannot, and nothing
+        # stays pinned in executor storage (rows here are a handful)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

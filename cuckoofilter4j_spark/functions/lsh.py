@@ -127,8 +127,8 @@ def cap_hot_buckets_adaptive(
         raise ValueError(f"quantile must be in (0, 1), got {quantile}")
     bcols = list(bucket_cols)
     sizes = df.groupBy(*bcols).agg(F.count("*").alias("__bsz")).persist()
-    q = sizes.approxQuantile("__bsz", [float(quantile)], float(relative_error))[0]
-    cap = max(int(min_cap), int(q))
+    qs = sizes.approxQuantile("__bsz", [float(quantile)], float(relative_error))
+    cap = max(int(min_cap), int(qs[0]) if qs else 0)  # [] on an empty corpus
     kept, drop_stats = cap_hot_buckets(
         df, bcols, id_col, cap, salt=salt, _sizes=sizes
     )

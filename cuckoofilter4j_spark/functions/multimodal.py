@@ -58,6 +58,30 @@ _FAKE_MAGIC = b"FAKEIMG1"
 _FAKE_AUDIO_MAGIC = b"FAKEPCM1"
 
 
+def _synth_pixels(media_id: int) -> tuple[int, int, np.ndarray]:
+    """The ONE deterministic pixel recipe shared by synth_media (fake
+    container) and synth_bmp (real BMP container) — the oracle formulas
+    (w = 8 + id % 24, h = 8 + 7·id % 24) and twin-equality tests depend on
+    both containers carrying identical pixels."""
+    rng = np.random.default_rng(media_id)
+    w, h = 8 + media_id % 24, 8 + (media_id * 7) % 24
+    return w, h, rng.integers(0, 256, size=w * h, dtype=np.uint8)
+
+
+def _synth_samples(media_id: int) -> tuple[int, np.ndarray]:
+    """The ONE deterministic sample recipe shared by synth_audio (fake PCM
+    container) and synth_wav (real RIFF/WAVE container): sr=8000,
+    n = 400 + (id % 32)·25, seeded sine + noise."""
+    rng = np.random.default_rng(media_id + 1_000_003)
+    sr = 8000
+    n = 400 + (media_id % 32) * 25
+    t = np.arange(n, dtype=np.float64)
+    freq = 100.0 + (media_id % 50) * 17.0
+    w = 8000.0 * np.sin(2 * np.pi * freq * t / sr)
+    w += rng.normal(0.0, 500.0, size=n)
+    return sr, np.clip(w, -32768, 32767).astype(np.int16)
+
+
 def synth_media(spark, rows: int = 256, num_partitions: int = 4) -> DataFrame:
     """Deterministic synthetic media table matching MEDIA_SCHEMA — payload is
     a fake format: magic + packed (w, h) + w*h grayscale bytes from a seeded
@@ -67,9 +91,7 @@ def synth_media(spark, rows: int = 256, num_partitions: int = 4) -> DataFrame:
         for pdf in batches:
             out = []
             for media_id in pdf["id"]:
-                rng = np.random.default_rng(int(media_id))
-                w, h = 8 + int(media_id) % 24, 8 + (int(media_id) * 7) % 24
-                pixels = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+                w, h, pixels = _synth_pixels(int(media_id))
                 payload = _FAKE_MAGIC + struct.pack("<II", w, h) + pixels.tobytes()
                 out.append(
                     dict(
@@ -99,14 +121,8 @@ def synth_audio(spark, rows: int = 128, num_partitions: int = 4) -> DataFrame:
             out = []
             for media_id in pdf["id"]:
                 mid = int(media_id)
-                rng = np.random.default_rng(mid + 1_000_003)
-                sr = 8000
-                n = 400 + (mid % 32) * 25
-                t = np.arange(n, dtype=np.float64)
-                freq = 100.0 + (mid % 50) * 17.0
-                wave = 8000.0 * np.sin(2 * np.pi * freq * t / sr)
-                wave += rng.normal(0.0, 500.0, size=n)
-                samples = np.clip(wave, -32768, 32767).astype(np.int16)
+                sr, samples = _synth_samples(mid)
+                n = samples.shape[0]
                 payload = (
                     _FAKE_AUDIO_MAGIC + struct.pack("<II", sr, n) + samples.tobytes()
                 )
@@ -196,9 +212,7 @@ def synth_bmp(spark, rows: int = 256, num_partitions: int = 4) -> DataFrame:
         for pdf in batches:
             out = []
             for media_id in pdf["id"]:
-                rng = np.random.default_rng(int(media_id))
-                w, h = 8 + int(media_id) % 24, 8 + (int(media_id) * 7) % 24
-                pixels = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+                w, h, pixels = _synth_pixels(int(media_id))
                 out.append(
                     dict(
                         media_id=int(media_id),
@@ -277,14 +291,8 @@ def synth_wav(spark, rows: int = 128, num_partitions: int = 4) -> DataFrame:
             out = []
             for media_id in pdf["id"]:
                 mid = int(media_id)
-                rng = np.random.default_rng(mid + 1_000_003)
-                sr = 8000
-                n = 400 + (mid % 32) * 25
-                t = np.arange(n, dtype=np.float64)
-                freq = 100.0 + (mid % 50) * 17.0
-                w = 8000.0 * np.sin(2 * np.pi * freq * t / sr)
-                w += rng.normal(0.0, 500.0, size=n)
-                samples = np.clip(w, -32768, 32767).astype(np.int16)
+                sr, samples = _synth_samples(mid)
+                n = samples.shape[0]
                 out.append(
                     dict(
                         media_id=mid,
@@ -331,13 +339,15 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                if fake:
-                    if not payload.startswith(_FAKE_AUDIO_MAGIC):
-                        raise ValueError("not a fake-PCM payload")
+                # fake payloads always decode (mixed corpora work on any
+                # host — same contract as decode_images)
+                if payload.startswith(_FAKE_AUDIO_MAGIC):
                     sr, n = struct.unpack_from("<II", payload, len(_FAKE_AUDIO_MAGIC))
                     samples = np.frombuffer(
                         payload, dtype="<i2", offset=len(_FAKE_AUDIO_MAGIC) + 8, count=n
                     )
+                elif fake:
+                    raise ValueError("fake=True but payload is not the fake format")
                 elif payload[:4] == b"RIFF":
                     sr, samples = _parse_wav(payload)
                     n = samples.shape[0]
@@ -354,8 +364,10 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                         sample_rate=int(sr),
                         n_samples=int(n),
                         duration_ms=int(n * 1000 / sr),
-                        rms=float(np.sqrt(np.mean(samples**2))),
-                        peak=int(np.max(np.abs(samples))),
+                        # a zero-sample WAV is valid: features are zeros,
+                        # never a numpy reduction error on an empty array
+                        rms=float(np.sqrt(np.mean(samples**2))) if n else 0.0,
+                        peak=int(np.max(np.abs(samples))) if n else 0,
                         zero_crossings=zc,
                         sample_sum=int(samples.sum()),
                     )
@@ -646,14 +658,16 @@ def sample_frames(df: DataFrame, every_n: int = 4, fake: bool = False) -> DataFr
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                if fake:
-                    if not payload.startswith(_FAKE_MAGIC):
-                        raise ValueError("fake=True but payload is not the fake format")
+                # fake payloads always frame-sample (mixed corpora work on
+                # any host — same contract as decode_images)
+                if payload.startswith(_FAKE_MAGIC):
                     w, h = struct.unpack_from("<II", payload, len(_FAKE_MAGIC))
                     px = np.frombuffer(
                         payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
                     ).reshape(h, w)
                     frames = [px[idx] for idx in range(h)]
+                elif fake:
+                    raise ValueError("fake=True but payload is not the fake format")
                 elif payload.startswith(_Y4M_MAGIC):
                     _w, _h, _fps, frames = _parse_y4m(payload)
                 else:

@@ -45,11 +45,16 @@ def prune_by_filter(
     """Keep only rows whose key MIGHT be in the filter (drops ≥(1-fpp) of
     true non-members, never a member). Scan-local: broadcast sketch +
     mapInArrow, zero shuffle — the plan shape pinned by test_plans."""
-    probe = might_contain_sharded if sharded else might_contain
     if sharded:
-        probed = probe(df, sketches, key_col, result_col=_PRUNE_COL)
+        if group_cols:
+            raise ValueError(
+                "group_cols is incompatible with sharded=True: a sharded "
+                "global filter routes by the shard hash, not by groups — "
+                "pass sharded=False for a grouped (per-group sketch) build"
+            )
+        probed = might_contain_sharded(df, sketches, key_col, result_col=_PRUNE_COL)
     else:
-        probed = probe(df, sketches, key_col, group_cols, result_col=_PRUNE_COL)
+        probed = might_contain(df, sketches, key_col, group_cols, result_col=_PRUNE_COL)
     return probed.filter(F.col(_PRUNE_COL)).drop(_PRUNE_COL)
 
 

@@ -71,8 +71,8 @@ def test_store_probe_prunes_partitions(spark, tmp_path):
     pf = partition_filters(out)
     assert any("__ivf_list" in f and f.strip() for f in pf), plan_string(out, "formatted")
     plan = plan_string(out, "simple")
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
 
 
 def test_store_missing_manifest_fails_loud(spark, tmp_path):

@@ -52,9 +52,11 @@ def test_compressed_formats_fail_loud(spark):
     png_ish = spark.createDataFrame(
         [(1, bytearray(b"\x89PNG\r\n\x1a\nfakebody"))], "media_id long, payload binary"
     )
-    with pytest.raises(Exception, match="Pillow"):
+    # without Pillow: our ValueError names the missing library; with Pillow
+    # importable: PIL raises "cannot identify image file" on the bogus body
+    with pytest.raises(Exception, match="Pillow|cannot identify image"):
         decode_images(png_ish, fake=False).collect()
-    with pytest.raises(Exception, match="Pillow"):
+    with pytest.raises(Exception, match="Pillow|cannot identify image"):
         resize_images(png_ish, fake=False).collect()
     mp4_ish = spark.createDataFrame(
         [(1, bytearray(b"\x00\x00\x00 ftypmp42body"))], "media_id long, payload binary"
@@ -197,3 +199,47 @@ def test_audio_wav_multichannel_and_unknown_format(spark):
     bad = spark.createDataFrame([(1, bytearray(b"ID3\x03mp3data"))], "media_id long, payload binary")
     with pytest.raises(Exception, match="unsupported audio format"):
         extract_audio_features(bad, fake=False).collect()
+
+
+def test_audio_mixed_corpus_and_zero_samples(spark):
+    """Mixed fake-PCM + real-WAV corpora decode in ONE fake=False pass
+    (same contract as images), and a valid zero-sample WAV yields zero
+    features instead of a numpy reduction error."""
+    import numpy as np
+
+    from cuckoofilter4j_spark.functions import (
+        extract_audio_features,
+        synth_audio,
+        synth_wav,
+    )
+    from cuckoofilter4j_spark.functions.multimodal import _wav_bytes
+
+    mixed = synth_audio(spark, rows=4).unionByName(synth_wav(spark, rows=4))
+    got = extract_audio_features(mixed, fake=False).collect()
+    assert len(got) == 8 and all(r["sample_rate"] == 8000 for r in got)
+
+    empty = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(8000, np.array([], dtype=np.int16))))],
+        "media_id long, payload binary",
+    )
+    r = extract_audio_features(empty, fake=False).collect()[0]
+    assert (r["n_samples"], r["rms"], r["peak"], r["zero_crossings"], r["sample_sum"]) == (0, 0.0, 0, 0, 0)
+
+
+def test_video_mixed_fake_and_y4m(spark):
+    """Fake-video rows and real y4m rows frame-sample in one fake=False
+    pass; an empty LSH corpus through the adaptive cap returns empty."""
+    from cuckoofilter4j_spark.functions import cap_hot_buckets_adaptive, synth_y4m
+
+    fake_vid = synth_media(spark, rows=3)
+    y4m = synth_y4m(spark, rows=3)
+    mixed = fake_vid.unionByName(y4m)
+    got = sample_frames(mixed, every_n=2, fake=False)
+    assert got.select("media_id").distinct().count() == 3  # ids 0-2 overlap
+    assert got.count() > 0
+
+    empty = spark.createDataFrame([], "id long, bucket string")
+    kept, stats, cap = cap_hot_buckets_adaptive(empty, ["bucket"], "id", min_cap=4)
+    assert cap == 4 and kept.count() == 0
+    s = stats.collect()[0]
+    assert s["hot_buckets"] == 0 and s["dropped_rows"] == 0
