@@ -340,7 +340,7 @@ def _probe_sharded_stacked(
     sort-and-loop over up to S tiny groups that dominated the routed probe
     (an Arrow batch of 10k rows over 512 shards means ~20-row group calls).
     """
-    import uuid
+    import hashlib
 
     import pyarrow as pa
 
@@ -356,7 +356,18 @@ def _probe_sharded_stacked(
         df.schema.fields + [StructField(result_col, out_type, False)]
     )
     bc = df.sparkSession.sparkContext.broadcast(dict(smap))
-    token = uuid.uuid4().hex
+    # cache token = CONTENT digest (driver-side, once per probe call), not a
+    # per-plan uuid: repeated probes against the same sharded filter — the
+    # probe-many pattern — reuse the worker's stacked table instead of
+    # re-unpacking S shard blobs per plan (measured 2.8 s single-threaded
+    # for a 268 MB stack at 121.6M keys; at 16 workers the concurrent
+    # rebuilds are bandwidth-contended and dominated short probe windows)
+    digest = hashlib.blake2b(digest_size=16)
+    digest.update(f"S={num_shards};mode=stacked".encode())
+    for sh in sorted(s for (s,) in smap):
+        digest.update(str(sh).encode())
+        digest.update(smap[(sh,)])
+    token = digest.hexdigest()
     key_idx = df.columns.index(key_col)
     S = int(num_shards)
     mode_ = mode
@@ -551,6 +562,50 @@ def might_contain_cogroup(
         return out
 
     return left.cogroup(right).applyInPandas(probe, out_schema)
+
+
+def might_contain_sharded_cogroup(
+    df: DataFrame,
+    sketches: DataFrame,
+    key_col: str = "key",
+    result_col: str = "might_contain",
+    num_shards: Optional[int] = None,
+) -> DataFrame:
+    """Sharded membership probe via cogroup routing — the scale path when
+    the broadcast-stacked table outgrows per-worker cache/bandwidth.
+
+    The broadcast probe (`might_contain_sharded`) replicates the FULL
+    S-shard stacked table in every Python worker: aggregate working set
+    grows as workers × total filter size, and past a few hundred MB the
+    random-access gathers go memory-bandwidth-bound (measured on local[16]
+    at a 268 MB stack). Here keys shuffle ONCE on the shard hash and each
+    task probes only its own shard's table — a few MB, cache-resident,
+    constant per-task working set no matter how large S or the total
+    filter grows. Prefer the broadcast probe while the stack is small (it
+    has zero shuffle); switch to this one when the filter is huge.
+
+    Per-key results are identical to `might_contain_sharded` (same routing
+    hash, same shard tables; keys routed to an empty shard probe False)."""
+    from cuckoofilter4j_spark.operators.build import (
+        NUM_SHARDS_COL,
+        SHARD_COL,
+        shard_column,
+    )
+
+    if num_shards is None:
+        if NUM_SHARDS_COL not in sketches.columns:
+            raise ValueError(
+                "cannot determine the shard modulus: pass num_shards= or probe "
+                "sketches built by build_filter_sharded*"
+            )
+        row = sketches.select(F.min(NUM_SHARDS_COL), F.max(NUM_SHARDS_COL)).first()
+        if row[0] != row[1]:
+            raise ValueError(f"inconsistent {NUM_SHARDS_COL} values {row[0]}..{row[1]}")
+        num_shards = int(row[0])
+    routed = df.withColumn(SHARD_COL, shard_column(key_col, int(num_shards)))
+    sk = sketches.drop(NUM_SHARDS_COL) if NUM_SHARDS_COL in sketches.columns else sketches
+    probed = might_contain_cogroup(routed, sk, key_col, [SHARD_COL], result_col)
+    return probed.drop(SHARD_COL)
 
 
 def register_probe_udf(

@@ -250,3 +250,35 @@ def test_stacked_probe_sees_victim_cache_entries(spark):
     gotc = {bytes(r["key"]): r["c"] for r in outc.collect()}
     for i, k in enumerate(probe_keys):
         assert gotc[k] == int(kc[i])
+
+
+def test_sharded_cogroup_probe_matches_broadcast(spark):
+    """The cogroup-routed sharded probe (the beyond-broadcast scale path)
+    returns per-key results identical to the broadcast-stacked probe,
+    including keys routed to empty shards."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.operators import (
+        build_filter_sharded,
+        might_contain_sharded,
+        might_contain_sharded_cogroup,
+        sha256_key,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select("doc_id", sha256_key("text").alias("key")).filter(
+        F.col("doc_id") < 60
+    )
+    sk = build_filter_sharded(keyed, "key", num_shards=64, max_keys=256, fpp=0.01, seed=42)
+    probes = keyed.unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            sha256_key(F.concat("text", F.lit("_nope_"))).alias("key"),
+        ).filter(F.col("doc_id") < 100060)
+    )
+    a = {r["doc_id"]: r["might_contain"]
+         for r in might_contain_sharded(probes, sk, "key").collect()}
+    b = {r["doc_id"]: r["might_contain"]
+         for r in might_contain_sharded_cogroup(probes, sk, "key").collect()}
+    assert a == b and len(a) == 120
+    assert all(a[d] for d in a if d < 60)  # zero false negatives

@@ -1,0 +1,117 @@
+"""Probe-throughput scaling evidence (supplementary to bench.py's insert
+scaling): build a sharded global filter ONCE, persist it through the sketch
+store, then probe the same staged keys from FRESH processes at two
+parallelism levels — the read-side analog of the north rule's two-cluster
+criterion. Probes are broadcast + mapInArrow with zero shuffle, so they
+should scale near-linearly with cores.
+
+Usage:
+    python tools/probe_scaling.py            # orchestrates build + 4 vs 16
+    python tools/probe_scaling.py --probe-child <cores> <store> <stage>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROWS = int(os.environ.get("SPARK_GRAFT_PROBE_ROWS", "30400000"))
+SHARDS = 64
+CORES = (4, 16)
+STAGE = f"/tmp/ckf_scale_keys_{ROWS}"
+STORE = f"/tmp/ckf_probe_store_{ROWS}"
+
+
+def _session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(4 * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .appName("ckf-probe-scaling")
+        .getOrCreate()
+    )
+
+
+def probe_child(cores: int, store: str, stage: str) -> None:
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.operators import might_contain_sharded
+    from cuckoofilter4j_spark.sources import load_sketches
+
+    spark = _session(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    sk = load_sketches(spark, store, expect_seed=42)
+    keys = spark.read.parquet(stage)
+    n = keys.count()  # warm the scan + page cache before timing the probe
+    # warmup: fork the Python workers + import numpy outside the timed window
+    might_contain_sharded(keys.sample(0.002, seed=1), sk, "key").filter("might_contain").count()
+    t0 = time.perf_counter()
+    found = might_contain_sharded(keys, sk, "key").filter("might_contain").count()
+    dt = time.perf_counter() - t0
+    assert found == n, f"false negatives: {found} != {n}"
+    print(json.dumps({"cores": cores, "rows": n, "sec": round(dt, 3),
+                      "probes_per_sec": round(n / dt, 1)}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--probe-child":
+        probe_child(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        return
+
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.operators import build_filter_sharded
+    from cuckoofilter4j_spark.sources import save_sketches
+
+    spark = _session(max(CORES))
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(os.path.join(STAGE, "_SUCCESS")):
+        from cuckoofilter4j_spark.operators import sha256_key
+        from cuckoofilter4j_spark.sources import source_files
+
+        src = source_files(spark, rows=ROWS, num_partitions=128)
+        src.select(sha256_key("content").alias("key")).write.mode("overwrite").parquet(STAGE)
+    keys = spark.read.parquet(STAGE)
+    sk = build_filter_sharded(
+        keys, "key", num_shards=SHARDS, max_keys=ROWS, fpp=0.01, seed=42,
+        sizing="paper",
+    )
+    save_sketches(sk, STORE, group_cols=["__ckf_shard"])
+    spark.stop()
+
+    best = {}
+    for rep in range(2):
+        for cores in CORES:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--probe-child",
+                 str(cores), STORE, STAGE],
+                capture_output=True, text=True,
+            )
+            lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                print("child failed:", proc.stderr[-500:], file=sys.stderr)
+                continue
+            run = json.loads(lines[-1])
+            if cores not in best or run["probes_per_sec"] > best[cores]["probes_per_sec"]:
+                best[cores] = run
+    lo, hi = CORES
+    eff = best[hi]["probes_per_sec"] / ((hi / lo) * best[lo]["probes_per_sec"])
+    print(json.dumps({
+        "metric": "sharded probe throughput scaling",
+        "rows": ROWS,
+        f"probes_per_sec_local{lo}": best[lo]["probes_per_sec"],
+        f"probes_per_sec_local{hi}": best[hi]["probes_per_sec"],
+        f"scaling_efficiency_{lo}_to_{hi}": round(min(eff, 1.0), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
