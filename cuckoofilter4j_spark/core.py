@@ -32,9 +32,22 @@ from __future__ import annotations
 
 import math
 import struct
-from typing import Iterable, Optional, Sequence, Tuple, Union
+from typing import Iterable, NamedTuple, Optional, Sequence, Tuple, Union
 
 import numpy as np
+
+
+class FilterHeader(NamedTuple):
+    """Cheap header-only view of a serialized filter (see
+    CuckooFilter.read_header): the params plan-time validation needs,
+    without decoding the packed table."""
+
+    num_buckets: int
+    tag_bits: int
+    seed: int
+    hash_algo: str
+    count: int
+    has_victim: bool
 
 # ---------------------------------------------------------------------------
 # Constants (mirroring CuckooFilter.java:118-123)
@@ -1070,6 +1083,31 @@ class CuckooFilter:
         )
         algo = bytes([HASH_ALGOS.index(self.hash_algo)])
         return hdr + algo + _pack_bits(self.table, self.tag_bits)
+
+    @classmethod
+    def read_header(cls, data: bytes) -> "FilterHeader":
+        """Parse ONLY the fixed header + algo byte — no `_unpack_bits` over
+        the table. Plan-time param checks (`_stacked_ok`, `pruned_join`
+        validation) need just (num_buckets, tag_bits, seed, hash_algo); a
+        full `from_bytes` would decode the entire packed table on the
+        driver — ~268 MB of work per probe plan at 121.6M keys / 64 shards
+        — for a four-field comparison. Cost here is O(1) per blob."""
+        hdr = cls._HDR.unpack_from(data, 0)
+        (magic, _ver, tag_bits, num_buckets, seed, count, itemsize,
+         has_victim, _v1, _v2, _vt) = hdr
+        if magic != MAGIC:
+            raise ValueError("bad sketch bytes: wrong magic")
+        if _ver < 3:
+            raise ValueError(
+                f"sketch codec ver={_ver} predates the width-invariant hash "
+                "(hash-incompatible fingerprints) — rebuild the filter; only "
+                "ver>=3 blobs deserialize"
+            )
+        hash_algo = HASH_ALGOS[data[cls._HDR.size]]
+        return FilterHeader(
+            num_buckets=num_buckets, tag_bits=tag_bits, seed=seed & _M64,
+            hash_algo=hash_algo, count=count, has_victim=bool(has_victim),
+        )
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CuckooFilter":

@@ -31,11 +31,16 @@ from cuckoofilter4j_spark.operators.probe import might_contain_sharded
 def _ngram_keys(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, key) for every k-char shingle — explode POSITIONS + codegen'd
     substr (the shingles() transform() lambda is interpreted per char; this
-    stays inside whole-stage codegen, same shape as minhash_signature)."""
+    stays inside whole-stage codegen, same shape as minhash_signature).
+
+    NULL text coalesces to '' so every document still yields one probe row
+    (the empty shingle): sequence/explode would otherwise DROP null-text
+    rows entirely, and a decontamination gate keyed on the report would
+    pass those documents unchecked (ADVICE r3)."""
     return (
         df.select(
             F.col(id_col).alias("id"),
-            F.col(text_col).alias("__t"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
             F.explode(
                 F.sequence(
                     F.lit(1),

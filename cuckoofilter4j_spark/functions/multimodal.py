@@ -266,6 +266,13 @@ def _parse_wav(payload: bytes) -> tuple[int, np.ndarray]:
                     f"unsupported WAV encoding (fmt={fmt_tag}, bits={bits}): "
                     "only PCM16 decodes without an external codec"
                 )
+            if n_ch < 1 or sr <= 0:
+                # a corrupt fmt chunk (0 channels / 0 rate) would otherwise
+                # fall through the `n_ch > 1` branch and decode as mono
+                raise ValueError(
+                    f"corrupt WAV fmt chunk (channels={n_ch}, rate={sr}): "
+                    "channels must be >=1 and sample rate >0"
+                )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned

@@ -603,11 +603,18 @@ def ivf_probe(
     a partition-pruning predicate, so each query batch READS only
     n_probe/n_lists of the index (sources/ivf_store.py)."""
     q_rows = queries.select(query_id_col, query_vec_col).collect()
-    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
-    sims = q_mat @ np.asarray(centroids, dtype=np.float64).T
-    n_probe = min(n_probe, sims.shape[1])
-    probe_lists = np.argsort(-sims, axis=1)[:, :n_probe]
+    if q_rows:
+        q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+        q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+        sims = q_mat @ np.asarray(centroids, dtype=np.float64).T
+        n_probe = min(n_probe, sims.shape[1])
+        probe_lists = np.argsort(-sims, axis=1)[:, :n_probe]
+    else:
+        # empty query set: skip the matmul (norm over a 1-D empty array
+        # raises an AxisError) and flow an empty probe set through the
+        # same plan, yielding an empty result with the normal schema
+        n_probe = 0
+        probe_lists = np.zeros((0, 0), dtype=np.int64)
     spark = assigned.sparkSession
     # preserve the caller's query-id / vector types (a string or int query id
     # must survive — hardcoded DDL broke non-bigint ids, ADVICE r2)

@@ -41,10 +41,15 @@ def prune_by_filter(
     key_col: str = "key",
     group_cols: Optional[Sequence[str]] = None,
     sharded: bool = False,
+    num_shards: Optional[int] = None,
 ) -> DataFrame:
     """Keep only rows whose key MIGHT be in the filter (drops ≥(1-fpp) of
     true non-members, never a member). Scan-local: broadcast sketch +
-    mapInArrow, zero shuffle — the plan shape pinned by test_plans."""
+    mapInArrow, zero shuffle — the plan shape pinned by test_plans.
+
+    `num_shards` (sharded=True only): the shard modulus, required when
+    `sketches` is a pre-collected {(shard,): bytes} dict; optional for
+    sketch DataFrames (read from their stamped column)."""
     if sharded:
         if group_cols:
             raise ValueError(
@@ -52,7 +57,9 @@ def prune_by_filter(
                 "global filter routes by the shard hash, not by groups — "
                 "pass sharded=False for a grouped (per-group sketch) build"
             )
-        probed = might_contain_sharded(df, sketches, key_col, result_col=_PRUNE_COL)
+        probed = might_contain_sharded(
+            df, sketches, key_col, result_col=_PRUNE_COL, num_shards=num_shards
+        )
     else:
         probed = might_contain(df, sketches, key_col, group_cols, result_col=_PRUNE_COL)
     return probed.filter(F.col(_PRUNE_COL)).drop(_PRUNE_COL)
@@ -67,6 +74,7 @@ def pruned_join(
     how: str = "inner",
     sharded: bool = True,
     group_cols: Optional[Sequence[str]] = None,
+    num_shards: Optional[int] = None,
 ) -> DataFrame:
     """Exact join with the big side pre-pruned by a cuckoo filter built
     over the small side's keys (`sketches` from build_filter_sharded, or a
@@ -85,5 +93,7 @@ def pruned_join(
             "non-members would corrupt outer/anti results (an anti join's "
             "output is exactly the rows the filter drops)"
         )
-    survivors = prune_by_filter(big, sketches, key_col, group_cols, sharded=sharded)
+    survivors = prune_by_filter(
+        big, sketches, key_col, group_cols, sharded=sharded, num_shards=num_shards
+    )
     return survivors.join(small, on, how)

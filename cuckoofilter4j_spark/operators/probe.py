@@ -9,6 +9,8 @@ no per-row Python, one sketch-dict lookup per (group × Arrow batch).
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
 from typing import Dict, Iterable, Optional, Sequence, Tuple
 
 import numpy as np
@@ -290,35 +292,60 @@ def _resolve_sharded(sketches, num_shards: Optional[int]):
     return smap, num_shards
 
 
-# worker-process cache of stacked shard tables, keyed by a plan-time token
+# worker-process cache of stacked shard tables, keyed by a content token
 # (python workers are reused, so the S-way sketch decode happens once per
-# worker, not once per task). Bounded: a long-lived worker serving many
-# distinct probe plans would otherwise accumulate one (S, nb, 4) array per
-# plan.
-_STACKED_CACHE: Dict[str, tuple] = {}
-_STACKED_CACHE_MAX = 4
+# worker, not once per task). Byte-bounded LRU, not count-bounded: entry
+# sizes span orders of magnitude (a test filter is KBs, a 121.6M-key stack
+# is ~268 MB), so "4 entries" could mean anywhere from ~1 MB to ~1 GB per
+# worker × N workers per host. Budget via CKF_STACKED_CACHE_BYTES (default
+# 1 GiB per worker process); hits move-to-end, eviction pops oldest.
+_STACKED_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
+_STACKED_CACHE_BUDGET = int(
+    os.environ.get("CKF_STACKED_CACHE_BYTES", str(1 << 30))
+)
+_STACKED_CACHE_BYTES = 0  # running total of cached entry sizes
+
+
+def _entry_nbytes(entry: tuple) -> int:
+    return sum(getattr(x, "nbytes", 0) for x in entry)
 
 
 def _stacked_cache_get(token: str, builder):
-    if token not in _STACKED_CACHE:
-        while len(_STACKED_CACHE) >= _STACKED_CACHE_MAX:
-            _STACKED_CACHE.pop(next(iter(_STACKED_CACHE)))
-        _STACKED_CACHE[token] = builder()
-    return _STACKED_CACHE[token]
+    global _STACKED_CACHE_BYTES
+    hit = _STACKED_CACHE.get(token)
+    if hit is not None:
+        _STACKED_CACHE.move_to_end(token)
+        return hit[0]
+    entry = builder()
+    nb = _entry_nbytes(entry)
+    # evict least-recently-used until the new entry fits; an entry larger
+    # than the whole budget still caches alone (it is live right now, and
+    # re-probes of the same filter are the common pattern)
+    while _STACKED_CACHE and _STACKED_CACHE_BYTES + nb > _STACKED_CACHE_BUDGET:
+        _, (_old, old_nb) = _STACKED_CACHE.popitem(last=False)
+        _STACKED_CACHE_BYTES -= old_nb
+    _STACKED_CACHE[token] = (entry, nb)
+    _STACKED_CACHE_BYTES += nb
+    return entry
 
 
 def _stacked_ok(smap: Dict[tuple, bytes]) -> bool:
     """Stacked probing requires every shard filter to share
     (num_buckets, tag_bits, seed, hash_algo) — true for every
-    build_filter_sharded* output (they size all shards identically)."""
+    build_filter_sharded* output (they size all shards identically).
+
+    Header-only: uses CuckooFilter.read_header (fixed struct + algo byte),
+    NOT from_bytes — the latter bit-unpacks the whole table, which at
+    121.6M keys / 64 shards is a ~268 MB driver-side decode on EVERY probe
+    plan. Plan-time cost here is O(S) header reads."""
     from cuckoofilter4j_spark.core import CuckooFilter
 
     if not smap:
         return False
     params = set()
     for blob in smap.values():
-        f = CuckooFilter.from_bytes(blob)
-        params.add((f.num_buckets, f.tag_bits, f.seed, f.hash_algo))
+        h = CuckooFilter.read_header(blob)
+        params.add((h.num_buckets, h.tag_bits, h.seed, h.hash_algo))
         if len(params) > 1:
             return False
     return True
@@ -517,6 +544,11 @@ def delete_keys_sharded(
                 "sketches built by build_filter_sharded*"
             )
         row = sketches.select(F.min(NUM_SHARDS_COL), F.max(NUM_SHARDS_COL)).first()
+        if row[0] is None:
+            raise ValueError(
+                "sketches DataFrame is empty — cannot determine the shard "
+                "modulus; pass num_shards= explicitly"
+            )
         if row[0] != row[1]:
             raise ValueError(f"inconsistent {NUM_SHARDS_COL} values {row[0]}..{row[1]}")
         num_shards = int(row[0])
@@ -599,6 +631,11 @@ def might_contain_sharded_cogroup(
                 "sketches built by build_filter_sharded*"
             )
         row = sketches.select(F.min(NUM_SHARDS_COL), F.max(NUM_SHARDS_COL)).first()
+        if row[0] is None:
+            raise ValueError(
+                "sketches DataFrame is empty — cannot determine the shard "
+                "modulus; pass num_shards= explicitly"
+            )
         if row[0] != row[1]:
             raise ValueError(f"inconsistent {NUM_SHARDS_COL} values {row[0]}..{row[1]}")
         num_shards = int(row[0])

@@ -1,0 +1,241 @@
+"""Round-4 hardening tests:
+
+- probe PLANNING is header-only (no driver-side table unpacking — verdict r3 #1)
+- the stacked worker cache is byte-bounded LRU (verdict r3 #2)
+- empty-sketches inputs raise descriptive errors (ADVICE r3)
+- ivf_probe with an empty query set returns an empty result (ADVICE r3)
+- corrupt WAV fmt chunks (0 channels / 0 rate) raise instead of mis-decoding
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.operators import (
+    build_filter_sharded,
+    delete_keys_sharded,
+    might_contain_sharded,
+    might_contain_sharded_cogroup,
+    sha256_key,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def few_keys(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = (
+        li.select(
+            sha256_key(F.concat_ws("|", "l_orderkey", "l_linenumber")).alias("key")
+        )
+        .distinct()
+        .limit(200)
+        .cache()
+    )
+    df.count()
+    return df
+
+
+# ---------------------------------------------------------------------------
+# verdict r3 #1 — header-only probe planning
+# ---------------------------------------------------------------------------
+def test_read_header_matches_full_decode():
+    from cuckoofilter4j_spark.core import CuckooFilter
+
+    f = CuckooFilter(num_buckets=64, tag_bits=10, seed=7, hash_algo="xxhash64")
+    for i in range(50):
+        assert f.put(b"key%d" % i)
+    blob = f.to_bytes()
+    h = CuckooFilter.read_header(blob)
+    assert (h.num_buckets, h.tag_bits, h.seed, h.hash_algo, h.count) == (
+        f.num_buckets, f.tag_bits, f.seed, f.hash_algo, f.count
+    )
+    assert h.has_victim == f.has_victim
+
+
+def test_read_header_rejects_bad_magic_and_old_versions():
+    from cuckoofilter4j_spark.core import CuckooFilter
+
+    f = CuckooFilter(num_buckets=8, tag_bits=8, seed=1)
+    blob = bytearray(f.to_bytes())
+    with pytest.raises(ValueError, match="magic"):
+        CuckooFilter.read_header(b"XXXX" + bytes(blob[4:]))
+    blob[4] = 2  # ver byte
+    with pytest.raises(ValueError, match="ver=2"):
+        CuckooFilter.read_header(bytes(blob))
+
+
+def test_probe_planning_never_unpacks_tables(spark, few_keys, monkeypatch):
+    """Plan construction for every sharded probe path (might_contain,
+    approx_count, pruned_join) must not run _unpack_bits on the driver:
+    _stacked_ok compares header params only. The worker-side decode is
+    unaffected (separate processes)."""
+    import cuckoofilter4j_spark.core as core
+    from cuckoofilter4j_spark.operators import approx_count_sharded
+    from cuckoofilter4j_spark.operators.join import pruned_join
+    from cuckoofilter4j_spark.operators.probe import _resolve_sharded
+
+    n = few_keys.count()
+    sk = build_filter_sharded(
+        few_keys, "key", num_shards=8, max_keys=max(n, 256), seed=42
+    )
+    smap, S = _resolve_sharded(sk, None)  # driver collect happens here
+    small = few_keys.limit(20).withColumn("flag", F.lit(1))
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "probe planning decoded a full filter table on the driver"
+        )
+
+    monkeypatch.setattr(core, "_unpack_bits", boom)
+    plan_mc = might_contain_sharded(few_keys, smap, "key", num_shards=S)
+    plan_cnt = approx_count_sharded(few_keys, smap, "key", num_shards=S)
+    plan_join = pruned_join(
+        few_keys, small, "key", smap, key_col="key", num_shards=S
+    )
+    monkeypatch.undo()
+    assert plan_mc.filter(~F.col("might_contain")).count() == 0
+    assert plan_cnt.filter(F.col("approx_count") < 1).count() == 0
+    assert plan_join.count() == 20
+
+
+# ---------------------------------------------------------------------------
+# verdict r3 #2 — byte-bounded LRU stacked cache
+# ---------------------------------------------------------------------------
+def _builder(log, name, nbytes):
+    def build():
+        log.append(name)
+        return (np.zeros(nbytes, dtype=np.uint8),)
+
+    return build
+
+
+@pytest.fixture()
+def clean_cache():
+    from cuckoofilter4j_spark.operators import probe as P
+
+    saved_budget = P._STACKED_CACHE_BUDGET
+    P._STACKED_CACHE.clear()
+    P._STACKED_CACHE_BYTES = 0
+    yield P
+    P._STACKED_CACHE_BUDGET = saved_budget
+    P._STACKED_CACHE.clear()
+    P._STACKED_CACHE_BYTES = 0
+
+
+def test_stacked_cache_evicts_by_bytes_lru(clean_cache):
+    P = clean_cache
+    P._STACKED_CACHE_BUDGET = 1000
+    log = []
+    P._stacked_cache_get("a", _builder(log, "a", 400))
+    P._stacked_cache_get("b", _builder(log, "b", 400))
+    # hit on "a" must NOT rebuild and must refresh recency
+    P._stacked_cache_get("a", _builder(log, "a-rebuild", 400))
+    assert log == ["a", "b"]
+    # inserting "c" (400 B) overflows 1000 → evicts LRU ("b"), keeps hot "a"
+    P._stacked_cache_get("c", _builder(log, "c", 400))
+    assert "b" not in P._STACKED_CACHE
+    assert "a" in P._STACKED_CACHE and "c" in P._STACKED_CACHE
+    assert P._STACKED_CACHE_BYTES == 800
+
+
+def test_stacked_cache_eviction_scales_with_entry_size(clean_cache):
+    """A small entry evicts nothing a big entry wouldn't: sizes differ by
+    orders of magnitude, so the bound must be bytes, not a count."""
+    P = clean_cache
+    P._STACKED_CACHE_BUDGET = 10_000
+    log = []
+    for i in range(50):  # 50 tiny entries all fit (50 × 100 B)
+        P._stacked_cache_get(f"tiny{i}", _builder(log, f"tiny{i}", 100))
+    assert len(P._STACKED_CACHE) == 50
+    # one 9 KB entry forces out enough tiny ones to fit
+    P._stacked_cache_get("big", _builder(log, "big", 9_000))
+    assert "big" in P._STACKED_CACHE
+    assert P._STACKED_CACHE_BYTES <= 10_000
+    assert "tiny49" in P._STACKED_CACHE  # most-recent tiny survives
+
+
+def test_stacked_cache_oversized_entry_still_caches(clean_cache):
+    P = clean_cache
+    P._STACKED_CACHE_BUDGET = 1000
+    log = []
+    P._stacked_cache_get("huge", _builder(log, "huge", 5000))
+    assert "huge" in P._STACKED_CACHE and P._STACKED_CACHE_BYTES == 5000
+    # re-probe reuses it — the common probe-many pattern
+    P._stacked_cache_get("huge", _builder(log, "huge-rebuild", 5000))
+    assert log == ["huge"]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 — empty-input diagnostics
+# ---------------------------------------------------------------------------
+def test_empty_sketches_raise_descriptive_errors(spark):
+    empty_sk = spark.createDataFrame(
+        [], "__ckf_shard int, sketch binary, num_shards int"
+    )
+    probes = spark.createDataFrame([(b"x",)], "key binary")
+    with pytest.raises(ValueError, match="empty"):
+        might_contain_sharded_cogroup(probes, empty_sk, "key")
+    with pytest.raises(ValueError, match="empty"):
+        delete_keys_sharded(empty_sk, probes, "key")
+
+
+def test_ivf_probe_empty_queries_returns_empty(spark):
+    from cuckoofilter4j_spark.functions.similarity import ivf_topk
+
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    empty_q = spark.createDataFrame([], "query_id long, query_vec array<float>")
+    out = ivf_topk(corpus, empty_q, k=5, n_lists=4, n_probe=2)
+    assert out.count() == 0
+    assert set(["query_id", "vec_id", "cosine", "rank"]).issubset(out.columns)
+
+
+def test_contamination_reports_null_text_rows(spark):
+    """Eval rows with NULL text must still appear in the report (coalesced
+    to the empty shingle) — otherwise a gate keyed on the report passes
+    them unchecked."""
+    from cuckoofilter4j_spark.functions.contamination import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(i, f"training document body number {i} with ample length") for i in range(20)],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "training document body number 3 with ample length"),
+         (101, None),
+         (102, "completely unrelated fresh content nothing shared here")],
+        "doc_id long, text string",
+    )
+    rep = ngram_contamination(train, eval_df, "text", "doc_id", shingle_k=8,
+                              num_shards=4, max_keys=4096)
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    assert set(rows) == {100, 101, 102}
+    assert rows[100]["contaminated"]
+    assert rows[101]["n_ngrams"] >= 1  # the null-text row is present
+
+
+def test_wav_corrupt_fmt_chunk_raises():
+    import struct
+
+    from cuckoofilter4j_spark.functions.multimodal import _parse_wav, _wav_bytes
+
+    good = _wav_bytes(8000, np.arange(64, dtype=np.int16))
+    # zero the channel count inside the fmt chunk (offset 12+8+2 = 22)
+    bad_ch = bytearray(good)
+    struct.pack_into("<H", bad_ch, 22, 0)
+    with pytest.raises(ValueError, match="channels=0"):
+        _parse_wav(bytes(bad_ch))
+    # zero the sample rate (offset 24)
+    bad_sr = bytearray(good)
+    struct.pack_into("<I", bad_sr, 24, 0)
+    with pytest.raises(ValueError, match="rate=0"):
+        _parse_wav(bytes(bad_sr))
+    # the untouched payload still decodes
+    sr, samples = _parse_wav(good)
+    assert sr == 8000 and samples.shape[0] == 64

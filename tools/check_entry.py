@@ -47,10 +47,16 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    print(
+        f"registry: {len(qs)} queries, {len(oracles)} oracle-checked, "
+        f"{len(set(qs) - set(oracles))} rows-only"
+    )
     failures = 0
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, SF_DIR)
             cols = sorted(sdf.columns)
@@ -91,6 +97,7 @@ def main():
     if not only:
         n = E.entry(spark).count()
         print(f"ok   entry(): {n} rows")
+    print(f"{checked} queries verified, {failures} failures")
     spark.stop()
     sys.exit(1 if failures else 0)
 
