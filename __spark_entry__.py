@@ -510,6 +510,22 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(e1.unionByName(e2)).select("id", "cluster_id")
 
 
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components (functions/cluster.py,
+    Kiveris et al. SoCC'14) on a planted HIGH-DIAMETER graph: one chain
+    doc_id→doc_id+1 over the first 200 documents (diameter 199 — min-label
+    propagation would need ~199 rounds; star contraction converges in
+    O(log² n) regardless of diameter). Every node must land on the chain
+    minimum, doc_id 0."""
+    from cuckoofilter4j_spark.functions import dup_clusters as _dc
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 199)
+    chain = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return _dc(chain, algorithm="star").select("id", "cluster_id")
+
+
 def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination check (functions/contamination.py): a cuckoo
     filter over the training corpus's distinct 8-grams, probed by an eval
@@ -536,6 +552,44 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = ngram_contamination(
         train, copies.unionByName(clean), "text", "doc_id",
         shingle_k=8, threshold=0.5, fpp=0.01,
+    )
+    return rep.select("doc_id", "contaminated")
+
+
+def q_ngram_contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-unit contamination (unit='token', 5-token word-grams — the
+    GPT/PaLM-style decontamination shape, functions/contamination.py).
+    Eval = 20 copies with DOUBLED inter-word spaces (char shingles would
+    miss them; whitespace-token 5-grams match exactly → contaminated TRUE
+    via the zero-false-negative guarantee) + 20 clean docs over a sentinel
+    vocabulary ('zq<i>x<j>' tokens) disjoint from the word corpus
+    (hit_frac ~ fpp, P[≥ 0.5] astronomically small — deterministic in
+    practice, same concentration argument as the char variant)."""
+    from cuckoofilter4j_spark.functions import ngram_contamination
+
+    train = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = train.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.regexp_replace("text", " ", "  ").alias("text"),
+    )
+    clean = spark.range(20).select(
+        (F.col("id") + 40000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda j: F.concat(
+                    F.lit("zq"),
+                    F.col("id").cast("string"),
+                    F.lit("x"),
+                    j.cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    rep = ngram_contamination(
+        train, copies.unionByName(clean), "text", "doc_id",
+        shingle_k=5, threshold=0.5, fpp=0.01, unit="token",
     )
     return rep.select("doc_id", "contaminated")
 
@@ -1041,7 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
+        "dup_clusters_star": q_dup_clusters_star,
         "ngram_contamination": q_ngram_contamination,
+        "ngram_contamination_tokens": q_ngram_contamination_tokens,
         "ann_topk": q_ann_topk,
         "ann_topk_vectorized": q_ann_topk_vectorized,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1201,6 +1257,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(range + 40000 AS BIGINT) AS doc_id, FALSE AS contaminated
             FROM range(20)
+        """,
+        "ngram_contamination_tokens": """
+            SELECT doc_id + 30000 AS doc_id, TRUE AS contaminated
+            FROM documents WHERE doc_id < 20
+            UNION ALL
+            SELECT CAST(range + 40000 AS BIGINT) AS doc_id, FALSE AS contaminated
+            FROM range(20)
+        """,
+        "dup_clusters_star": """
+            SELECT doc_id AS id, CAST(0 AS BIGINT) AS cluster_id
+            FROM documents WHERE doc_id < 200
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec

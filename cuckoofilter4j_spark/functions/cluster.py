@@ -25,11 +25,26 @@ from typing import Optional, Tuple
 from pyspark.sql import DataFrame, functions as F
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize and CUT the logical plan (checkpoint to the session's
+    checkpoint dir when one is set, else localCheckpoint). Iterative
+    algorithms must re-plan against a leaf relation each round: persist()
+    caches data but Catalyst still re-analyzes the full compounding plan,
+    which grows ~5× per round until the DRIVER heap, not the data, is the
+    bottleneck (observed at <1k edges by round ~8). On a real cluster set
+    a checkpoint dir — reliable blocks survive executor loss, while
+    localCheckpoint blocks die with their executor."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components over an (id_a, id_b) pair list.
 
@@ -37,38 +52,54 @@ def dup_clusters(
     cluster_id = the component's minimum id (deterministic keeper). The
     returned DataFrame is PERSISTED (it was materialized by the convergence
     check) — call .unpersist() when done with it. Raises if max_iter rounds
-    don't converge (pathological diameter — see module docstring for the
-    large-star/small-star upgrade path); on any raise every intermediate
-    cache, including the final round's, is released.
+    don't converge; on any raise every intermediate cache, including the
+    final round's, is released.
+
+    algorithm="propagation" (default): min-label propagation — O(|E|)
+    shuffled rows per round, rounds = component DIAMETER. The right choice
+    for near-dup graphs (boilerplate clusters are stars/shallow trees,
+    diameter ≤ 2-4).
+
+    algorithm="star": alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — rounds grow with log²(n), INDEPENDENT of diameter. The
+    scale path for pathological graphs (long chains, web-graph diameters)
+    where propagation would need diameter rounds. Same output contract.
     """
+    if algorithm == "star":
+        return _dup_clusters_star(pairs, id_a, id_b, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(
+            f"algorithm must be 'propagation' or 'star', got {algorithm!r}"
+        )
     edges = pairs.select(
         F.col(id_a).alias("__src"), F.col(id_b).alias("__dst")
     ).filter(F.col("__src") != F.col("__dst"))
-    und = edges.unionByName(
-        edges.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
-    ).dropDuplicates(["__src", "__dst"]).persist()
-    labels = (
+    und = _truncate_lineage(
+        edges.unionByName(
+            edges.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+        ).dropDuplicates(["__src", "__dst"])
+    )
+    labels = _truncate_lineage(
         und.select(F.col("__src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("cluster_id"))
-        .persist()
     )
-    cached = [und, labels]
-    returned = None  # stays None on any raise -> ALL caches released
+    converged = False
     try:
         for _ in range(int(max_iter)):
             # each node adopts min(own label, neighbors' labels): labels flow
-            # one hop per round, so rounds = component diameter
+            # one hop per round, so rounds = component diameter. Each round's
+            # labels are lineage-truncated (see _truncate_lineage) so round N
+            # plans against a leaf, not N stacked join/agg rounds.
             neigh = und.join(
                 labels.withColumnRenamed("id", "__dst"), "__dst"
             ).select(F.col("__src").alias("id"), "cluster_id")
-            new_labels = (
+            new_labels = _truncate_lineage(
                 labels.unionByName(neigh)
                 .groupBy("id")
                 .agg(F.min("cluster_id").alias("cluster_id"))
-                .persist()
             )
-            cached.append(new_labels)
             changed = (
                 labels.withColumnRenamed("cluster_id", "__old")
                 .join(new_labels, "id")
@@ -76,19 +107,124 @@ def dup_clusters(
                 .limit(1)
                 .count()
             )
+            prev = labels
             labels = new_labels
+            prev.unpersist()
             if changed == 0:
-                returned = labels
+                converged = True
                 return labels
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iter} rounds — the pair "
             "graph has a longer diameter than near-dup clusters should; "
-            "raise max_iter or use a large-star/small-star implementation"
+            "raise max_iter or use dup_clusters(algorithm='star')"
         )
     finally:
-        for c in cached:
-            if c is not returned:
-                c.unpersist()
+        und.unpersist()
+        if not converged:  # raise path: release the last round's blocks too
+            labels.unpersist()
+
+
+def _dup_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. SoCC'14).
+
+    Works on a big→small oriented edge set. Per round:
+      large-star: each center u links every LARGER neighbor v to
+                  m = min(N(u) ∪ {u}) — long chains halve toward the min;
+      small-star: each center u (over big→small edges) links every smaller
+                  neighbor AND ITSELF to its minimum neighbor — stars
+                  flatten onto the local min.
+    Both steps preserve connectivity and never raise a node's minimum
+    reachable id; the edge set converges to one star per component rooted
+    at the component min in O(log² n) rounds regardless of diameter. Each
+    step is one groupBy-min + one join — O(|E|) shuffled rows, same as a
+    propagation round, so the win is purely in ROUND COUNT on
+    high-diameter graphs.
+
+    Convergence = the oriented edge set is unchanged by a full round
+    (count equality + one-row anti-join probe, no driver-side data).
+
+    Each round's edge set is lineage-TRUNCATED (_truncate_lineage) so
+    round N plans against a leaf relation, not N stacked rounds."""
+    edges = _truncate_lineage(
+        pairs.select(F.col(id_a).alias("__u"), F.col(id_b).alias("__v"))
+        .filter(F.col("__u") != F.col("__v"))
+        .select(
+            F.greatest("__u", "__v").alias("__u"),
+            F.least("__u", "__v").alias("__v"),
+        )
+        .dropDuplicates(["__u", "__v"])
+    )
+    try:
+        for _ in range(int(max_iter)):
+            # -- large-star over BOTH orientations -------------------------
+            both = edges.unionByName(
+                edges.select(
+                    F.col("__v").alias("__u"), F.col("__u").alias("__v")
+                )
+            )
+            mins = both.groupBy("__u").agg(F.min("__v").alias("__mv"))
+            # emit (v, m) for neighbors v > u, with m = min(N(u) ∪ {u});
+            # v > u ≥ m, so the output is already big→small oriented
+            ls = (
+                both.join(mins, "__u")
+                .filter(F.col("__v") > F.col("__u"))
+                .select(
+                    F.col("__v").alias("__u"),
+                    F.least("__u", "__mv").alias("__v"),
+                )
+                .dropDuplicates(["__u", "__v"])
+            )
+            # -- small-star over the big→small edges -----------------------
+            mins2 = ls.groupBy("__u").agg(F.min("__v").alias("__mv"))
+            ss = _truncate_lineage(
+                ls.join(mins2, "__u")
+                .filter(F.col("__v") != F.col("__mv"))
+                .select(F.col("__v").alias("__u"), F.col("__mv").alias("__v"))
+                .unionByName(
+                    mins2.select(F.col("__u"), F.col("__mv").alias("__v"))
+                )
+                .dropDuplicates(["__u", "__v"])
+            )
+            n_old, n_new = edges.count(), ss.count()
+            changed = (
+                n_old != n_new
+                or ss.join(edges, ["__u", "__v"], "left_anti").limit(1).count()
+                > 0
+            )
+            prev = edges
+            edges = ss
+            prev.unpersist()
+            if not changed:
+                # stars: every non-root points at its component min
+                labels = (
+                    edges.select(
+                        F.col("__u").alias("id"),
+                        F.col("__v").alias("cluster_id"),
+                    )
+                    .unionByName(
+                        edges.select(
+                            F.col("__v").alias("id"),
+                            F.col("__v").alias("cluster_id"),
+                        ).distinct()
+                    )
+                    .persist()
+                )
+                labels.count()
+                return labels
+        raise RuntimeError(
+            f"dup_clusters(algorithm='star') did not converge in {max_iter} "
+            "rounds — raise max_iter (rounds grow ~log² of the largest "
+            "component, so this indicates an extreme graph)"
+        )
+    finally:
+        # the labels output (built from edges' materialized blocks) is
+        # persisted on its own, so the working edge set is always released
+        edges.unpersist()
 
 
 def dedup_by_pairs(

@@ -28,29 +28,66 @@ from cuckoofilter4j_spark.operators.build import build_filter_sharded, sha256_ke
 from cuckoofilter4j_spark.operators.probe import might_contain_sharded
 
 
-def _ngram_keys(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, key) for every k-char shingle — explode POSITIONS + codegen'd
-    substr (the shingles() transform() lambda is interpreted per char; this
-    stays inside whole-stage codegen, same shape as minhash_signature).
+_TOKEN_RE = r"\S+"  # same token definition as functions/text.py token_count
+
+
+def _ngram_keys(
+    df: DataFrame, text_col: str, id_col: str, k: int, unit: str = "char"
+) -> DataFrame:
+    """(id, key) for every k-gram — explode POSITIONS + codegen'd slicing;
+    everything stays inside whole-stage codegen (no interpreted lambdas,
+    same shape as minhash_signature).
+
+    unit="char": k-character shingles (substr over char positions).
+    unit="token": k-token shingles over whitespace tokens (the GPT/PaLM-style
+    decontamination unit — production pipelines match word/token 13-grams,
+    not character windows): regexp_extract_all('\\S+') → slice(toks, i, k)
+    → array_join(' '), so 'foo  bar' and 'foo bar' shingle identically.
 
     NULL text coalesces to '' so every document still yields one probe row
     (the empty shingle): sequence/explode would otherwise DROP null-text
     rows entirely, and a decontamination gate keyed on the report would
     pass those documents unchecked (ADVICE r3)."""
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length(text_col) - (k - 1), F.lit(1)),
-                )
-            ).alias("__i"),
+    if unit == "char":
+        coalesced = F.coalesce(F.col(text_col), F.lit(""))
+        return (
+            df.select(
+                F.col(id_col).alias("id"),
+                coalesced.alias("__t"),
+                F.explode(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length(coalesced) - (k - 1), F.lit(1)),
+                    )
+                ).alias("__i"),
+            )
+            .select("id", F.col("__t").substr(F.col("__i"), F.lit(k)).alias("__g"))
+            .select("id", sha256_key("__g").alias("key"))
         )
-        .select("id", F.col("__t").substr(F.col("__i"), F.lit(k)).alias("__g"))
-        .select("id", sha256_key("__g").alias("key"))
-    )
+    if unit == "token":
+        toks = F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(_TOKEN_RE), 0
+        )
+        return (
+            df.select(
+                F.col(id_col).alias("id"),
+                toks.alias("__tk"),
+                F.explode(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(toks) - (k - 1), F.lit(1)),
+                    )
+                ).alias("__i"),
+            )
+            .select(
+                "id",
+                F.array_join(
+                    F.slice(F.col("__tk"), F.col("__i"), F.lit(k)), " "
+                ).alias("__g"),
+            )
+            .select("id", sha256_key("__g").alias("key"))
+        )
+    raise ValueError(f"unit must be 'char' or 'token', got {unit!r}")
 
 
 def ngram_contamination(
@@ -65,13 +102,17 @@ def ngram_contamination(
     num_shards: int = 64,
     max_keys: Optional[int] = None,
     sketches: Optional[DataFrame] = None,
+    unit: str = "char",
 ) -> DataFrame:
     """Per-eval-document contamination report against the training corpus.
 
     Returns (id, n_ngrams, n_hits, hit_frac, contaminated) — one row per
-    eval document, where n_ngrams counts the document's DISTINCT k-char
-    shingles, n_hits how many of them the training filter contains, and
-    contaminated = hit_frac >= threshold.
+    eval document, where n_ngrams counts the document's DISTINCT k-gram
+    shingles (`unit="char"` for k-character windows, `unit="token"` for
+    k-token word-grams — the GPT/PaLM-style 13-gram decontamination unit),
+    n_hits how many of them the training filter contains, and
+    contaminated = hit_frac >= threshold. A `sketches` filter passed in
+    must have been built with the SAME unit and shingle_k.
 
     `max_keys` sizes the filter (expected DISTINCT training n-grams); when
     omitted it is computed with one approx_count_distinct pass (documented
@@ -83,9 +124,9 @@ def ngram_contamination(
     if sketches is None:
         sketches = build_contamination_filter(
             train, text_col, id_col, shingle_k, fpp=fpp, seed=seed,
-            num_shards=num_shards, max_keys=max_keys,
+            num_shards=num_shards, max_keys=max_keys, unit=unit,
         )
-    probes = _ngram_keys(eval_df, text_col, id_col, shingle_k).dropDuplicates(
+    probes = _ngram_keys(eval_df, text_col, id_col, shingle_k, unit).dropDuplicates(
         ["id", "key"]
     )
     hit = might_contain_sharded(probes, sketches, "key", num_shards=None)
@@ -115,12 +156,14 @@ def build_contamination_filter(
     seed: int = 42,
     num_shards: int = 64,
     max_keys: Optional[int] = None,
+    unit: str = "char",
 ) -> DataFrame:
     """Sharded global cuckoo filter over the training corpus's distinct
-    k-char n-grams — build ONCE, persist with sources.save_sketches, probe
-    from every eval/decontamination job. One distinct-shuffle over the
-    n-gram keys (map-side combined), then the standard sharded build."""
-    keys = _ngram_keys(train, text_col, id_col, shingle_k).select("key").distinct()
+    k-gram shingles (char windows or whitespace-token word-grams, per
+    `unit`) — build ONCE, persist with sources.save_sketches, probe from
+    every eval/decontamination job. One distinct-shuffle over the n-gram
+    keys (map-side combined), then the standard sharded build."""
+    keys = _ngram_keys(train, text_col, id_col, shingle_k, unit).select("key").distinct()
     if max_keys is None:
         max_keys = int(
             keys.agg(F.approx_count_distinct("key").alias("n")).collect()[0]["n"]

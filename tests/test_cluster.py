@@ -71,3 +71,53 @@ def test_end_to_end_minhash_to_dedup(spark):
     # every keeper is an original id: each cluster contains its original,
     # and originals have the minimum id in their chain
     assert deduped.filter(F.col("doc_id") >= 10000).count() == 0
+
+
+def test_star_matches_propagation_on_mixed_graph(spark):
+    """algorithm='star' (large-star/small-star) must produce the identical
+    (id, cluster_id) map as min-label propagation on chains, stars, and a
+    disjoint pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21),
+         (7, 5), (5, 30), (30, 8)],
+        "id_a long, id_b long",
+    )
+    a = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    b = {r["id"]: r["cluster_id"]
+         for r in dup_clusters(pairs, algorithm="star").collect()}
+    assert a == b
+
+
+def test_star_matches_propagation_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(400)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    a = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs, max_iter=50).collect()}
+    b = {r["id"]: r["cluster_id"]
+         for r in dup_clusters(pairs, algorithm="star").collect()}
+    assert a == b and len(a) > 100
+
+
+def test_star_converges_where_propagation_exceeds_max_iter(spark):
+    """A planted 50-node chain has diameter 49: propagation needs ~49 rounds
+    (so max_iter=10 raises), while star contraction needs O(log^2 n) and
+    lands every node on the chain minimum."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iter=10)
+    got = dup_clusters(pairs, algorithm="star", max_iter=10)
+    vals = {r["id"]: r["cluster_id"] for r in got.collect()}
+    assert vals == {i: 0 for i in range(51)}
+    got.unpersist()
+
+
+def test_star_bad_algorithm_rejected(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="algorithm"):
+        dup_clusters(pairs, algorithm="nope")

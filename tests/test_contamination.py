@@ -3,6 +3,7 @@ false negatives flag exact copies deterministically; clean docs stay under
 any threshold well above fpp; the trained filter is reusable across eval
 sets (the build-once-probe-forever shape)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from cuckoofilter4j_spark.functions import (
@@ -64,3 +65,58 @@ def test_filter_reuse_across_eval_sets(spark):
     # roughly half of each partial doc's n-grams hit (never below, FPs above)
     assert all(0.3 <= v <= 0.85 for v in part.values()), part
     sk.unpersist()
+
+
+def test_token_unit_contamination_whitespace_invariant(spark):
+    """unit='token' matches GPT/PaLM-style word-gram decontamination: a copy
+    with doubled spaces still reports hit_frac 1.0 (char shingles would
+    diverge), while word-shuffled text with the same characters does NOT
+    exceed the threshold, and sentinel-vocabulary docs report ~0 hits."""
+    from cuckoofilter4j_spark.functions.contamination import ngram_contamination
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    train = spark.createDataFrame(
+        [(i, base + f" row{i} mike november oscar papa quebec romeo") for i in range(10)],
+        "doc_id long, text string",
+    )
+    shuffled = "lima kilo juliet india hotel golf foxtrot echo delta charlie bravo alpha"
+    eval_df = spark.createDataFrame(
+        [
+            (100, (base + " row3 mike november oscar papa quebec romeo").replace(" ", "  ")),
+            (101, shuffled),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in ngram_contamination(
+        train, eval_df, "text", "doc_id", shingle_k=5, threshold=0.5,
+        num_shards=4, max_keys=4096, unit="token",
+    ).collect()}
+    assert rep[100]["hit_frac"] == 1.0 and rep[100]["contaminated"]
+    assert not rep[101]["contaminated"]
+
+
+def test_token_unit_short_and_null_docs_still_report(spark):
+    from cuckoofilter4j_spark.functions.contamination import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(i, f"some training words here number {i} extra padding tokens") for i in range(10)],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(1, "two tokens"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in ngram_contamination(
+        train, eval_df, "text", "doc_id", shingle_k=13,
+        num_shards=4, max_keys=4096, unit="token",
+    ).collect()}
+    assert set(rep) == {1, 2, 3}
+    assert all(rep[i]["n_ngrams"] >= 1 for i in (1, 2, 3))
+
+
+def test_ngram_keys_bad_unit_rejected(spark):
+    from cuckoofilter4j_spark.functions.contamination import ngram_contamination
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unit"):
+        ngram_contamination(df, df, "text", "doc_id", unit="words")
