@@ -513,15 +513,24 @@ def assign_ivf_lists(
     centroids: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "__ivf_list",
+    out_sim_col: Optional[str] = None,
 ) -> DataFrame:
     """Append each vector's inverted-list id (nearest centroid by cosine):
-    one broadcast matmul per Arrow batch, same shape as with_lsh_bucket."""
+    one broadcast matmul per Arrow batch, same shape as with_lsh_bucket.
+
+    With `out_sim_col` also emits the cosine to the winning centroid (free
+    — the matmul already computed it). The IVF store persists it so index
+    staleness is a pure column aggregate over the stored table
+    (sources/ivf_store.ivf_staleness), never a re-scan with matmuls."""
     import pandas as pd
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     cm = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
     bc = corpus.sparkSession.sparkContext.broadcast(cm)
-    schema = StructType(corpus.schema.fields + [StructField(out_col, IntegerType(), False)])
+    fields = corpus.schema.fields + [StructField(out_col, IntegerType(), False)]
+    if out_sim_col is not None:
+        fields.append(StructField(out_sim_col, DoubleType(), False))
+    schema = StructType(fields)
 
     def assign(batches):
         cent_t = bc.value.T  # (dim, k)
@@ -529,11 +538,19 @@ def assign_ivf_lists(
             pdf = pdf.copy()
             if len(pdf) == 0:
                 pdf[out_col] = pd.Series([], dtype="int32")
+                if out_sim_col is not None:
+                    pdf[out_sim_col] = pd.Series([], dtype="float64")
                 yield pdf
                 continue
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            pdf[out_col] = np.argmax(mat @ cent_t, axis=1).astype(np.int32)
+            sims = mat @ cent_t
+            best = np.argmax(sims, axis=1)
+            pdf[out_col] = best.astype(np.int32)
+            if out_sim_col is not None:
+                pdf[out_sim_col] = np.take_along_axis(
+                    sims, best[:, None], axis=1
+                ).ravel()
             yield pdf
 
     return corpus.mapInPandas(assign, schema)

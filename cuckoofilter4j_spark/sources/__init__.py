@@ -1,6 +1,8 @@
 """Input sources: driver testdata loaders + deterministic fixtures."""
 
 from cuckoofilter4j_spark.sources.ivf_store import (
+    append_ivf_index,
+    ivf_staleness,
     ivf_topk_from_store,
     load_ivf_index,
     load_ivf_meta,
@@ -31,6 +33,8 @@ def load_table(spark, sf_dir: str, name: str):
 __all__ = [
     "TPCH_TABLES",
     "absent_source_files",
+    "append_ivf_index",
+    "ivf_staleness",
     "ivf_topk_from_store",
     "load_ivf_index",
     "load_ivf_meta",

@@ -36,6 +36,7 @@ from cuckoofilter4j_spark.sources.fs import read_text, write_text
 
 IVF_META_FILE = "_ivf_meta.json"
 LIST_COL = "__ivf_list"
+SIM_COL = "__ivf_sim"  # cosine to the winning centroid, persisted per row
 
 
 def save_ivf_index(
@@ -57,12 +58,23 @@ def save_ivf_index(
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, n_lists, seed)
     cm = np.asarray(centroids, dtype=np.float64)
-    assigned = assign_ivf_lists(corpus.select(id_col, vec_col), cm, vec_col)
+    assigned = assign_ivf_lists(
+        corpus.select(id_col, vec_col), cm, vec_col, out_sim_col=SIM_COL
+    )
     (
         assigned.repartition(F.col(LIST_COL))
         .write.mode(mode)
         .partitionBy(LIST_COL)
         .parquet(os.path.join(path, "lists"))
+    )
+    # staleness baseline: mean cosine to the winning centroid over the
+    # corpus the quantizer was trained for (one column aggregate over the
+    # just-written table — probes never read SIM_COL thanks to pruning)
+    spark = corpus.sparkSession
+    base = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .agg(F.avg(SIM_COL).alias("s"), F.count("*").alias("n"))
+        .first()
     )
     meta = {
         "n_lists": int(cm.shape[0]),
@@ -71,9 +83,11 @@ def save_ivf_index(
         "id_col": id_col,
         "vec_col": vec_col,
         "centroids": cm.tolist(),
+        "mean_center_sim": float(base["s"]) if base["s"] is not None else None,
+        "n_vectors_at_save": int(base["n"]),
     }
     write_text(
-        corpus.sparkSession,
+        spark,
         os.path.join(path, IVF_META_FILE),
         json.dumps(meta, sort_keys=True),
     )
@@ -96,6 +110,84 @@ def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     meta = load_ivf_meta(spark, path)
     df = spark.read.parquet(os.path.join(path, "lists"))
     return df, meta
+
+
+def append_ivf_index(
+    corpus: DataFrame,
+    path: str,
+) -> dict:
+    """Append NEW vectors to an existing index: assign them to the STORED
+    centroids (no retraining — standard IVF maintenance) and write into the
+    same list partitions (`mode=append` adds files inside the existing
+    `__ivf_list=<n>/` directories; old files are untouched, so recall on
+    previously-indexed vectors cannot change).
+
+    The coarse quantizer drifts as the corpus distribution moves — monitor
+    with `ivf_staleness` and rebuild (save_ivf_index) when the drift grows.
+    Returns the manifest the append was validated against. Raises on a
+    dimension mismatch with the stored quantizer (one `limit(1)` probe job)
+    and on stores written before the staleness column existed."""
+    spark = corpus.sparkSession
+    meta = load_ivf_meta(spark, path)
+    if meta.get("mean_center_sim") is None:
+        raise ValueError(
+            f"index at {path} predates the staleness column ({SIM_COL}) — "
+            "rebuild it with save_ivf_index before appending"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    missing = [c for c in (id_col, vec_col) if c not in corpus.columns]
+    if missing:
+        raise ValueError(
+            f"append corpus is missing the index's columns {missing} "
+            f"(manifest: id_col={id_col!r}, vec_col={vec_col!r})"
+        )
+    probe = corpus.select(F.size(vec_col).alias("d")).limit(1).first()
+    if probe is not None and int(probe["d"]) != int(meta["dim"]):
+        raise ValueError(
+            f"append vectors have dim {probe['d']} but the stored quantizer "
+            f"was trained at dim {meta['dim']}"
+        )
+    assigned = assign_ivf_lists(
+        corpus.select(id_col, vec_col), meta["centroids"], vec_col,
+        out_sim_col=SIM_COL,
+    )
+    (
+        assigned.repartition(F.col(LIST_COL))
+        .write.mode("append")
+        .partitionBy(LIST_COL)
+        .parquet(os.path.join(path, "lists"))
+    )
+    return meta
+
+
+def ivf_staleness(spark: SparkSession, path: str) -> dict:
+    """How far the stored corpus has drifted from the coarse quantizer:
+    compares the CURRENT mean cosine-to-assigned-centroid (one column
+    aggregate over the persisted `__ivf_sim` — no vectors are re-scored)
+    against the baseline recorded at save time. `drift` > 0 means newer
+    vectors sit farther from their centroids than the training corpus did
+    — recall at fixed n_probe degrades and the quantizer deserves a
+    retrain (save_ivf_index over the full corpus)."""
+    meta = load_ivf_meta(spark, path)
+    if meta.get("mean_center_sim") is None:
+        raise ValueError(
+            f"index at {path} predates the staleness column ({SIM_COL}) — "
+            "rebuild it with save_ivf_index to enable ivf_staleness"
+        )
+    cur = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .agg(F.avg(SIM_COL).alias("s"), F.count("*").alias("n"))
+        .first()
+    )
+    mean_now = float(cur["s"])
+    mean_save = float(meta["mean_center_sim"])
+    return {
+        "n_vectors": int(cur["n"]),
+        "n_vectors_at_save": int(meta["n_vectors_at_save"]),
+        "mean_center_sim": mean_now,
+        "mean_center_sim_at_save": mean_save,
+        "drift": mean_save - mean_now,
+    }
 
 
 def ivf_topk_from_store(

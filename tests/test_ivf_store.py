@@ -90,3 +90,91 @@ def test_store_degenerate_exact_when_probing_all_lists(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 5
     assert all(r["vec_id"] == r["query_id"] and r["rank"] == 1 for r in rows)
+
+
+def test_append_preserves_old_recall_and_finds_new_vectors(spark, tmp_path):
+    """Append assigns new vectors to the STORED centroids: results on the
+    original query set are unchanged (old files untouched), appended
+    vectors are findable, and the staleness aggregate sees the grown
+    corpus."""
+    from cuckoofilter4j_spark.sources import append_ivf_index, ivf_staleness
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, path, n_lists=8, seed=42)
+    q = _queries(emb)
+    before = sorted(
+        map(tuple, ivf_topk_from_store(spark, path, q, k=5, n_probe=8)
+            .select("query_id", "vec_id", "rank").collect())
+    )
+    base = ivf_staleness(spark, path)
+
+    # append exact copies of 10 vectors under new ids: same assignment lists
+    newbies = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    meta = append_ivf_index(newbies, path)
+    assert meta["n_lists"] == 8
+
+    after_stale = ivf_staleness(spark, path)
+    assert after_stale["n_vectors"] == base["n_vectors"] + 10
+    assert after_stale["n_vectors_at_save"] == base["n_vectors"]
+    # identical copies of in-distribution vectors: drift stays ~0
+    assert abs(after_stale["drift"]) < 0.05
+
+    # old-query recall unchanged aside from the planted twins: probing all
+    # lists, each old query's former results are still returned (the twin
+    # of query v ties at cosine 1.0 but ranks AFTER vec_id v by the
+    # deterministic id tiebreak, so ranks 1..k can only change where the
+    # twin displaces rank k)
+    after = sorted(
+        map(tuple, ivf_topk_from_store(spark, path, q, k=5, n_probe=8)
+            .select("query_id", "vec_id", "rank").collect())
+    )
+    # rank-1 self hits identical
+    assert [r for r in before if r[2] == 1] == [r for r in after if r[2] == 1]
+    # appended twins are findable: query 3's twin appears in top-5
+    got = {(r[0], r[1]) for r in after}
+    assert (3, 100003) in got
+
+
+def test_append_validates_dim_and_columns(spark, tmp_path):
+    from cuckoofilter4j_spark.sources import append_ivf_index
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, path, n_lists=4, seed=42)
+    bad_dim = emb.select("vec_id", F.slice("embedding", 1, 3).alias("embedding"))
+    with pytest.raises(ValueError, match="dim"):
+        append_ivf_index(bad_dim, path)
+    bad_cols = emb.select(F.col("vec_id").alias("other_id"), "embedding")
+    with pytest.raises(ValueError, match="missing"):
+        append_ivf_index(bad_cols, path)
+
+
+def test_staleness_detects_out_of_distribution_append(spark, tmp_path):
+    """Vectors far from every centroid drag the mean center-cosine down —
+    drift goes positive, the retrain signal."""
+    import numpy as np
+
+    from cuckoofilter4j_spark.sources import append_ivf_index, ivf_staleness
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, path, n_lists=8, seed=42)
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.default_rng(1)
+    # adversarial cloud: random directions in a high-dim space are near-
+    # orthogonal to every centroid, so their center-cosine is ~0
+    n_ood = emb.count()  # match the corpus size so the mean shifts visibly
+    ood = spark.createDataFrame(
+        [(200000 + i, rng.standard_normal(dim).astype("float32").tolist())
+         for i in range(n_ood)],
+        "vec_id long, embedding array<float>",
+    )
+    base = ivf_staleness(spark, path)
+    append_ivf_index(ood, path)
+    stale = ivf_staleness(spark, path)
+    assert stale["drift"] > base["drift"] + 0.02
+    assert stale["mean_center_sim"] < base["mean_center_sim"]
+    assert stale["n_vectors"] == base["n_vectors"] + n_ood
