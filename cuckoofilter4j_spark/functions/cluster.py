@@ -234,11 +234,14 @@ def dedup_by_pairs(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Keep ONE row per duplicate cluster (the minimum id) and every row
     that appears in no pair. The corpus-level consumer of the LSH pair
     producers: near_dups = minhash_dup_pairs(...);
     deduped = dedup_by_pairs(docs, near_dups, "doc_id").
+    `algorithm` passes through to dup_clusters ('star' for high-diameter
+    pair graphs).
 
     One broadcast-or-shuffle join of the corpus against the (tiny relative
     to the corpus) cluster map; non-keeper members are dropped in-plan.
@@ -247,7 +250,7 @@ def dedup_by_pairs(
     many dedup passes should call dup_clusters themselves and unpersist it
     once the deduped output is materialized.
     """
-    clusters = dup_clusters(pairs, id_a, id_b, max_iter)
+    clusters = dup_clusters(pairs, id_a, id_b, max_iter, algorithm=algorithm)
     losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )

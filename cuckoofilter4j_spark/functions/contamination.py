@@ -147,6 +147,38 @@ def ngram_contamination(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 13,
+    threshold: float = 0.5,
+    fpp: float = 0.01,
+    seed: int = 42,
+    num_shards: int = 64,
+    max_keys: Optional[int] = None,
+    sketches: Optional[DataFrame] = None,
+    unit: str = "token",
+) -> DataFrame:
+    """The gate built on ngram_contamination: return `eval_df` with the
+    contaminated documents REMOVED (anti-join on the report's flagged ids —
+    one broadcast-or-shuffle join; the report side is one row per eval doc).
+
+    Defaults to the production decontamination shape — token 13-grams
+    (GPT/PaLM style). Null-text rows are probed as the empty shingle (see
+    _ngram_keys), so every input row is either kept or flagged; none can
+    slip past unchecked. Pass `sketches` (build_contamination_filter) to
+    reuse one trained filter across eval sets."""
+    report = ngram_contamination(
+        train, eval_df, text_col, id_col, shingle_k=shingle_k,
+        threshold=threshold, fpp=fpp, seed=seed, num_shards=num_shards,
+        max_keys=max_keys, sketches=sketches, unit=unit,
+    )
+    flagged = report.filter(F.col("contaminated")).select(id_col)
+    return eval_df.join(flagged, id_col, "left_anti")
+
+
 def build_contamination_filter(
     train: DataFrame,
     text_col: str,

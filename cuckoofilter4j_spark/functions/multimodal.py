@@ -331,13 +331,59 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
+def _soundfile_available() -> bool:
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_audio_payload(payload: bytes, fake: bool) -> tuple[int, np.ndarray]:
+    """One audio payload -> (sample_rate, int16 mono samples). Fake and
+    RIFF/WAVE PCM16 decode with no external library; anything else routes
+    through soundfile when importable (multi-channel averaged to mono,
+    mirroring _parse_wav) and raises a per-payload ValueError naming the
+    missing library otherwise. Module-level so the gate is unit-testable
+    without Spark workers."""
+    # fake payloads always decode (mixed corpora work on any host — same
+    # contract as decode_images)
+    if payload.startswith(_FAKE_AUDIO_MAGIC):
+        sr, n = struct.unpack_from("<II", payload, len(_FAKE_AUDIO_MAGIC))
+        samples = np.frombuffer(
+            payload, dtype="<i2", offset=len(_FAKE_AUDIO_MAGIC) + 8, count=n
+        )
+        return int(sr), samples
+    if fake:
+        raise ValueError("fake=True but payload is not the fake format")
+    if payload[:4] == b"RIFF":
+        return _parse_wav(payload)
+    if not _soundfile_available():
+        raise ValueError(
+            "unsupported audio format (not RIFF/WAVE): compressed formats "
+            "(mp3/ogg/flac/...) need an external codec (pip install soundfile)"
+        )
+    import io
+
+    import soundfile as sf
+
+    data, sr = sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+    data = np.asarray(data, dtype=np.int16)
+    if data.shape[1] > 1:
+        samples = data.mean(axis=1).astype(np.int16)
+    else:
+        samples = data[:, 0]
+    return int(sr), samples
+
+
 def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Audio feature extraction via mapInPandas. `fake=True` decodes the
     deterministic fake-PCM format; `fake=False` decodes GENUINE RIFF/WAVE
     PCM16 payloads (pure struct+numpy — no external codec needed; real WAV
     chunk walking, multi-channel averaged to mono). Compressed formats
-    (mp3/ogg/flac) raise ValueError per payload — decoding them needs an
-    external codec (soundfile/ffmpeg) this container doesn't ship.
+    (mp3/ogg/flac) decode through soundfile when importable and otherwise
+    raise ValueError per payload naming the missing library.
     Features: duration, RMS, peak amplitude, zero-crossing count, exact
     sample sum (the oracle checksum)."""
 
@@ -345,24 +391,8 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload)
-                # fake payloads always decode (mixed corpora work on any
-                # host — same contract as decode_images)
-                if payload.startswith(_FAKE_AUDIO_MAGIC):
-                    sr, n = struct.unpack_from("<II", payload, len(_FAKE_AUDIO_MAGIC))
-                    samples = np.frombuffer(
-                        payload, dtype="<i2", offset=len(_FAKE_AUDIO_MAGIC) + 8, count=n
-                    )
-                elif fake:
-                    raise ValueError("fake=True but payload is not the fake format")
-                elif payload[:4] == b"RIFF":
-                    sr, samples = _parse_wav(payload)
-                    n = samples.shape[0]
-                else:
-                    raise ValueError(
-                        "unsupported audio format (not RIFF/WAVE): compressed "
-                        "formats need an external codec (pip install soundfile)"
-                    )
+                sr, samples = _decode_audio_payload(bytes(payload), fake)
+                n = samples.shape[0]
                 samples = samples.astype(np.float64)
                 zc = int(np.count_nonzero(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
                 out.append(
@@ -649,39 +679,70 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _pyav_available() -> bool:
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_video_frames(payload: bytes, fake: bool) -> list:
+    """One video payload -> list of uint8 luma frames. Fake and YUV4MPEG2
+    decode with no external library; compressed containers (mp4/webm/mkv)
+    route through PyAV when importable (grayscale luma planes, matching
+    the y4m path) and raise a per-payload ValueError naming the missing
+    library otherwise. Module-level so the gate is unit-testable without
+    Spark workers."""
+    # fake payloads always frame-sample (mixed corpora work on any host —
+    # same contract as decode_images)
+    if payload.startswith(_FAKE_MAGIC):
+        w, h = struct.unpack_from("<II", payload, len(_FAKE_MAGIC))
+        px = np.frombuffer(
+            payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
+        ).reshape(h, w)
+        return [px[idx] for idx in range(h)]
+    if fake:
+        raise ValueError("fake=True but payload is not the fake format")
+    if payload.startswith(_Y4M_MAGIC):
+        _w, _h, _fps, frames = _parse_y4m(payload)
+        return frames
+    if not _pyav_available():
+        raise ValueError(
+            "unsupported video format (not YUV4MPEG2): compressed "
+            "containers (mp4/webm/mkv/...) need an external codec "
+            "(pip install av)"
+        )
+    import io
+
+    import av
+
+    frames = []
+    with av.open(io.BytesIO(payload)) as container:
+        for frame in container.decode(video=0):
+            frames.append(
+                np.asarray(frame.to_ndarray(format="gray"), dtype=np.uint8)
+            )
+    return frames
+
+
 def sample_frames(df: DataFrame, every_n: int = 4, fake: bool = False) -> DataFrame:
     """Explode video payloads into sampled frames via mapInPandas (1 -> many).
 
     `fake=False` decodes GENUINE YUV4MPEG2 (y4m) streams with the
     stdlib-only parser and emits every_n-th luma plane as `frame` bytes.
-    Compressed containers (mp4/webm) raise ValueError per payload — they
-    need ffmpeg/PyAV, which this container doesn't ship. The fake 'video'
-    (fake=True) treats each pixel ROW of the fake image as a frame —
-    the same 1→many Arrow fan-out shape with no codec at all.
+    Compressed containers (mp4/webm) decode through PyAV when importable
+    and otherwise raise ValueError per payload naming the missing library.
+    The fake 'video' (fake=True) treats each pixel ROW of the fake image
+    as a frame — the same 1→many Arrow fan-out shape with no codec at all.
     """
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload)
-                # fake payloads always frame-sample (mixed corpora work on
-                # any host — same contract as decode_images)
-                if payload.startswith(_FAKE_MAGIC):
-                    w, h = struct.unpack_from("<II", payload, len(_FAKE_MAGIC))
-                    px = np.frombuffer(
-                        payload, dtype=np.uint8, offset=len(_FAKE_MAGIC) + 8, count=w * h
-                    ).reshape(h, w)
-                    frames = [px[idx] for idx in range(h)]
-                elif fake:
-                    raise ValueError("fake=True but payload is not the fake format")
-                elif payload.startswith(_Y4M_MAGIC):
-                    _w, _h, _fps, frames = _parse_y4m(payload)
-                else:
-                    raise ValueError(
-                        "unsupported video format (not YUV4MPEG2): compressed "
-                        "containers need an external codec (ffmpeg/PyAV)"
-                    )
+                frames = _decode_video_frames(bytes(payload), fake)
                 for idx in range(0, len(frames), every_n):
                     out.append(dict(media_id=int(media_id), frame_idx=int(idx),
                                     frame=frames[idx].tobytes()))

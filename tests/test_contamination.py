@@ -120,3 +120,26 @@ def test_ngram_keys_bad_unit_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="unit"):
         ngram_contamination(df, df, "text", "doc_id", unit="words")
+
+
+def test_decontaminate_removes_flagged_keeps_clean_and_null(spark):
+    """decontaminate = eval minus contaminated: verbatim copies drop, clean
+    and null-text rows survive (nulls are probed, not silently passed)."""
+    from cuckoofilter4j_spark.functions import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, f"unique training sentence number {i} with enough tokens present") for i in range(10)],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "unique training sentence number 4 with enough tokens present"),
+         (101, "totally novel held out material nothing in common whatsoever"),
+         (102, None)],
+        "doc_id long, text string",
+    )
+    kept = decontaminate(
+        train, eval_df, "text", "doc_id", shingle_k=5,
+        num_shards=4, max_keys=4096,
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [101, 102]

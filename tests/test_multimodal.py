@@ -243,3 +243,99 @@ def test_video_mixed_fake_and_y4m(spark):
     assert cap == 4 and kept.count() == 0
     s = stats.collect()[0]
     assert s["hot_buckets"] == 0 and s["dropped_rows"] == 0
+
+
+# ---------------------------------------------------------------------------
+# compressed-codec gates (soundfile / PyAV), round 4
+# ---------------------------------------------------------------------------
+def test_audio_compressed_gate_fails_loud_when_soundfile_absent():
+    from cuckoofilter4j_spark.functions.multimodal import (
+        _decode_audio_payload,
+        _soundfile_available,
+    )
+
+    if _soundfile_available():
+        pytest.skip("soundfile installed in this environment")
+    with pytest.raises(ValueError, match="soundfile"):
+        _decode_audio_payload(b"OggS" + b"\x00" * 64, fake=False)
+
+
+def test_video_compressed_gate_fails_loud_when_pyav_absent():
+    from cuckoofilter4j_spark.functions.multimodal import (
+        _decode_video_frames,
+        _pyav_available,
+    )
+
+    if _pyav_available():
+        pytest.skip("PyAV installed in this environment")
+    with pytest.raises(ValueError, match="av"):
+        _decode_video_frames(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 64, fake=False)
+
+
+def test_audio_gate_routes_through_soundfile_when_importable(monkeypatch):
+    """With a soundfile module importable, a non-RIFF payload decodes through
+    it — stereo averaged to mono int16, mirroring _parse_wav."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from cuckoofilter4j_spark.functions import multimodal as M
+
+    stub = types.ModuleType("soundfile")
+
+    def read(f, dtype="int16", always_2d=True):
+        assert dtype == "int16" and always_2d
+        return np.array([[100, 300], [200, 400], [-50, -150]], dtype=np.int16), 22050
+
+    stub.read = read
+    monkeypatch.setitem(sys.modules, "soundfile", stub)
+    assert M._soundfile_available()
+    sr, samples = M._decode_audio_payload(b"OggS" + b"\x00" * 16, fake=False)
+    assert sr == 22050
+    assert samples.dtype == np.int16 and samples.tolist() == [200, 300, -100]
+    # uncompressed paths are unaffected by the stub
+    wav = M._wav_bytes(8000, np.arange(32, dtype=np.int16))
+    sr2, s2 = M._decode_audio_payload(wav, fake=False)
+    assert sr2 == 8000 and s2.shape[0] == 32
+
+
+def test_video_gate_routes_through_pyav_when_importable(monkeypatch):
+    import sys
+    import types
+
+    import numpy as np
+
+    from cuckoofilter4j_spark.functions import multimodal as M
+
+    planted = [np.full((4, 6), i, dtype=np.uint8) for i in range(5)]
+
+    class _Frame:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def to_ndarray(self, format):
+            assert format == "gray"
+            return self._arr
+
+    class _Container:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def decode(self, video=0):
+            return iter(_Frame(a) for a in planted)
+
+    stub = types.ModuleType("av")
+    stub.open = lambda f: _Container()
+    monkeypatch.setitem(sys.modules, "av", stub)
+    assert M._pyav_available()
+    frames = M._decode_video_frames(b"\x00\x00\x00\x20ftypisom", fake=False)
+    assert len(frames) == 5
+    assert all(f.shape == (4, 6) and f.dtype == np.uint8 for f in frames)
+    assert frames[3].ravel()[0] == 3
+    # fake=True still rejects non-fake payloads regardless of the stub
+    with pytest.raises(ValueError, match="fake"):
+        M._decode_video_frames(b"\x00\x00\x00\x20ftypisom", fake=True)
