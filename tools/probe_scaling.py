@@ -1,9 +1,12 @@
-"""Probe-throughput scaling evidence (supplementary to bench.py's insert
-scaling): build a sharded global filter ONCE, persist it through the sketch
-store, then probe the same staged keys from FRESH processes at two
-parallelism levels — the read-side analog of the north rule's two-cluster
-criterion. Probes are broadcast + mapInArrow with zero shuffle, so they
-should scale near-linearly with cores.
+"""Probe-throughput scaling evidence (standalone tool): build a sharded
+global filter ONCE, persist it through the sketch store, then probe the same
+staged keys from FRESH processes at two parallelism levels — the read-side
+analog of the north rule's two-cluster criterion. Probes are broadcast +
+mapInArrow with zero shuffle, so they should scale near-linearly with cores.
+
+As of round 4 bench.py runs this measurement itself and folds the result
+into the driver JSON as `probe_throughput`; this tool remains for ad-hoc
+runs at custom sizes.
 
 Usage:
     python tools/probe_scaling.py            # orchestrates build + 4 vs 16
