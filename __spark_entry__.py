@@ -200,6 +200,23 @@ def q_ckf_sharded_empty_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_p.crossJoin(agg_s)
 
 
+def q_ckf_count_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate membership probe (count_members_sharded, probe.py): each
+    scan task emits ONE (n_probed, n_members) partial instead of a per-row
+    boolean column — the count-style probe shape that avoids shipping
+    every input row back through Arrow into the JVM (measured as the
+    dominant cost of probe-then-filter-count; BASELINE.md r4). Probing the
+    filter's own keys is exact: zero false negatives ⇒ n_members ==
+    n_probed == |documents|."""
+    from cuckoofilter4j_spark.operators import count_members_sharded
+
+    keyed = _docs_keyed(spark, sf_dir)
+    sk = build_filter_sharded(
+        keyed, "key", num_shards=16, max_keys=MAX_KEYS, fpp=FPP, seed=SEED
+    )
+    return count_members_sharded(keyed, sk, "key")
+
+
 def q_ckf_sharded_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed delete through a SHARDED global filter (delete_keys_sharded,
     probe.py): each delete routes to its shard with the build hash. Deleting
@@ -1075,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_approx_count": q_ckf_approx_count,
         "ckf_get_count": q_ckf_get_count,
         "ckf_sharded_empty_shards": q_ckf_sharded_empty_shards,
+        "ckf_count_members": q_ckf_count_members,
         "ckf_sharded_delete": q_ckf_sharded_delete,
         "ckf_delete_drain": q_ckf_delete_drain,
         "ckf_false_delete_rate": q_ckf_false_delete_rate,
@@ -1199,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "ckf_approx_count": "SELECT doc_id, TRUE AS count_ok FROM documents",
         "ckf_get_count": "SELECT CAST(3 * count(*) AS BIGINT) AS n_stored, CAST(0 AS BIGINT) AS n_failed FROM documents",
         "ckf_sharded_empty_shards": "SELECT CAST(count(*) AS BIGINT) AS n_probed, CAST(count(*) AS BIGINT) AS n_found, TRUE AS had_empty_shard FROM documents WHERE doc_id < 40",
+        "ckf_count_members": "SELECT CAST(count(*) AS BIGINT) AS n_probed, CAST(count(*) AS BIGINT) AS n_members FROM documents",
         "ckf_sharded_delete": """
             SELECT CAST(count(*) AS BIGINT) AS n_before,
                    CAST(sum(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after,

@@ -351,6 +351,96 @@ def _stacked_ok(smap: Dict[tuple, bytes]) -> bool:
     return True
 
 
+def _stacked_token(smap: Dict[tuple, bytes], num_shards: int) -> str:
+    """Worker-cache key = CONTENT digest (driver-side, once per probe call),
+    not a per-plan uuid: repeated probes against the same sharded filter —
+    the probe-many pattern — reuse the worker's stacked table instead of
+    re-unpacking S shard blobs per plan (measured 2.8 s single-threaded for
+    a 268 MB stack at 121.6M keys; at 16 workers the concurrent rebuilds
+    are bandwidth-contended and dominated short probe windows)."""
+    import hashlib
+
+    digest = hashlib.blake2b(digest_size=16)
+    digest.update(f"S={num_shards};mode=stacked".encode())
+    for sh in sorted(s for (s,) in smap):
+        digest.update(str(sh).encode())
+        digest.update(smap[(sh,)])
+    return digest.hexdigest()
+
+
+def _build_stack(blob_map: Dict[tuple, bytes], S: int):
+    """Decode all shard blobs into one (S, num_buckets, 4) table plus the
+    per-shard victim-cache vectors (runs once per worker, cached)."""
+    from cuckoofilter4j_spark.core import CuckooFilter, IndexTagGen
+
+    first = CuckooFilter.from_bytes(next(iter(blob_map.values())))
+    nb, tb = first.num_buckets, first.tag_bits
+    tables = np.zeros((S, nb, 4), dtype=first.table.dtype)
+    v1 = np.full(S, -1, dtype=np.int64)
+    v2 = np.full(S, -1, dtype=np.int64)
+    vt = np.zeros(S, dtype=np.uint64)
+    hasv = np.zeros(S, dtype=bool)
+    for (sh,), blob in blob_map.items():
+        f = CuckooFilter.from_bytes(blob)
+        if (f.num_buckets, f.tag_bits, f.seed, f.hash_algo) != (
+            nb, tb, first.seed, first.hash_algo
+        ):
+            raise ValueError("stacked probe requires uniform shard params")
+        tables[sh] = f.table
+        if f.has_victim:
+            hasv[sh] = True
+            v1[sh], v2[sh], vt[sh] = f.victim_i1, f.victim_i2, np.uint64(f.victim_tag)
+    gen = IndexTagGen(nb, tb, first.seed, first.hash_algo)
+    return tables, gen, v1, v2, vt, hasv
+
+
+def _batch_membership(arrow_col, stack, S: int, mode: str, seed_words=None):
+    """One Arrow binary column -> membership bool (mode='contains') or
+    fingerprint count (mode='count') per row, against the stacked tables.
+    Shard routing is pmod(xxhash64(key, lit(int seed)), S) — the int
+    literal hashes as a 4-byte message chained on the key hash, byte-equal
+    to the Catalyst shard_column (pinned by tests). Victim-cache entries
+    answer positively, mirroring checkIsVictim (CuckooFilter.java:605-627).
+    Returns (result_array, seed_words) so callers can reuse the scratch."""
+    from cuckoofilter4j_spark.hashing import xxh64_words
+    from cuckoofilter4j_spark.operators.build import (
+        _SHARD_HASH_SEED,
+        words_from_arrow_binary,
+    )
+
+    tables, gen, v1, v2, vt, hasv = stack
+    words = words_from_arrow_binary(arrow_col)
+    n = words.shape[0]
+    h1 = xxh64_words(words, 42)
+    if seed_words is None or seed_words.shape[0] != n:
+        seed_words = np.empty((n, 2), dtype=np.uint64)
+        seed_words[:, 0] = 4
+        seed_words[:, 1] = np.uint64(_SHARD_HASH_SEED)
+    shard = (xxh64_words(seed_words, h1).view(np.int64) % S).astype(np.int64)
+    i1, tag = gen.generate(words)
+    i2 = gen.alt(i1, tag)
+    t = tag.astype(tables.dtype)
+    rows1 = tables[shard, i1]
+    rows2 = tables[shard, i2]
+    is_v = hasv[shard] & (tag == vt[shard]) & (
+        (i1 == v1[shard]) | (i1 == v2[shard])
+        | (i2 == v1[shard]) | (i2 == v2[shard])
+    )
+    if mode == "contains":
+        res = (
+            (rows1 == t[:, None]).any(axis=1)
+            | (rows2 == t[:, None]).any(axis=1)
+            | is_v
+        )
+    else:
+        res = (
+            (rows1 == t[:, None]).sum(axis=1)
+            + (rows2 == t[:, None]).sum(axis=1)
+            + is_v.astype(np.int64)
+        ).astype(np.int64)
+    return res, seed_words
+
+
 def _probe_sharded_stacked(
     df: DataFrame,
     smap: Dict[tuple, bytes],
@@ -367,102 +457,106 @@ def _probe_sharded_stacked(
     sort-and-loop over up to S tiny groups that dominated the routed probe
     (an Arrow batch of 10k rows over 512 shards means ~20-row group calls).
     """
-    import hashlib
-
     import pyarrow as pa
-
-    from cuckoofilter4j_spark.core import CuckooFilter, IndexTagGen, alt_index
-    from cuckoofilter4j_spark.hashing import xxh64_words
-    from cuckoofilter4j_spark.operators.build import (
-        _SHARD_HASH_SEED,
-        words_from_arrow_binary,
-    )
 
     out_type = BooleanType() if mode == "contains" else LongType()
     out_schema = StructType(
         df.schema.fields + [StructField(result_col, out_type, False)]
     )
     bc = df.sparkSession.sparkContext.broadcast(dict(smap))
-    # cache token = CONTENT digest (driver-side, once per probe call), not a
-    # per-plan uuid: repeated probes against the same sharded filter — the
-    # probe-many pattern — reuse the worker's stacked table instead of
-    # re-unpacking S shard blobs per plan (measured 2.8 s single-threaded
-    # for a 268 MB stack at 121.6M keys; at 16 workers the concurrent
-    # rebuilds are bandwidth-contended and dominated short probe windows)
-    digest = hashlib.blake2b(digest_size=16)
-    digest.update(f"S={num_shards};mode=stacked".encode())
-    for sh in sorted(s for (s,) in smap):
-        digest.update(str(sh).encode())
-        digest.update(smap[(sh,)])
-    token = digest.hexdigest()
+    token = _stacked_token(smap, num_shards)
     key_idx = df.columns.index(key_col)
     S = int(num_shards)
     mode_ = mode
 
-    def _build_stack(blob_map):
-        first = CuckooFilter.from_bytes(next(iter(blob_map.values())))
-        nb, tb = first.num_buckets, first.tag_bits
-        tables = np.zeros((S, nb, 4), dtype=first.table.dtype)
-        v1 = np.full(S, -1, dtype=np.int64)
-        v2 = np.full(S, -1, dtype=np.int64)
-        vt = np.zeros(S, dtype=np.uint64)
-        hasv = np.zeros(S, dtype=bool)
-        for (sh,), blob in blob_map.items():
-            f = CuckooFilter.from_bytes(blob)
-            if (f.num_buckets, f.tag_bits, f.seed, f.hash_algo) != (
-                nb, tb, first.seed, first.hash_algo
-            ):
-                raise ValueError("stacked probe requires uniform shard params")
-            tables[sh] = f.table
-            if f.has_victim:
-                hasv[sh] = True
-                v1[sh], v2[sh], vt[sh] = f.victim_i1, f.victim_i2, np.uint64(f.victim_tag)
-        gen = IndexTagGen(nb, tb, first.seed, first.hash_algo)
-        return tables, gen, v1, v2, vt, hasv
-
     def probe(batches):
-        tables, gen, v1, v2, vt, hasv = _stacked_cache_get(
-            token, lambda: _build_stack(bc.value)
-        )
+        stack = _stacked_cache_get(token, lambda: _build_stack(bc.value, S))
         pa_type = pa.bool_() if mode_ == "contains" else pa.int64()
         seed_words = None
         for batch in batches:
-            n = batch.num_rows
-            if n == 0:
+            if batch.num_rows == 0:
                 continue
-            words = words_from_arrow_binary(batch.column(key_idx))
-            # shard routing: pmod(xxhash64(key, lit(int seed)), S) — the
-            # int literal hashes as a 4-byte message chained on the key hash
-            h1 = xxh64_words(words, 42)
-            if seed_words is None or seed_words.shape[0] != n:
-                seed_words = np.empty((n, 2), dtype=np.uint64)
-                seed_words[:, 0] = 4
-                seed_words[:, 1] = np.uint64(_SHARD_HASH_SEED)
-            shard = (xxh64_words(seed_words, h1).view(np.int64) % S).astype(np.int64)
-            i1, tag = gen.generate(words)
-            i2 = gen.alt(i1, tag)
-            t = tag.astype(tables.dtype)
-            rows1 = tables[shard, i1]
-            rows2 = tables[shard, i2]
-            is_v = hasv[shard] & (tag == vt[shard]) & (
-                (i1 == v1[shard]) | (i1 == v2[shard])
-                | (i2 == v1[shard]) | (i2 == v2[shard])
+            res, seed_words = _batch_membership(
+                batch.column(key_idx), stack, S, mode_, seed_words
             )
-            if mode_ == "contains":
-                res = (
-                    (rows1 == t[:, None]).any(axis=1)
-                    | (rows2 == t[:, None]).any(axis=1)
-                    | is_v
-                )
-            else:
-                res = (
-                    (rows1 == t[:, None]).sum(axis=1)
-                    + (rows2 == t[:, None]).sum(axis=1)
-                    + is_v.astype(np.int64)
-                ).astype(np.int64)
             yield batch.append_column(result_col, pa.array(res, type=pa_type))
 
     return df.mapInArrow(probe, out_schema)
+
+
+def count_members_sharded(
+    df: DataFrame,
+    sketches,
+    key_col: str = "key",
+    num_shards: Optional[int] = None,
+) -> DataFrame:
+    """Aggregate membership probe: ONE row (n_probed, n_members) instead of
+    a per-row boolean column — the shape for membership-rate / observed-FPP
+    / contamination-rate checks, where per-key results are never consumed.
+
+    Why a dedicated operator: mapInArrow is opaque to Catalyst, so
+    `might_contain_sharded(df).filter(col).count()` ships every input
+    column BACK through Arrow into the JVM and re-converts 10^8 rows to
+    unsafe rows just to count booleans — measured as the dominant cost of
+    count-style probes (the Python kernel itself scales to 38M probes/s
+    across 16 processes on this host while the full-return pipeline walls
+    at ~5.5M/s). Here each task emits ONE partial-count row; the JVM-side
+    return path disappears and the probe scales with cores again
+    (5.6 → 16.8M probes/s at local[4]→local[16], 30.4M keys).
+
+    Requires binary keys (sha256_key) and uniform shard params — the same
+    conditions as the stacked probe; anything else falls back to the
+    per-row probe + aggregate (same result, slower)."""
+    from pyspark.sql.types import BinaryType as _BinaryType
+
+    import pyarrow as pa
+
+    smap, num_shards = _resolve_sharded(sketches, num_shards)
+    if not (
+        isinstance(df.schema[key_col].dataType, _BinaryType) and _stacked_ok(smap)
+    ):
+        probed = might_contain_sharded(
+            df, smap, key_col, result_col="__cms_mc", num_shards=num_shards
+        )
+        return probed.agg(
+            F.count("*").alias("n_probed"),
+            F.sum(F.col("__cms_mc").cast("long")).alias("n_members"),
+        )
+    bc = df.sparkSession.sparkContext.broadcast(dict(smap))
+    token = _stacked_token(smap, num_shards)
+    S = int(num_shards)
+    out_schema = StructType(
+        [
+            StructField("n_probed", LongType(), False),
+            StructField("n_members", LongType(), False),
+        ]
+    )
+
+    def probe_counts(batches):
+        stack = _stacked_cache_get(token, lambda: _build_stack(bc.value, S))
+        seed_words = None
+        total = members = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            # the mapped frame is df.select(key_col): single column, index 0
+            res, seed_words = _batch_membership(
+                batch.column(0), stack, S, "contains", seed_words
+            )
+            total += batch.num_rows
+            members += int(res.sum())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([total], type=pa.int64()),
+                pa.array([members], type=pa.int64()),
+            ],
+            ["n_probed", "n_members"],
+        )
+
+    partials = df.select(key_col).mapInArrow(probe_counts, out_schema)
+    return partials.agg(
+        F.sum("n_probed").alias("n_probed"), F.sum("n_members").alias("n_members")
+    )
 
 
 def might_contain_sharded(

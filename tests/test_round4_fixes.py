@@ -94,10 +94,16 @@ def test_probe_planning_never_unpacks_tables(spark, few_keys, monkeypatch):
     plan_join = pruned_join(
         few_keys, small, "key", smap, key_col="key", num_shards=S
     )
+    from cuckoofilter4j_spark.operators import count_members_sharded
+
+    plan_cm = count_members_sharded(few_keys, smap, "key", num_shards=S)
     monkeypatch.undo()
     assert plan_mc.filter(~F.col("might_contain")).count() == 0
     assert plan_cnt.filter(F.col("approx_count") < 1).count() == 0
     assert plan_join.count() == 20
+    n = few_keys.count()
+    row = plan_cm.first()
+    assert row["n_probed"] == n and row["n_members"] == n
 
 
 # ---------------------------------------------------------------------------

@@ -282,3 +282,57 @@ def test_sharded_cogroup_probe_matches_broadcast(spark):
          for r in might_contain_sharded_cogroup(probes, sk, "key").collect()}
     assert a == b and len(a) == 120
     assert all(a[d] for d in a if d < 60)  # zero false negatives
+
+
+def test_count_members_sharded_matches_full_probe(spark, keyed):
+    """The aggregate probe must count exactly what the per-row probe counts
+    — members, absent keys (incl. false positives, same hash), and the
+    string-key fallback path."""
+    from cuckoofilter4j_spark.operators import count_members_sharded
+
+    uniq = keyed.distinct().cache()
+    n = uniq.count()
+    sk = build_filter_sharded(uniq, "key", num_shards=16, max_keys=n, seed=42)
+    # members only: zero false negatives -> exact
+    row = count_members_sharded(uniq, sk, "key").first()
+    assert row["n_probed"] == n and row["n_members"] == n
+    # mixed members + absent: must equal the per-row probe's filter-count
+    absent = uniq.select(sha256_key(F.base64("key")).alias("key"))
+    mixed = uniq.unionByName(absent)
+    expected = (
+        might_contain_sharded(mixed, sk, "key").filter(F.col("might_contain")).count()
+    )
+    got = count_members_sharded(mixed, sk, "key").first()
+    assert got["n_probed"] == 2 * n and got["n_members"] == expected
+    uniq.unpersist()
+
+
+def test_count_members_sharded_empty_and_victim(spark):
+    import numpy as np
+
+    from cuckoofilter4j_spark.core import CuckooFilter
+    from cuckoofilter4j_spark.operators import count_members_sharded
+    from cuckoofilter4j_spark.operators.build import _stamp_num_shards
+
+    # overfill a tiny filter until the victim slot is occupied
+    rng = np.random.default_rng(3)
+    f = CuckooFilter(num_buckets=8, tag_bits=8, seed=42)
+    keys = []
+    for _ in range(200):
+        k = rng.bytes(16)
+        if f.put(k):
+            keys.append(k)
+        if f.has_victim:
+            break
+    assert f.has_victim
+    row_df = spark.createDataFrame(
+        [(0, f.to_bytes())], "__ckf_shard int, sketch binary"
+    )
+    sk = _stamp_num_shards(row_df, 1)
+    df = spark.createDataFrame([(k,) for k in keys], "key binary")
+    row = count_members_sharded(df, sk, "key").first()
+    assert row["n_probed"] == len(keys) and row["n_members"] == len(keys)
+    # empty probe set -> (0, 0), not an error
+    empty = spark.createDataFrame([], "key binary")
+    row0 = count_members_sharded(empty, sk, "key").first()
+    assert row0["n_probed"] == 0 and row0["n_members"] == 0
