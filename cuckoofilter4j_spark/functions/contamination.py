@@ -129,7 +129,12 @@ def ngram_contamination(
     probes = _ngram_keys(eval_df, text_col, id_col, shingle_k, unit).dropDuplicates(
         ["id", "key"]
     )
-    hit = might_contain_sharded(probes, sketches, "key", num_shards=None)
+    # output_cols=["id"]: the report aggregates (id, bool) — without the
+    # projection every probed n-gram's 32-byte key would ride back through
+    # the opaque probe (Catalyst can't prune it; BASELINE.md r4)
+    hit = might_contain_sharded(
+        probes, sketches, "key", num_shards=None, output_cols=["id"]
+    )
     return (
         hit.groupBy("id")
         .agg(

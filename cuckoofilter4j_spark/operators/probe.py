@@ -448,6 +448,7 @@ def _probe_sharded_stacked(
     key_col: str,
     result_col: str,
     mode: str,
+    output_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Sharded probe with NO per-shard grouping: all shard tables stack into
     one (S, num_buckets, 4) array per worker, the shard id is derived in
@@ -456,16 +457,28 @@ def _probe_sharded_stacked(
     two fancy-indexed gathers per batch. Removes the per-batch
     sort-and-loop over up to S tiny groups that dominated the routed probe
     (an Arrow batch of 10k rows over 512 shards means ~20-row group calls).
-    """
+
+    `output_cols` projects the RETURN batches inside the worker: Catalyst
+    cannot prune columns through an opaque mapInArrow, so without it every
+    input column (typically a 32-byte key) rides back through Arrow and is
+    re-converted to JVM rows even when the consumer only wants (id, bool).
+    The return path is the dominant cost of probe-heavy plans — see
+    count_members_sharded / BASELINE.md r4."""
     import pyarrow as pa
 
+    keep = list(output_cols) if output_cols is not None else list(df.columns)
+    missing = [c for c in keep if c not in df.columns]
+    if missing:
+        raise ValueError(f"output_cols {missing} not in probe DataFrame columns")
     out_type = BooleanType() if mode == "contains" else LongType()
     out_schema = StructType(
-        df.schema.fields + [StructField(result_col, out_type, False)]
+        [df.schema[c] for c in keep] + [StructField(result_col, out_type, False)]
     )
     bc = df.sparkSession.sparkContext.broadcast(dict(smap))
     token = _stacked_token(smap, num_shards)
     key_idx = df.columns.index(key_col)
+    keep_idx = [df.columns.index(c) for c in keep]
+    project = keep != list(df.columns)
     S = int(num_shards)
     mode_ = mode
 
@@ -479,7 +492,8 @@ def _probe_sharded_stacked(
             res, seed_words = _batch_membership(
                 batch.column(key_idx), stack, S, mode_, seed_words
             )
-            yield batch.append_column(result_col, pa.array(res, type=pa_type))
+            out = batch.select(keep_idx) if project else batch
+            yield out.append_column(result_col, pa.array(res, type=pa_type))
 
     return df.mapInArrow(probe, out_schema)
 
@@ -565,6 +579,7 @@ def might_contain_sharded(
     key_col: str = "key",
     result_col: str = "might_contain",
     num_shards: Optional[int] = None,
+    output_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Membership probe against a sharded global filter (build_filter_sharded):
     routes each key to its shard with the same hash and probes that shard.
@@ -573,20 +588,29 @@ def might_contain_sharded(
 
     Binary keys take the stacked fast path (_probe_sharded_stacked: one
     gather per candidate bucket, no per-shard grouping); other key types
-    fall back to the routed per-group probe."""
+    fall back to the routed per-group probe.
+
+    `output_cols` limits which input columns ride back with the result —
+    Catalyst cannot prune columns through the opaque probe, so consumers
+    that only need e.g. (doc_id, might_contain) should say so: the probe
+    key alone is typically 32 bytes/row of pointless return traffic, and
+    the return path dominates probe-heavy plans (BASELINE.md r4)."""
     from cuckoofilter4j_spark.operators.build import SHARD_COL, shard_column
     from pyspark.sql.types import BinaryType as _BinaryType
 
     smap, num_shards = _resolve_sharded(sketches, num_shards)
     if isinstance(df.schema[key_col].dataType, _BinaryType) and _stacked_ok(smap):
         return _probe_sharded_stacked(
-            df, smap, num_shards, key_col, result_col, "contains"
+            df, smap, num_shards, key_col, result_col, "contains", output_cols
         )
     routed = df.withColumn(SHARD_COL, shard_column(key_col, num_shards))
     out = _probe_map(
         routed, smap, key_col, [SHARD_COL], result_col, BooleanType(), "contains"
     )
-    return out.drop(SHARD_COL)
+    out = out.drop(SHARD_COL)
+    if output_cols is not None:
+        out = out.select(*output_cols, result_col)
+    return out
 
 
 def approx_count_sharded(
@@ -595,6 +619,7 @@ def approx_count_sharded(
     key_col: str = "key",
     result_col: str = "approx_count",
     num_shards: Optional[int] = None,
+    output_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     from cuckoofilter4j_spark.operators.build import SHARD_COL, shard_column
     from pyspark.sql.types import BinaryType as _BinaryType
@@ -602,13 +627,16 @@ def approx_count_sharded(
     smap, num_shards = _resolve_sharded(sketches, num_shards)
     if isinstance(df.schema[key_col].dataType, _BinaryType) and _stacked_ok(smap):
         return _probe_sharded_stacked(
-            df, smap, num_shards, key_col, result_col, "count"
+            df, smap, num_shards, key_col, result_col, "count", output_cols
         )
     routed = df.withColumn(SHARD_COL, shard_column(key_col, num_shards))
     out = _probe_map(
         routed, smap, key_col, [SHARD_COL], result_col, LongType(), "count"
     )
-    return out.drop(SHARD_COL)
+    out = out.drop(SHARD_COL)
+    if output_cols is not None:
+        out = out.select(*output_cols, result_col)
+    return out
 
 
 def delete_keys_sharded(

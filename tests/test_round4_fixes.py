@@ -245,3 +245,27 @@ def test_wav_corrupt_fmt_chunk_raises():
     # the untouched payload still decodes
     sr, samples = _parse_wav(good)
     assert sr == 8000 and samples.shape[0] == 64
+
+
+def test_probe_output_cols_projects_return_batches(spark, few_keys):
+    """output_cols returns only the requested columns + result, with values
+    identical to the unprojected probe, on both the stacked (binary-key)
+    and routed (dict/string) paths."""
+    from cuckoofilter4j_spark.operators import approx_count_sharded
+
+    tagged = few_keys.withColumn("rid", F.crc32("key"))
+    n = tagged.count()
+    sk = build_filter_sharded(
+        tagged, "key", num_shards=8, max_keys=max(n, 256), seed=42
+    )
+    full = might_contain_sharded(tagged, sk, "key")
+    proj = might_contain_sharded(tagged, sk, "key", output_cols=["rid"])
+    assert proj.columns == ["rid", "might_contain"]
+    a = {r["rid"]: r["might_contain"] for r in full.select("rid", "might_contain").collect()}
+    b = {r["rid"]: r["might_contain"] for r in proj.collect()}
+    assert a == b and len(a) == n
+    cnt = approx_count_sharded(tagged, sk, "key", output_cols=["rid"])
+    assert cnt.columns == ["rid", "approx_count"]
+    assert cnt.filter(F.col("approx_count") < 1).count() == 0
+    with pytest.raises(ValueError, match="output_cols"):
+        might_contain_sharded(tagged, sk, "key", output_cols=["nope"])
