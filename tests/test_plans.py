@@ -131,3 +131,50 @@ def test_capped_minhash_broadcasts_hot_set_no_cartesian(spark):
     plan = plan_string(out, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_count_members_plan_single_exchange(spark):
+    """count_members_sharded: scan + mapInArrow partials + ONE exchange (the
+    1-row-per-task final agg). Anything more would reintroduce the return
+    path the operator exists to avoid."""
+    from cuckoofilter4j_spark.operators import (
+        build_filter_sharded,
+        count_members_sharded,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select(sha256_key("text").alias("key"))
+    sk = build_filter_sharded(keyed, "key", num_shards=8, max_keys=1024, seed=42)
+    out = count_members_sharded(keyed, sk, "key")
+    assert shuffle_count(out) == 1, plan_string(out, "simple")
+    # the probe stage scans only the key derivation input (column pruning)
+    cols = read_columns(out)
+    assert cols and set(cols[0]) == {"text"}, cols
+
+
+def test_probe_output_cols_narrows_return_schema(spark):
+    """With output_cols the mapInArrow node's output schema drops the key —
+    the projection happens INSIDE the worker, not in a JVM select above
+    the full return."""
+    from cuckoofilter4j_spark.operators import (
+        build_filter_sharded,
+        might_contain_sharded,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select("doc_id", sha256_key("text").alias("key"))
+    sk = build_filter_sharded(keyed, "key", num_shards=8, max_keys=1024, seed=42)
+    out = might_contain_sharded(keyed, sk, "key", output_cols=["doc_id"])
+    # the narrow schema IS the MapInArrow node's own output (projection
+    # happens inside the worker): the topmost physical node is MapInArrow —
+    # no JVM-side Project above it doing the narrowing after a full return
+    assert out.columns == ["doc_id", "might_contain"]
+    plan = plan_string(out, "simple")
+    nodes = [
+        ln.strip(" *+-")
+        for ln in plan.splitlines()
+        if ln.strip() and "Physical Plan" not in ln
+    ]
+    assert nodes and nodes[0].startswith("MapInArrow"), plan
+    assert not any(n.startswith("Project") for n in nodes[:1]), plan
+    assert shuffle_count(out) == 0, plan
