@@ -1020,6 +1020,12 @@ class CuckooFilter:
             and np.array_equal(self.semantic_fingerprints(), other.semantic_fingerprints())
         )
 
+    @property
+    def nbytes(self) -> int:
+        """In-memory table footprint — used by the worker-side probe cache's
+        byte budget (operators/probe.py)."""
+        return int(self.table.nbytes)
+
     # -- equality / copy / serialization ---------------------------------------
     def canonical_table(self) -> np.ndarray:
         """Slot-order-canonical form: tags sorted ascending within each bucket

@@ -75,7 +75,9 @@ def _probe_map(
         def filter_for(gvals: tuple) -> Optional[CuckooFilter]:
             if gvals not in cache:
                 blob = sketch_map.get(gvals)
-                cache[gvals] = CuckooFilter.from_bytes(blob) if blob is not None else None
+                cache[gvals] = (
+                    _cached_filter_from_bytes(blob) if blob is not None else None
+                )
             return cache[gvals]
 
         for pdf in batches:
@@ -136,7 +138,9 @@ def _probe_map_arrow(
         def filter_for(gvals: tuple) -> Optional[CuckooFilter]:
             if gvals not in cache:
                 blob = sketch_map.get(gvals)
-                cache[gvals] = CuckooFilter.from_bytes(blob) if blob is not None else None
+                cache[gvals] = (
+                    _cached_filter_from_bytes(blob) if blob is not None else None
+                )
             return cache[gvals]
 
         for batch in batches:
@@ -327,6 +331,20 @@ def _stacked_cache_get(token: str, builder):
     _STACKED_CACHE[token] = (entry, nb)
     _STACKED_CACHE_BYTES += nb
     return entry
+
+
+def _cached_filter_from_bytes(blob: bytes) -> CuckooFilter:
+    """Per-worker content-keyed decode cache (shares the byte-bounded LRU
+    with the stacked tables): tasks and pandas-UDF batches re-probing the
+    same filter reuse the decoded table instead of re-running _unpack_bits
+    (tens of ms to seconds for large filters). READ-ONLY callers only —
+    mutating paths (delete, merge_in_place) must keep decoding privately,
+    or they would corrupt the shared cached object."""
+    import hashlib
+
+    token = "filt-" + hashlib.blake2b(blob, digest_size=16).hexdigest()
+    (filt,) = _stacked_cache_get(token, lambda: (CuckooFilter.from_bytes(blob),))
+    return filt
 
 
 def _stacked_ok(smap: Dict[tuple, bytes]) -> bool:
@@ -711,7 +729,7 @@ def might_contain_cogroup(
         if len(sk_pdf) == 0 or len(rows_pdf) == 0:
             out[rc] = False if len(rows_pdf) else pd.Series([], dtype="bool")
             return out
-        filt = CuckooFilter.from_bytes(bytes(sk_pdf["sketch"].iloc[0]))
+        filt = _cached_filter_from_bytes(bytes(sk_pdf["sketch"].iloc[0]))
         out[rc] = filt.contains_batch(rows_pdf[kc])
         return out
 
@@ -789,14 +807,14 @@ def register_probe_udf(
 
         @pandas_udf("boolean")
         def probe(keys: pd.Series) -> pd.Series:
-            filt = CuckooFilter.from_bytes(bc.value)
+            filt = _cached_filter_from_bytes(bc.value)
             return pd.Series(filt.contains_batch(keys))
 
     elif mode == "count":
 
         @pandas_udf("long")
         def probe(keys: pd.Series) -> pd.Series:
-            filt = CuckooFilter.from_bytes(bc.value)
+            filt = _cached_filter_from_bytes(bc.value)
             return pd.Series(filt.count_batch(keys))
 
     else:

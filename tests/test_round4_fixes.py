@@ -269,3 +269,22 @@ def test_probe_output_cols_projects_return_batches(spark, few_keys):
     assert cnt.filter(F.col("approx_count") < 1).count() == 0
     with pytest.raises(ValueError, match="output_cols"):
         might_contain_sharded(tagged, sk, "key", output_cols=["nope"])
+
+
+def test_cached_filter_decode_once_and_byte_accounted(clean_cache):
+    from cuckoofilter4j_spark.core import CuckooFilter
+    from cuckoofilter4j_spark.operators.probe import _cached_filter_from_bytes
+
+    P = clean_cache
+    f = CuckooFilter(num_buckets=64, tag_bits=8, seed=5)
+    for i in range(40):
+        f.put(b"k%d" % i)
+    blob = f.to_bytes()
+    a = _cached_filter_from_bytes(blob)
+    b = _cached_filter_from_bytes(blob)
+    assert a is b  # decode happened once
+    assert P._STACKED_CACHE_BYTES == a.nbytes > 0
+    assert all(a.contains_batch([b"k%d" % i for i in range(40)]))
+    # (mutation safety of delete/merge paths is pinned behaviorally: the
+    # drain-to-zero and merge-invariance tests would break if those paths
+    # mutated a shared cached object)
