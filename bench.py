@@ -238,6 +238,13 @@ def probe_throughput(cores: int, rows: int) -> dict:
     from cuckoofilter4j_spark.operators import count_members_sharded
     from cuckoofilter4j_spark.sources import load_sketches
 
+    if rows != PROBE_ROWS:
+        raise ValueError(
+            f"probe_throughput probes the store built for PROBE_ROWS="
+            f"{PROBE_ROWS} (set SPARK_GRAFT_PROBE_ROWS to change it); "
+            f"rows={rows} would stage different keys and report spurious "
+            "false negatives"
+        )
     stage_dir = f"{SCALE_STAGE}_{rows}"
     split = None
     if os.path.exists(stage_dir):

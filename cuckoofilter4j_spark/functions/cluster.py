@@ -33,7 +33,14 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     which grows ~5× per round until the DRIVER heap, not the data, is the
     bottleneck (observed at <1k edges by round ~8). On a real cluster set
     a checkpoint dir — reliable blocks survive executor loss, while
-    localCheckpoint blocks die with their executor."""
+    localCheckpoint blocks die with their executor.
+
+    Reliable-checkpoint caveat: Spark does NOT delete checkpoint files when
+    the DataFrame is unpersisted or garbage-collected unless
+    `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set — set it
+    (or point the checkpoint dir at reclaimable storage) for long-running
+    sessions that call the iterative operators repeatedly, or per-round
+    files accumulate."""
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
@@ -100,13 +107,17 @@ def dup_clusters(
                 .groupBy("id")
                 .agg(F.min("cluster_id").alias("cluster_id"))
             )
-            changed = (
-                labels.withColumnRenamed("cluster_id", "__old")
-                .join(new_labels, "id")
-                .filter(F.col("__old") != F.col("cluster_id"))
-                .limit(1)
-                .count()
-            )
+            try:
+                changed = (
+                    labels.withColumnRenamed("cluster_id", "__old")
+                    .join(new_labels, "id")
+                    .filter(F.col("__old") != F.col("cluster_id"))
+                    .limit(1)
+                    .count()
+                )
+            except BaseException:
+                new_labels.unpersist()  # raise path: don't orphan the round
+                raise
             prev = labels
             labels = new_labels
             prev.unpersist()
@@ -190,31 +201,38 @@ def _dup_clusters_star(
                 )
                 .dropDuplicates(["__u", "__v"])
             )
-            n_old, n_new = edges.count(), ss.count()
-            changed = (
-                n_old != n_new
-                or ss.join(edges, ["__u", "__v"], "left_anti").limit(1).count()
-                > 0
-            )
+            try:
+                n_old, n_new = edges.count(), ss.count()
+                changed = (
+                    n_old != n_new
+                    or ss.join(edges, ["__u", "__v"], "left_anti")
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+            except BaseException:
+                ss.unpersist()  # raise path: don't orphan the round
+                raise
             prev = edges
             edges = ss
             prev.unpersist()
             if not changed:
-                # stars: every non-root points at its component min
-                labels = (
+                # stars: every non-root points at its component min. The
+                # result is materialized as its own LEAF (_truncate_lineage,
+                # not persist): the finally block releases edges' blocks,
+                # and a persisted-but-lost labels partition could not be
+                # recomputed through them
+                labels = _truncate_lineage(
                     edges.select(
                         F.col("__u").alias("id"),
                         F.col("__v").alias("cluster_id"),
-                    )
-                    .unionByName(
+                    ).unionByName(
                         edges.select(
                             F.col("__v").alias("id"),
                             F.col("__v").alias("cluster_id"),
                         ).distinct()
                     )
-                    .persist()
                 )
-                labels.count()
                 return labels
         raise RuntimeError(
             f"dup_clusters(algorithm='star') did not converge in {max_iter} "

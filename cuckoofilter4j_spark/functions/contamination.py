@@ -27,6 +27,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 from cuckoofilter4j_spark.operators.build import build_filter_sharded, sha256_key
 from cuckoofilter4j_spark.operators.probe import might_contain_sharded
 
+# shingling-parameter stamp on contamination filters: a filter probed with
+# the wrong unit/k silently reports ~fpp hit rates for contaminated docs
+SHINGLE_UNIT_COL = "shingle_unit"
+SHINGLE_K_COL = "shingle_k"
+
 
 _TOKEN_RE = r"\S+"  # same token definition as functions/text.py token_count
 
@@ -126,6 +131,23 @@ def ngram_contamination(
             train, text_col, id_col, shingle_k, fpp=fpp, seed=seed,
             num_shards=num_shards, max_keys=max_keys, unit=unit,
         )
+    elif SHINGLE_UNIT_COL in sketches.columns and SHINGLE_K_COL in sketches.columns:
+        # validate the stamp: a pre-built filter probed with the wrong
+        # unit/k reports hit_frac ~ fpp for contaminated docs — the gate
+        # would silently pass everything. One 1-row job per call.
+        stamp = sketches.select(
+            F.first(SHINGLE_UNIT_COL).alias("u"), F.first(SHINGLE_K_COL).alias("k")
+        ).first()
+        if stamp["u"] is not None and (
+            stamp["u"] != unit or int(stamp["k"]) != int(shingle_k)
+        ):
+            raise ValueError(
+                f"sketches were built with unit={stamp['u']!r}, "
+                f"shingle_k={int(stamp['k'])} but this call probes "
+                f"unit={unit!r}, shingle_k={int(shingle_k)} — mismatched "
+                "shingling makes every contaminated document look clean "
+                "(hit_frac ~ fpp); pass matching parameters"
+            )
     probes = _ngram_keys(eval_df, text_col, id_col, shingle_k, unit).dropDuplicates(
         ["id", "key"]
     )
@@ -206,7 +228,13 @@ def build_contamination_filter(
             keys.agg(F.approx_count_distinct("key").alias("n")).collect()[0]["n"]
             * 1.1
         )
-    return build_filter_sharded(
+    sk = build_filter_sharded(
         keys, "key", num_shards=num_shards, max_keys=max(int(max_keys), 1024),
         fpp=fpp, seed=seed, sizing="paper",
+    )
+    # stamp the shingling params: probing a char-8 filter with token-13
+    # shingles yields hit_frac ~ fpp for genuinely contaminated docs — the
+    # gate silently stops gating. ngram_contamination validates the stamp.
+    return sk.withColumn(SHINGLE_UNIT_COL, F.lit(unit)).withColumn(
+        SHINGLE_K_COL, F.lit(int(shingle_k))
     )

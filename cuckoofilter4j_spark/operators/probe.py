@@ -333,16 +333,25 @@ def _stacked_cache_get(token: str, builder):
     return entry
 
 
-def _cached_filter_from_bytes(blob: bytes) -> CuckooFilter:
+def _cached_filter_from_bytes(blob: bytes, token: str = None) -> CuckooFilter:
     """Per-worker content-keyed decode cache (shares the byte-bounded LRU
     with the stacked tables): tasks and pandas-UDF batches re-probing the
     same filter reuse the decoded table instead of re-running _unpack_bits
-    (tens of ms to seconds for large filters). READ-ONLY callers only —
-    mutating paths (delete, merge_in_place) must keep decoding privately,
-    or they would corrupt the shared cached object."""
-    import hashlib
+    (tens of ms to seconds for large filters).
 
-    token = "filt-" + hashlib.blake2b(blob, digest_size=16).hexdigest()
+    Use ONLY where re-decode of the SAME filter actually recurs (broadcast
+    probe maps, SQL-UDF probes) — single-use decodes (the cogroup probe's
+    per-group filters) would pollute the LRU. READ-ONLY callers only —
+    mutating paths (delete, merge_in_place) must keep decoding privately,
+    or they would corrupt the shared cached object.
+
+    Pass a precomputed `token` when the blob is fixed at plan time (e.g. a
+    registered UDF's broadcast filter): hashing a 100 MB blob per Arrow
+    batch would rival the probe kernel's own cost."""
+    if token is None:
+        import hashlib
+
+        token = "filt-" + hashlib.blake2b(blob, digest_size=16).hexdigest()
     (filt,) = _stacked_cache_get(token, lambda: (CuckooFilter.from_bytes(blob),))
     return filt
 
@@ -552,7 +561,9 @@ def count_members_sharded(
         )
         return probed.agg(
             F.count("*").alias("n_probed"),
-            F.sum(F.col("__cms_mc").cast("long")).alias("n_members"),
+            F.coalesce(
+                F.sum(F.col("__cms_mc").cast("long")), F.lit(0).cast("long")
+            ).alias("n_members"),
         )
     bc = df.sparkSession.sparkContext.broadcast(dict(smap))
     token = _stacked_token(smap, num_shards)
@@ -586,8 +597,11 @@ def count_members_sharded(
         )
 
     partials = df.select(key_col).mapInArrow(probe_counts, out_schema)
+    # coalesce: a source with ZERO file splits emits no partial rows at all,
+    # and sum-of-nothing is NULL, not 0
     return partials.agg(
-        F.sum("n_probed").alias("n_probed"), F.sum("n_members").alias("n_members")
+        F.coalesce(F.sum("n_probed"), F.lit(0).cast("long")).alias("n_probed"),
+        F.coalesce(F.sum("n_members"), F.lit(0).cast("long")).alias("n_members"),
     )
 
 
@@ -729,7 +743,13 @@ def might_contain_cogroup(
         if len(sk_pdf) == 0 or len(rows_pdf) == 0:
             out[rc] = False if len(rows_pdf) else pd.Series([], dtype="bool")
             return out
-        filt = _cached_filter_from_bytes(bytes(sk_pdf["sketch"].iloc[0]))
+        # NO shared decode cache here, deliberately: the cogroup probe
+        # exists for sketch sets too large to broadcast (one filter per
+        # group, typically touched once per task), so cached entries would
+        # have a ~zero hit rate while growing each long-lived worker's RSS
+        # toward the full cache budget and evicting the genuinely reusable
+        # stacked-probe tables
+        filt = CuckooFilter.from_bytes(bytes(sk_pdf["sketch"].iloc[0]))
         out[rc] = filt.contains_batch(rows_pdf[kc])
         return out
 
@@ -802,19 +822,25 @@ def register_probe_udf(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bc = spark.sparkContext.broadcast(bytes(sketch_bytes))
+    import hashlib
+
+    blob = bytes(sketch_bytes)
+    bc = spark.sparkContext.broadcast(blob)
+    # content token computed ONCE here: hashing the blob per Arrow batch
+    # on the workers would rival the probe kernel's own cost
+    token = "filt-" + hashlib.blake2b(blob, digest_size=16).hexdigest()
     if mode == "contains":
 
         @pandas_udf("boolean")
         def probe(keys: pd.Series) -> pd.Series:
-            filt = _cached_filter_from_bytes(bc.value)
+            filt = _cached_filter_from_bytes(bc.value, token)
             return pd.Series(filt.contains_batch(keys))
 
     elif mode == "count":
 
         @pandas_udf("long")
         def probe(keys: pd.Series) -> pd.Series:
-            filt = _cached_filter_from_bytes(bc.value)
+            filt = _cached_filter_from_bytes(bc.value, token)
             return pd.Series(filt.count_batch(keys))
 
     else:

@@ -55,6 +55,14 @@ def save_ivf_index(
     One shuffle (the repartition that collapses each list's rows into its
     partition directory) paid once at write time. Returns the centroids so
     the caller can reuse them without re-reading the manifest."""
+    if mode == "append":
+        raise ValueError(
+            "save_ivf_index(mode='append') would re-assign with NEW "
+            "centroids while old rows keep their old-quantizer lists and "
+            "sims (a meaningless blended staleness baseline) — use "
+            "append_ivf_index to grow an existing index, or overwrite to "
+            "rebuild it"
+        )
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, n_lists, seed)
     cm = np.asarray(centroids, dtype=np.float64)
@@ -71,8 +79,10 @@ def save_ivf_index(
     # corpus the quantizer was trained for (one column aggregate over the
     # just-written table — probes never read SIM_COL thanks to pruning)
     spark = corpus.sparkSession
+    # explicit schema: a zero-row save leaves no parquet files to infer from
     base = (
-        spark.read.parquet(os.path.join(path, "lists"))
+        spark.read.schema(assigned.schema)
+        .parquet(os.path.join(path, "lists"))
         .agg(F.avg(SIM_COL).alias("s"), F.count("*").alias("n"))
         .first()
     )
@@ -129,11 +139,13 @@ def append_ivf_index(
     and on stores written before the staleness column existed."""
     spark = corpus.sparkSession
     meta = load_ivf_meta(spark, path)
-    if meta.get("mean_center_sim") is None:
+    if "mean_center_sim" not in meta:
         raise ValueError(
             f"index at {path} predates the staleness column ({SIM_COL}) — "
             "rebuild it with save_ivf_index before appending"
         )
+    # mean_center_sim present-but-None = the index was SAVED empty (zero
+    # rows); appending into it is the natural way to populate it
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     missing = [c for c in (id_col, vec_col) if c not in corpus.columns]
     if missing:
@@ -169,24 +181,39 @@ def ivf_staleness(spark: SparkSession, path: str) -> dict:
     — recall at fixed n_probe degrades and the quantizer deserves a
     retrain (save_ivf_index over the full corpus)."""
     meta = load_ivf_meta(spark, path)
-    if meta.get("mean_center_sim") is None:
+    if "mean_center_sim" not in meta:
         raise ValueError(
             f"index at {path} predates the staleness column ({SIM_COL}) — "
             "rebuild it with save_ivf_index to enable ivf_staleness"
         )
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # explicit single-column schema: works on stores saved empty (no files
+    # to infer from) and reads only the sim column bytes on full ones
     cur = (
-        spark.read.parquet(os.path.join(path, "lists"))
+        spark.read.schema(StructType([StructField(SIM_COL, DoubleType())]))
+        .parquet(os.path.join(path, "lists"))
         .agg(F.avg(SIM_COL).alias("s"), F.count("*").alias("n"))
         .first()
     )
-    mean_now = float(cur["s"])
-    mean_save = float(meta["mean_center_sim"])
+    mean_now = float(cur["s"]) if cur["s"] is not None else None
+    # saved-empty index (mean_center_sim None, zero rows at save): there is
+    # no baseline to drift from — report None rather than a fake 0
+    mean_save = (
+        float(meta["mean_center_sim"])
+        if meta["mean_center_sim"] is not None
+        else None
+    )
     return {
         "n_vectors": int(cur["n"]),
         "n_vectors_at_save": int(meta["n_vectors_at_save"]),
         "mean_center_sim": mean_now,
         "mean_center_sim_at_save": mean_save,
-        "drift": mean_save - mean_now,
+        "drift": (
+            mean_save - mean_now
+            if mean_save is not None and mean_now is not None
+            else None
+        ),
     }
 
 

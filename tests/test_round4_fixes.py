@@ -288,3 +288,86 @@ def test_cached_filter_decode_once_and_byte_accounted(clean_cache):
     # (mutation safety of delete/merge paths is pinned behaviorally: the
     # drain-to-zero and merge-invariance tests would break if those paths
     # mutated a shared cached object)
+
+
+# ---------------------------------------------------------------------------
+# round-4 self-review fixes
+# ---------------------------------------------------------------------------
+def test_contamination_shingle_stamp_rejects_mismatch(spark):
+    """A pre-built filter probed with different unit/shingle_k would make
+    every contaminated doc look clean (hit_frac ~ fpp) — the stamp makes
+    that loud."""
+    from cuckoofilter4j_spark.functions import (
+        build_contamination_filter,
+        ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [(i, f"training document number {i} with several words") for i in range(10)],
+        "doc_id long, text string",
+    )
+    sk = build_contamination_filter(
+        train, "text", "doc_id", shingle_k=8, unit="char",
+        num_shards=4, max_keys=4096,
+    )
+    assert "shingle_unit" in sk.columns and "shingle_k" in sk.columns
+    with pytest.raises(ValueError, match="unit"):
+        ngram_contamination(
+            train, train, "text", "doc_id", shingle_k=13, unit="token",
+            sketches=sk,
+        )
+    with pytest.raises(ValueError, match="shingle_k=5"):
+        ngram_contamination(
+            train, train, "text", "doc_id", shingle_k=5, unit="char",
+            sketches=sk,
+        )
+    # matching params pass and the probe still works through the stamp cols
+    rep = ngram_contamination(
+        train, train, "text", "doc_id", shingle_k=8, unit="char", sketches=sk
+    )
+    assert rep.filter(~F.col("contaminated")).count() == 0
+
+
+def test_count_members_null_proof_on_empty_fallback(spark):
+    """Empty input through the STRING-key fallback path must yield (0, 0),
+    not (0, NULL)."""
+    from cuckoofilter4j_spark.operators import (
+        build_filter_sharded,
+        count_members_sharded,
+    )
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    sk = build_filter_sharded(keys, "key", num_shards=4, max_keys=256, seed=42)
+    empty = spark.createDataFrame([], "key string")
+    row = count_members_sharded(empty, sk, "key").first()
+    assert row["n_probed"] == 0 and row["n_members"] == 0
+
+
+def test_save_ivf_append_mode_rejected_and_empty_save_appendable(spark, tmp_path):
+    from cuckoofilter4j_spark.sources import (
+        append_ivf_index,
+        ivf_staleness,
+        save_ivf_index,
+    )
+
+    rng = np.random.default_rng(2)
+    mat = rng.standard_normal((100, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    with pytest.raises(ValueError, match="append_ivf_index"):
+        save_ivf_index(emb, path, n_lists=4, mode="append")
+    # saving an EMPTY corpus, then appending into it, is the natural
+    # populate-later flow — must not claim the store "predates" anything
+    cents = rng.standard_normal((4, 8))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    save_ivf_index(empty, path, n_lists=4, centroids=cents)
+    stale0 = ivf_staleness(spark, path)
+    assert stale0["n_vectors"] == 0 and stale0["drift"] is None
+    append_ivf_index(emb, path)
+    stale1 = ivf_staleness(spark, path)
+    assert stale1["n_vectors"] == 100
+    assert stale1["mean_center_sim"] is not None and stale1["drift"] is None
