@@ -371,3 +371,29 @@ def test_save_ivf_append_mode_rejected_and_empty_save_appendable(spark, tmp_path
     stale1 = ivf_staleness(spark, path)
     assert stale1["n_vectors"] == 100
     assert stale1["mean_center_sim"] is not None and stale1["drift"] is None
+
+
+def test_swar_membership_matches_kernel_for_both_lane_widths():
+    """The SWAR fast path (u32/4x8-bit and u64/4x16-bit buckets) must agree
+    exactly with CuckooFilter.contains_batch on members AND absent keys
+    (where false positives are hash-determined, so any lane-trick error
+    would show as a result diff, not just an fpp shift)."""
+    import pyarrow as pa
+
+    from cuckoofilter4j_spark.core import CuckooFilter
+    from cuckoofilter4j_spark.operators.probe import _batch_membership, _build_stack
+
+    rng = np.random.default_rng(9)
+    for tag_bits, dtype in ((8, np.uint8), (12, np.uint16)):
+        f = CuckooFilter(num_buckets=256, tag_bits=tag_bits, seed=11)
+        members = [rng.bytes(16) for _ in range(600)]
+        inserted = [k for k in members if f.put(k)]
+        assert f.table.dtype == dtype
+        stack = _build_stack({(0,): f.to_bytes()}, 1)
+        absent = [rng.bytes(16) for _ in range(2000)]
+        keys = inserted + absent
+        col = pa.array(keys, type=pa.binary())
+        res, _ = _batch_membership(col, stack, 1, "contains")
+        truth = f.contains_batch(keys)
+        assert (np.asarray(res) == np.asarray(truth)).all()
+        assert res[: len(inserted)].all()  # zero false negatives
