@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import math
 import struct
-from typing import Iterable, NamedTuple, Optional, Sequence, Tuple, Union
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 

@@ -20,8 +20,6 @@ round (no driver-side data).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 from pyspark.sql import DataFrame, functions as F
 
 

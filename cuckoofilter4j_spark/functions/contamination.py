@@ -20,7 +20,7 @@ deterministically in practice (P[clean doc exceeds 0.5] is a binomial tail
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
