@@ -707,13 +707,19 @@ class CuckooFilter:
                     ps = np.concatenate([ps, np.zeros_like(ps)], axis=1)
                     pt = np.concatenate([pt, np.zeros_like(pt)], axis=1)
                 s = searching
-                rows = table[cur[s]]                       # (k, 4)
-                empty = rows == 0
-                has_empty = empty.any(axis=1)
+                occ_bits = self._bucket_occupied_bits(cur[s])
+                if occ_bits is None:
+                    occ_bits = ((table[cur[s]] != 0) @ _POW2_SLOTS).astype(
+                        np.int64
+                    )
+                empty_bits = occ_bits ^ 0xF
+                has_empty = empty_bits != 0
                 if has_empty.any():
                     f = s[has_empty]
                     term_b[f] = cur[f]
-                    term_s[f] = np.argmax(empty[has_empty], axis=1)
+                    # first empty slot in ascending order (== argmax of the
+                    # empty mask the row-gather form computed)
+                    term_s[f] = _SLOT_LUT[empty_bits[has_empty], 0]
                     status[f] = 1
                     plen[f] = d
                     s = s[~has_empty]
