@@ -764,15 +764,12 @@ class CuckooFilter:
             if found.size:
                 # greedy bucket-disjoint winners: a walk commits iff it holds
                 # the minimum rank claim on every bucket its path touches
-                order = found  # ascending walk index == ascending batch order
-                claims_w, claims_b = [], []
-                for w in order:
-                    L = int(plen[w])
-                    bs = np.concatenate([pb[w, :L], [term_b[w]]])
-                    claims_w.append(np.full(bs.size, w, dtype=np.int64))
-                    claims_b.append(bs)
-                cw = np.concatenate(claims_w)
-                cb = np.concatenate(claims_b)
+                # (fully vectorized — the rule is a pure function of the
+                # claim set, so batch order only enters through the walk ids)
+                Lf = plen[found]
+                depth_mask = np.arange(pb.shape[1])[None, :] < Lf[:, None]
+                cw = np.concatenate([np.repeat(found, Lf), found])
+                cb = np.concatenate([pb[found][depth_mask], term_b[found]])
                 # min walk-rank per bucket
                 srt = np.lexsort((cw, cb))
                 cb_s, cw_s = cb[srt], cw[srt]
@@ -780,17 +777,20 @@ class CuckooFilter:
                 first[1:] = cb_s[1:] != cb_s[:-1]
                 bucket_ids = cb_s[first]
                 min_rank = cw_s[first]
-                rank_of = dict(zip(bucket_ids.tolist(), min_rank.tolist()))
-                for w in order:
-                    L = int(plen[w])
-                    bs = pb[w, :L]
-                    if all(rank_of[b] == w for b in bs.tolist()) and rank_of[int(term_b[w])] == w:
-                        committed[w] = True
-                    else:
-                        # conflict loser: refund search budget (it re-searches
-                        # next round; only committed/cycled steps are charged,
-                        # so the per-item 500-attempt bound matches reference)
-                        budget[alive[w]] += int(plen[w])
+                # a claim conflicts when its bucket's min walk-rank is a
+                # different walk; a walk wins iff NONE of its claims conflict
+                claim_min = min_rank[np.searchsorted(bucket_ids, cb)]
+                conflicts = np.bincount(
+                    cw, weights=(claim_min != cw).astype(np.int64), minlength=n
+                )
+                won = conflicts[found] == 0
+                committed[found[won]] = True
+                losers = found[~won]
+                if losers.size:
+                    # conflict loser: refund search budget (it re-searches
+                    # next round; only committed/cycled steps are charged,
+                    # so the per-item 500-attempt bound matches reference)
+                    budget[alive[losers]] += plen[losers]
                 winners = np.nonzero(committed)[0]
                 if winners.size:
                     # vectorized slot shifts, depth by depth
