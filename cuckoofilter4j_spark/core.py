@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import math
 import struct
+import sys
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -81,6 +82,54 @@ for _mask in range(16):
         _SLOT_LUT[_mask, _r] = _s
 _POPCOUNT4 = np.array([bin(m).count("1") for m in range(16)], dtype=np.int64)
 _POW2_SLOTS = np.array([1, 2, 4, 8], dtype=np.int64)
+# SWAR word views put slot 0 in the LOW lane only on little-endian hosts;
+# the insert path consumes mask bits as literal slot indices, so BE hosts
+# take the (equivalent, slower) row-gather forms instead.
+_LITTLE_ENDIAN = sys.byteorder == "little"
+
+
+def swar_bucket_any_eq(
+    table: np.ndarray, idx1: np.ndarray, idx2: np.ndarray, tag: np.ndarray
+) -> Optional[np.ndarray]:
+    """Vectorized "any slot of bucket idx1 OR idx2 equals tag" for a
+    4-slot-per-bucket table whose LAST axis is the slots (2-D (nb, 4) or
+    stacked 3-D (S, nb, 4) with idx pre-flattened to shard*nb+i).
+
+    SWAR: each bucket is ONE u32 (8-bit tags) / u64 (16-bit tags) word,
+    gathered with a flat take; any-lane-equals-tag is xor + the zero-lane
+    trick (((x - 0x..01) & ~x) & 0x..80) — exact (exhaustively verified
+    lane-wise; tags are never 0, so empty slots cannot match), ~3.6× the
+    (k, 4) gather + broadcast compare. Returns None when the table is not
+    eligible (wider tags, non-contiguous, big-endian host) — callers run
+    their generic compare. The single shared implementation for
+    CuckooFilter.contains_batch AND the stacked sharded probe
+    (operators/probe.py) so kernel fixes land in one place."""
+    if (
+        table.dtype not in (np.uint8, np.uint16)
+        or not table.flags["C_CONTIGUOUS"]
+        or not _LITTLE_ENDIAN
+    ):
+        return None
+    if table.dtype == np.uint16:
+        packed = table.reshape(-1).view(np.uint64)
+        m1 = _U64(0x0001000100010001)
+        m2 = _U64(0x8000800080008000)
+        t = tag.astype(np.uint64)
+        t4 = t | (t << _U64(16)) | (t << _U64(32)) | (t << _U64(48))
+    else:
+        packed = table.reshape(-1).view(np.uint32)
+        m1 = np.uint32(0x01010101)
+        m2 = np.uint32(0x80808080)
+        t = tag.astype(np.uint32)
+        t4 = (
+            t
+            | (t << np.uint32(8))
+            | (t << np.uint32(16))
+            | (t << np.uint32(24))
+        )
+    x1 = packed.take(np.asarray(idx1, dtype=np.int64)) ^ t4
+    x2 = packed.take(np.asarray(idx2, dtype=np.int64)) ^ t4
+    return ((((x1 - m1) & ~x1) & m2) != 0) | ((((x2 - m1) & ~x2) & m2) != 0)
 
 
 # ---------------------------------------------------------------------------
@@ -525,18 +574,22 @@ class CuckooFilter:
         i2 = self.gen.alt(i1, tg)
         return self._put_triples(i1, i2, tg)
 
-    def _bucket_occupied_bits(self, idx: np.ndarray) -> Optional[np.ndarray]:
+    def _bucket_occupied_bits(self, idx: np.ndarray) -> np.ndarray:
         """4-bit occupied mask per bucket (bit s set ⇔ slot s non-zero),
         computed SWAR-style for 8/16-bit tag tables: each bucket is ONE
         u32/u64 word (flat take — no (k, 4) row gather), each lane's bits
         OR-fold to its low bit, and the four lane bits compress to 0..15.
-        Exact (pure OR-folding, no cross-lane borrows). Returns None for
-        wider tag dtypes — callers fall back to the row-gather form."""
+        Exact (pure OR-folding, no cross-lane borrows). Little-endian only:
+        the mask bits are consumed as literal slot indices (_SLOT_LUT), and
+        a big-endian word view would reverse the lane→slot mapping. Wider
+        tag dtypes / BE hosts use the equivalent row-gather form."""
         table = self.table
-        if table.dtype not in (np.uint8, np.uint16) or not table.flags[
-            "C_CONTIGUOUS"
-        ]:
-            return None
+        if (
+            table.dtype not in (np.uint8, np.uint16)
+            or not table.flags["C_CONTIGUOUS"]
+            or not _LITTLE_ENDIAN
+        ):
+            return ((table[idx] != 0) @ _POW2_SLOTS).astype(np.int64)
         if table.dtype == np.uint16:
             x = table.reshape(-1).view(np.uint64).take(idx)
             t = x | (x >> _U64(1))
@@ -577,15 +630,8 @@ class CuckooFilter:
         # item then provably has both buckets full: its final pass targeted
         # its emptier bucket and placed nothing anywhere.
         while pending.size:
-            bits1 = self._bucket_occupied_bits(i1[pending].astype(np.int64))
-            if bits1 is not None:
-                occ1 = _POPCOUNT4[bits1]
-                occ2 = _POPCOUNT4[
-                    self._bucket_occupied_bits(i2[pending].astype(np.int64))
-                ]
-            else:
-                occ1 = (table[i1[pending]] != 0).sum(axis=1)
-                occ2 = (table[i2[pending]] != 0).sum(axis=1)
+            occ1 = _POPCOUNT4[self._bucket_occupied_bits(i1[pending])]
+            occ2 = _POPCOUNT4[self._bucket_occupied_bits(i2[pending])]
             target = np.where(occ1 <= occ2, i1[pending], i2[pending])
             # one placement per bucket per pass: preserves two-choice balance
             # (fewer eviction walks near design load than bulk-filling)
@@ -616,10 +662,7 @@ class CuckooFilter:
         order = np.argsort(targets, kind="stable")
         p = pending[order]
         b = targets[order]
-        occ_bits = self._bucket_occupied_bits(b)
-        if occ_bits is None:
-            occ_bits = ((table[b] != 0) @ _POW2_SLOTS).astype(np.int64)
-        empty_bits = occ_bits ^ 0xF
+        empty_bits = self._bucket_occupied_bits(b) ^ 0xF
         n_empty = np.minimum(_POPCOUNT4[empty_bits], max_per_bucket)
         # rank of this item within its bucket's run (0-based)
         first = np.ones(p.size, dtype=bool)
@@ -707,12 +750,7 @@ class CuckooFilter:
                     ps = np.concatenate([ps, np.zeros_like(ps)], axis=1)
                     pt = np.concatenate([pt, np.zeros_like(pt)], axis=1)
                 s = searching
-                occ_bits = self._bucket_occupied_bits(cur[s])
-                if occ_bits is None:
-                    occ_bits = ((table[cur[s]] != 0) @ _POW2_SLOTS).astype(
-                        np.int64
-                    )
-                empty_bits = occ_bits ^ 0xF
+                empty_bits = self._bucket_occupied_bits(cur[s]) ^ 0xF
                 has_empty = empty_bits != 0
                 if has_empty.any():
                     f = s[has_empty]
@@ -780,9 +818,7 @@ class CuckooFilter:
                 # a claim conflicts when its bucket's min walk-rank is a
                 # different walk; a walk wins iff NONE of its claims conflict
                 claim_min = min_rank[np.searchsorted(bucket_ids, cb)]
-                conflicts = np.bincount(
-                    cw, weights=(claim_min != cw).astype(np.int64), minlength=n
-                )
+                conflicts = np.bincount(cw[claim_min != cw], minlength=n)
                 won = conflicts[found] == 0
                 committed[found[won]] = True
                 losers = found[~won]
@@ -874,37 +910,13 @@ class CuckooFilter:
     def contains_batch(self, keys) -> np.ndarray:
         """Vectorized mightContain (CuckooFilter.java:638-651).
 
-        8/16-bit tag tables take a SWAR fast path (same trick as the
-        stacked sharded probe, operators/probe.py): each 4-slot bucket is
-        ONE u32/u64 word, gathered flat, and any-lane-equals-tag is tested
-        with xor + the zero-lane trick — exact (tags are never 0, so empty
-        slots cannot match), ~3.6x the 2-D gather+compare."""
+        8/16-bit tag tables take the shared SWAR fast path
+        (swar_bucket_any_eq — also used by the stacked sharded probe),
+        ~3.6x the 2-D gather+compare."""
         i1, i2, tag = self._index_tag(keys)
         table = self.table
-        if table.dtype in (np.uint8, np.uint16) and table.flags["C_CONTIGUOUS"]:
-            if table.dtype == np.uint16:
-                packed = table.reshape(-1).view(np.uint64)
-                m1 = _U64(0x0001000100010001)
-                m2 = _U64(0x8000800080008000)
-                t = tag.astype(np.uint64)
-                t4 = t | (t << _U64(16)) | (t << _U64(32)) | (t << _U64(48))
-            else:
-                packed = table.reshape(-1).view(np.uint32)
-                m1 = np.uint32(0x01010101)
-                m2 = np.uint32(0x80808080)
-                t = tag.astype(np.uint32)
-                t4 = (
-                    t
-                    | (t << np.uint32(8))
-                    | (t << np.uint32(16))
-                    | (t << np.uint32(24))
-                )
-            x1 = packed.take(np.asarray(i1, dtype=np.int64)) ^ t4
-            x2 = packed.take(np.asarray(i2, dtype=np.int64)) ^ t4
-            found = ((((x1 - m1) & ~x1) & m2) != 0) | (
-                (((x2 - m1) & ~x2) & m2) != 0
-            )
-        else:
+        found = swar_bucket_any_eq(table, i1, i2, tag)
+        if found is None:
             t = tag.astype(table.dtype)
             found = (table[i1] == t[:, None]).any(axis=1) | (
                 table[i2] == t[:, None]

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import BooleanType, IntegerType, LongType, StructField, StructType
 
-from cuckoofilter4j_spark.core import CuckooFilter
+from cuckoofilter4j_spark.core import CuckooFilter, swar_bucket_any_eq
 
 
 def collect_sketches(
@@ -365,7 +365,7 @@ def _stacked_ok(smap: Dict[tuple, bytes]) -> bool:
     NOT from_bytes — the latter bit-unpacks the whole table, which at
     121.6M keys / 64 shards is a ~268 MB driver-side decode on EVERY probe
     plan. Plan-time cost here is O(S) header reads."""
-    from cuckoofilter4j_spark.core import CuckooFilter
+    from cuckoofilter4j_spark.core import CuckooFilter, swar_bucket_any_eq
 
     if not smap:
         return False
@@ -398,7 +398,7 @@ def _stacked_token(smap: Dict[tuple, bytes], num_shards: int) -> str:
 def _build_stack(blob_map: Dict[tuple, bytes], S: int):
     """Decode all shard blobs into one (S, num_buckets, 4) table plus the
     per-shard victim-cache vectors (runs once per worker, cached)."""
-    from cuckoofilter4j_spark.core import CuckooFilter, IndexTagGen
+    from cuckoofilter4j_spark.core import CuckooFilter, swar_bucket_any_eq, IndexTagGen
 
     first = CuckooFilter.from_bytes(next(iter(blob_map.values())))
     nb, tb = first.num_buckets, first.tag_bits
@@ -450,51 +450,17 @@ def _batch_membership(arrow_col, stack, S: int, mode: str, seed_words=None):
         (i1 == v1[shard]) | (i1 == v2[shard])
         | (i2 == v1[shard]) | (i2 == v2[shard])
     )
-    if (
-        mode == "contains"
-        and tables.dtype in (np.uint8, np.uint16)
-        and tables.flags["C_CONTIGUOUS"]
-    ):
-        # SWAR fast path (3.6x the 2-D gather+compare): view each 4-slot
-        # bucket as ONE machine word (u32 for 8-bit tags, u64 for 16-bit),
-        # gather one word per candidate bucket with a flat take, and test
-        # "any lane equals tag" via xor + the zero-lane trick
-        # (((x - 0x..01) & ~x) & 0x..80) — exact (exhaustively verified
-        # lane-wise; tags are never 0, so empty slots cannot match).
+    if mode == "contains":
+        # SWAR fast path, shared with CuckooFilter.contains_batch
+        # (core.swar_bucket_any_eq): 3.6x the 2-D gather+compare on
+        # 8/16-bit tag tables; None -> generic compare below
         nb = tables.shape[1]
+        i1_ = i1.astype(np.int64, copy=False)
+        i2_ = i2.astype(np.int64, copy=False)
         base = shard * nb  # shard is int64; keep index math in int64
-        i1 = i1.astype(np.int64, copy=False)
-        i2 = i2.astype(np.int64, copy=False)
-        if tables.dtype == np.uint16:
-            packed = tables.reshape(-1).view(np.uint64)
-            m1 = np.uint64(0x0001000100010001)
-            m2 = np.uint64(0x8000800080008000)
-            t = tag.astype(np.uint64)
-            t4 = (
-                t
-                | (t << np.uint64(16))
-                | (t << np.uint64(32))
-                | (t << np.uint64(48))
-            )
-        else:
-            packed = tables.reshape(-1).view(np.uint32)
-            m1 = np.uint32(0x01010101)
-            m2 = np.uint32(0x80808080)
-            t = tag.astype(np.uint32)
-            t4 = (
-                t
-                | (t << np.uint32(8))
-                | (t << np.uint32(16))
-                | (t << np.uint32(24))
-            )
-        x1 = packed.take(base + i1) ^ t4
-        x2 = packed.take(base + i2) ^ t4
-        res = (
-            ((((x1 - m1) & ~x1) & m2) != 0)
-            | ((((x2 - m1) & ~x2) & m2) != 0)
-            | is_v
-        )
-        return res, seed_words
+        hit = swar_bucket_any_eq(tables, base + i1_, base + i2_, tag)
+        if hit is not None:
+            return hit | is_v, seed_words
     t = tag.astype(tables.dtype)
     rows1 = tables[shard, i1]
     rows2 = tables[shard, i2]
