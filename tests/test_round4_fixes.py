@@ -397,3 +397,31 @@ def test_swar_membership_matches_kernel_for_both_lane_widths():
         truth = f.contains_batch(keys)
         assert (np.asarray(res) == np.asarray(truth)).all()
         assert res[: len(inserted)].all()  # zero false negatives
+
+
+def test_swar_fallback_paths_match_fast_paths(monkeypatch):
+    """Forcing _LITTLE_ENDIAN=False routes every SWAR consumer through the
+    generic row-gather forms — inserts must stay byte-identical and
+    membership results equal (the guard exists for big-endian hosts where
+    the word view would reverse the lane→slot mapping)."""
+    import cuckoofilter4j_spark.core as core
+
+    rng = np.random.default_rng(21)
+    keys = [rng.bytes(24) for _ in range(30_000)]
+    absent = [rng.bytes(24) for _ in range(5_000)]
+
+    fast = core.CuckooFilter(num_buckets=16384, tag_bits=12, seed=5)
+    r_fast = fast.put_batch(keys)
+    mc_fast = fast.contains_batch(keys + absent)
+
+    monkeypatch.setattr(core, "_LITTLE_ENDIAN", False)
+    slow = core.CuckooFilter(num_buckets=16384, tag_bits=12, seed=5)
+    r_slow = slow.put_batch(keys)
+    mc_slow = slow.contains_batch(keys + absent)
+    monkeypatch.undo()
+
+    assert fast.to_bytes() == slow.to_bytes()
+    assert (r_fast == r_slow).all() and (mc_fast == mc_slow).all()
+    assert (fast.count, fast.kicks, fast.failed_inserts) == (
+        slow.count, slow.kicks, slow.failed_inserts
+    )
