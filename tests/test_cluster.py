@@ -121,3 +121,35 @@ def test_star_bad_algorithm_rejected(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="algorithm"):
         dup_clusters(pairs, algorithm="nope")
+
+
+def test_star_parity_hypothesis_random_graphs(spark):
+    """Property: on arbitrary random pair graphs (varied density, self-loops,
+    duplicate edges, disconnected singleton pairs), algorithm='star' and
+    min-label propagation produce the identical (id, cluster_id) map."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9999),
+        st.integers(min_value=10, max_value=120),
+        st.integers(min_value=5, max_value=200),
+    )
+    def run(seed, n_nodes, n_edges):
+        import random
+
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = dup_clusters(pairs, max_iter=200)
+        b = dup_clusters(pairs, algorithm="star", max_iter=50)
+        ma = {r["id"]: r["cluster_id"] for r in a.collect()}
+        mb = {r["id"]: r["cluster_id"] for r in b.collect()}
+        a.unpersist()
+        b.unpersist()
+        assert ma == mb
+
+    run()
