@@ -611,6 +611,43 @@ def q_ngram_contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.select("doc_id", "contaminated")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination GATE (functions/contamination.decontaminate):
+    eval = 20 verbatim copies (token 5-grams all hit — dropped via the
+    zero-false-negative guarantee) + 20 sentinel-vocabulary clean docs
+    (kept; hit_frac ~ fpp) + 5 null-text docs (probed as the empty
+    shingle, kept — never silently passed). Output = surviving doc ids."""
+    from cuckoofilter4j_spark.functions import decontaminate
+
+    train = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = train.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text"
+    )
+    clean = spark.range(20).select(
+        (F.col("id") + 40000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda j: F.concat(
+                    F.lit("vq"),
+                    F.col("id").cast("string"),
+                    F.lit("z"),
+                    j.cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    nulls = spark.range(5).select(
+        (F.col("id") + 50000).alias("doc_id"), F.lit(None).cast("string").alias("text")
+    )
+    kept = decontaminate(
+        train, copies.unionByName(clean).unionByName(nulls), "text", "doc_id",
+        shingle_k=5, threshold=0.5, fpp=0.01, unit="token",
+    )
+    return kept.select("doc_id")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors (exact ANN baseline)."""
     emb = _emb(spark, sf_dir)
@@ -1116,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_star": q_dup_clusters_star,
         "ngram_contamination": q_ngram_contamination,
         "ngram_contamination_tokens": q_ngram_contamination_tokens,
+        "decontaminate_gate": q_decontaminate,
         "ann_topk": q_ann_topk,
         "ann_topk_vectorized": q_ann_topk_vectorized,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1283,6 +1321,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(range + 40000 AS BIGINT) AS doc_id, FALSE AS contaminated
             FROM range(20)
+        """,
+        "decontaminate_gate": """
+            SELECT CAST(range + 40000 AS BIGINT) AS doc_id FROM range(20)
+            UNION ALL
+            SELECT CAST(range + 50000 AS BIGINT) AS doc_id FROM range(5)
         """,
         "dup_clusters_star": """
             SELECT doc_id AS id, CAST(0 AS BIGINT) AS cluster_id
