@@ -97,9 +97,13 @@ def swar_bucket_any_eq(
 
     SWAR: each bucket is ONE u32 (8-bit tags) / u64 (16-bit tags) word,
     gathered with a flat take; any-lane-equals-tag is xor + the zero-lane
-    trick (((x - 0x..01) & ~x) & 0x..80) — exact (exhaustively verified
-    lane-wise; tags are never 0, so empty slots cannot match), ~3.6× the
-    (k, 4) gather + broadcast compare. Returns None when the table is not
+    trick (((x - 0x..01) & ~x) & 0x..80) — exact ONLY for the any-lane-zero
+    reduction used here: the subtraction's borrow can set the flag bit of
+    the lane ABOVE a zero lane, so the per-lane flag bits must never be
+    consumed individually (swar_bucket_count_eq uses a borrow-free per-lane
+    form for exactly that reason). Tags are never 0, so empty slots cannot
+    match. ~3.6× the (k, 4) gather + broadcast compare. Returns None when
+    the table is not
     eligible (wider tags, non-contiguous, big-endian host) — callers run
     their generic compare. The single shared implementation for
     CuckooFilter.contains_batch AND the stacked sharded probe
@@ -130,6 +134,65 @@ def swar_bucket_any_eq(
     x1 = packed.take(np.asarray(idx1, dtype=np.int64)) ^ t4
     x2 = packed.take(np.asarray(idx2, dtype=np.int64)) ^ t4
     return ((((x1 - m1) & ~x1) & m2) != 0) | ((((x2 - m1) & ~x2) & m2) != 0)
+
+
+def swar_bucket_count_eq(
+    table: np.ndarray, idx1: np.ndarray, idx2: np.ndarray, tag: np.ndarray
+) -> Optional[np.ndarray]:
+    """Vectorized "number of slots equal to tag across buckets idx1 AND idx2"
+    — the SWAR form of approximateCount's countTag (the lane-POPCOUNT sibling
+    of swar_bucket_any_eq; same eligibility rules, same flat bucket-word
+    layout, same 'probe both candidate buckets' semantics including the
+    double-count when idx1 == idx2, which matches both the generic 2-D
+    gather+compare and the reference's countTag over two reads).
+
+    Per-lane zero test is BORROW-FREE (unlike the any-lane trick):
+      y = (x & low7s) + low7s   -> flag bit per lane = (low bits != 0)
+      z = ~(y | x) & flagbits   -> flag bit set exactly in zero lanes
+    (the masked add cannot carry across lanes: max 0x7f + 0x7f < 0x100),
+    then the lane flags are summed laterally with one multiply. Returns
+    None when ineligible — callers run the generic compare."""
+    if (
+        table.dtype not in (np.uint8, np.uint16)
+        or not table.flags["C_CONTIGUOUS"]
+        or not _LITTLE_ENDIAN
+    ):
+        return None
+    if table.dtype == np.uint16:
+        packed = table.reshape(-1).view(np.uint64)
+        low = _U64(0x7FFF7FFF7FFF7FFF)
+        flags = _U64(0x8000800080008000)
+        shift, lane_mul, out_shift = _U64(15), _U64(0x0001000100010001), _U64(48)
+        t = tag.astype(np.uint64)
+        t4 = t | (t << _U64(16)) | (t << _U64(32)) | (t << _U64(48))
+    else:
+        packed = table.reshape(-1).view(np.uint32)
+        low = np.uint32(0x7F7F7F7F)
+        flags = np.uint32(0x80808080)
+        shift, lane_mul, out_shift = (
+            np.uint32(7),
+            np.uint32(0x01010101),
+            np.uint32(24),
+        )
+        t = tag.astype(np.uint32)
+        t4 = (
+            t
+            | (t << np.uint32(8))
+            | (t << np.uint32(16))
+            | (t << np.uint32(24))
+        )
+
+    def lane_zero_count(x):
+        y = (x & low) + low
+        z = ~(y | x) & flags
+        # flags sit at lane-top bits; shift to lane base, lateral add via
+        # multiply (sum ≤ 4, never overflows the top lane)
+        return ((z >> shift) * lane_mul) >> out_shift
+
+    with np.errstate(over="ignore"):
+        x1 = packed.take(np.asarray(idx1, dtype=np.int64)) ^ t4
+        x2 = packed.take(np.asarray(idx2, dtype=np.int64)) ^ t4
+        return (lane_zero_count(x1) + lane_zero_count(x2)).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -929,12 +992,18 @@ class CuckooFilter:
         return int(self.count_batch([key] if not _is_batch(key) else key)[0])
 
     def count_batch(self, keys) -> np.ndarray:
-        """Vectorized approximateCount (CuckooFilter.java:679-693)."""
+        """Vectorized approximateCount (CuckooFilter.java:679-693).
+
+        8/16-bit tag tables take the SWAR lane-popcount fast path
+        (swar_bucket_count_eq — byte-identical counts to the generic
+        2-D gather+compare, which remains as the fallback)."""
         i1, i2, tag = self._index_tag(keys)
-        t = tag.astype(self.table.dtype)
-        c = (self.table[i1] == t[:, None]).sum(axis=1) + (
-            self.table[i2] == t[:, None]
-        ).sum(axis=1)
+        c = swar_bucket_count_eq(self.table, i1, i2, tag)
+        if c is None:
+            t = tag.astype(self.table.dtype)
+            c = (self.table[i1] == t[:, None]).sum(axis=1) + (
+                self.table[i2] == t[:, None]
+            ).sum(axis=1)
         if self.has_victim:
             c = c + self._is_victim(i1, i2, tag).astype(c.dtype)
         return c.astype(np.int64)

@@ -73,11 +73,20 @@ def _probe_map(
         sketch_map = bc.value
 
         def filter_for(gvals: tuple) -> Optional[CuckooFilter]:
+            # the shared byte-bounded LRU is for the SINGLE-filter probes
+            # only (re-decode of the same blob genuinely recurs there);
+            # grouped probes decode one filter per group, typically touched
+            # once per task — routing those through the LRU would evict the
+            # genuinely reusable stacked-probe tables and re-hash every
+            # blob once per task, so they stay in this per-task dict
             if gvals not in cache:
                 blob = sketch_map.get(gvals)
-                cache[gvals] = (
-                    _cached_filter_from_bytes(blob) if blob is not None else None
-                )
+                if blob is None:
+                    cache[gvals] = None
+                elif gcols:
+                    cache[gvals] = CuckooFilter.from_bytes(blob)
+                else:
+                    cache[gvals] = _cached_filter_from_bytes(blob)
             return cache[gvals]
 
         for pdf in batches:
@@ -136,11 +145,16 @@ def _probe_map_arrow(
         sketch_map = bc.value
 
         def filter_for(gvals: tuple) -> Optional[CuckooFilter]:
+            # grouped decodes stay in this per-task dict — see _probe_map:
+            # the shared LRU is reserved for single-filter re-decode reuse
             if gvals not in cache:
                 blob = sketch_map.get(gvals)
-                cache[gvals] = (
-                    _cached_filter_from_bytes(blob) if blob is not None else None
-                )
+                if blob is None:
+                    cache[gvals] = None
+                elif gcols:
+                    cache[gvals] = CuckooFilter.from_bytes(blob)
+                else:
+                    cache[gvals] = _cached_filter_from_bytes(blob)
             return cache[gvals]
 
         for batch in batches:
@@ -365,7 +379,7 @@ def _stacked_ok(smap: Dict[tuple, bytes]) -> bool:
     NOT from_bytes — the latter bit-unpacks the whole table, which at
     121.6M keys / 64 shards is a ~268 MB driver-side decode on EVERY probe
     plan. Plan-time cost here is O(S) header reads."""
-    from cuckoofilter4j_spark.core import CuckooFilter, swar_bucket_any_eq
+    from cuckoofilter4j_spark.core import CuckooFilter
 
     if not smap:
         return False
@@ -398,7 +412,7 @@ def _stacked_token(smap: Dict[tuple, bytes], num_shards: int) -> str:
 def _build_stack(blob_map: Dict[tuple, bytes], S: int):
     """Decode all shard blobs into one (S, num_buckets, 4) table plus the
     per-shard victim-cache vectors (runs once per worker, cached)."""
-    from cuckoofilter4j_spark.core import CuckooFilter, swar_bucket_any_eq, IndexTagGen
+    from cuckoofilter4j_spark.core import CuckooFilter, IndexTagGen
 
     first = CuckooFilter.from_bytes(next(iter(blob_map.values())))
     nb, tb = first.num_buckets, first.tag_bits
@@ -450,17 +464,23 @@ def _batch_membership(arrow_col, stack, S: int, mode: str, seed_words=None):
         (i1 == v1[shard]) | (i1 == v2[shard])
         | (i2 == v1[shard]) | (i2 == v2[shard])
     )
+    # SWAR fast paths, shared with CuckooFilter.contains_batch/count_batch
+    # (core.swar_bucket_any_eq / swar_bucket_count_eq): ~3.6x the 2-D
+    # gather+compare on 8/16-bit tag tables; None -> generic compare below
+    nb = tables.shape[1]
+    i1_ = i1.astype(np.int64, copy=False)
+    i2_ = i2.astype(np.int64, copy=False)
+    base = shard * nb  # shard is int64; keep index math in int64
     if mode == "contains":
-        # SWAR fast path, shared with CuckooFilter.contains_batch
-        # (core.swar_bucket_any_eq): 3.6x the 2-D gather+compare on
-        # 8/16-bit tag tables; None -> generic compare below
-        nb = tables.shape[1]
-        i1_ = i1.astype(np.int64, copy=False)
-        i2_ = i2.astype(np.int64, copy=False)
-        base = shard * nb  # shard is int64; keep index math in int64
         hit = swar_bucket_any_eq(tables, base + i1_, base + i2_, tag)
         if hit is not None:
             return hit | is_v, seed_words
+    else:
+        from cuckoofilter4j_spark.core import swar_bucket_count_eq
+
+        cnt = swar_bucket_count_eq(tables, base + i1_, base + i2_, tag)
+        if cnt is not None:
+            return cnt + is_v.astype(np.int64), seed_words
     t = tag.astype(tables.dtype)
     rows1 = tables[shard, i1]
     rows2 = tables[shard, i2]

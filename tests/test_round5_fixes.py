@@ -1,0 +1,97 @@
+"""Round-5 items: SWAR approximateCount, grouped membership-rate aggregates,
+auto cluster-algorithm selection, contamination normalization + the
+empty-shingle train-side fix, per-list IVF staleness, and the grouped-probe
+LRU scoping (VERDICT r4 #3-#8 + ADVICE r4)."""
+
+import numpy as np
+import pytest
+
+
+def test_swar_count_matches_generic_for_both_lane_widths():
+    """swar_bucket_count_eq must return byte-identical counts to the 2-D
+    gather+compare on u8 and u16 tag tables, on members (count >= copies),
+    duplicates, and absent keys (hash-determined collisions — any per-lane
+    borrow error would show as a count diff)."""
+    from cuckoofilter4j_spark.core import CuckooFilter, swar_bucket_count_eq
+
+    rng = np.random.default_rng(9)
+    for tag_bits, dtype in ((8, np.uint8), (12, np.uint16)):
+        f = CuckooFilter(num_buckets=1024, tag_bits=tag_bits, seed=11)
+        members = [rng.bytes(16) for _ in range(1500)]
+        for k in members[:200]:  # duplicates within the 9-copy limit
+            f.put(k)
+        f.put_batch(members)
+        assert f.table.dtype == dtype
+        keys = members + [rng.bytes(16) for _ in range(3000)]
+        i1, i2, tag = f._index_tag(keys)
+        t = tag.astype(f.table.dtype)
+        generic = (
+            (f.table[i1] == t[:, None]).sum(axis=1)
+            + (f.table[i2] == t[:, None]).sum(axis=1)
+        ).astype(np.int64)
+        swar = swar_bucket_count_eq(f.table, i1, i2, tag)
+        assert swar is not None
+        assert np.array_equal(generic, swar)
+        # end-to-end: count_batch (SWAR path) never undercounts members
+        cb = f.count_batch(members[:200])
+        assert (cb >= 2).all()
+
+
+def test_swar_count_fallback_matches_fast_path(monkeypatch):
+    """Forcing _LITTLE_ENDIAN=False must route count_batch through the
+    generic form with identical results (same guard as contains_batch)."""
+    import cuckoofilter4j_spark.core as core
+
+    rng = np.random.default_rng(21)
+    keys = [rng.bytes(24) for _ in range(20_000)]
+    absent = [rng.bytes(24) for _ in range(5_000)]
+    f = core.CuckooFilter(num_buckets=16384, tag_bits=12, seed=5)
+    f.put_batch(keys)
+    fast = f.count_batch(keys + absent)
+    monkeypatch.setattr(core, "_LITTLE_ENDIAN", False)
+    slow = f.count_batch(keys + absent)
+    monkeypatch.undo()
+    assert np.array_equal(fast, slow)
+    assert (fast[: len(keys)] >= 1).all()
+
+
+def test_swar_count_sharded_stacked_matches_per_filter():
+    """The stacked sharded probe's count mode (SWAR with shard-offset flat
+    indices) must equal each shard filter's own count_batch."""
+    import pyarrow as pa
+
+    from cuckoofilter4j_spark.core import CuckooFilter
+    from cuckoofilter4j_spark.operators.probe import _batch_membership, _build_stack
+
+    rng = np.random.default_rng(3)
+    S = 4
+    filters = {(s,): CuckooFilter(num_buckets=256, tag_bits=8, seed=7) for s in range(S)}
+    # route keys the same way _batch_membership does: insert EVERY key into
+    # its routed shard via the real builder hash by probing after inserting
+    # into all shards is wrong — instead insert each key into the shard the
+    # stacked prober will route it to, computed with the same numpy hash.
+    from cuckoofilter4j_spark.hashing import xxh64_words
+    from cuckoofilter4j_spark.operators.build import (
+        _SHARD_HASH_SEED,
+        words_from_arrow_binary,
+    )
+
+    keys = [rng.bytes(16) for _ in range(2000)]
+    col = pa.array(keys, type=pa.binary())
+    words = words_from_arrow_binary(col)
+    h1 = xxh64_words(words, 42)
+    sw = np.empty((len(keys), 2), dtype=np.uint64)
+    sw[:, 0] = 4
+    sw[:, 1] = np.uint64(_SHARD_HASH_SEED)
+    shard = (xxh64_words(sw, h1).view(np.int64) % S).astype(np.int64)
+    for i, k in enumerate(keys):
+        filters[(int(shard[i]),)].put(k)
+    blob_map = {g: f.to_bytes() for g, f in filters.items()}
+    stack = _build_stack(blob_map, S)
+    res, _ = _batch_membership(col, stack, S, "count")
+    expect = np.empty(len(keys), dtype=np.int64)
+    for s in range(S):
+        idx = np.flatnonzero(shard == s)
+        expect[idx] = filters[(s,)].count_batch([keys[i] for i in idx])
+    assert np.array_equal(np.asarray(res), expect)
+    assert (np.asarray(res) >= 1).all()  # zero false negatives
