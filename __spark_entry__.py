@@ -217,6 +217,23 @@ def q_ckf_count_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_members_sharded(keyed, sk, "key")
 
 
+def q_ckf_count_members_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped membership-rate aggregate (count_members_sharded with
+    group_cols, probe.py): each scan task emits per-group partial counts
+    (dictionary-encoded composite group codes + bincount inside the
+    mapInArrow — no per-row Python, no per-row return path), then one tiny
+    final groupBy. The per-(lang) contamination/QA-rate shape at 100 TB.
+    Probing the filter's own keys is exact per group: zero false negatives
+    ⇒ n_members == n_probed == |documents in lang|."""
+    from cuckoofilter4j_spark.operators import count_members_sharded
+
+    keyed = _docs_keyed(spark, sf_dir)
+    sk = build_filter_sharded(
+        keyed, "key", num_shards=16, max_keys=MAX_KEYS, fpp=FPP, seed=SEED
+    )
+    return count_members_sharded(keyed, sk, "key", group_cols=["lang"])
+
+
 def q_ckf_sharded_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed delete through a SHARDED global filter (delete_keys_sharded,
     probe.py): each delete routes to its shard with the build hash. Deleting
@@ -646,6 +663,83 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=5, threshold=0.5, fpp=0.01, unit="token",
     )
     return kept.select("doc_id")
+
+
+def q_ngram_contamination_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware contamination (normalize='lower_punct' — the
+    GPT-3 appendix-C decontamination style, functions/contamination.py):
+    eval = 20 UPPERCASED copies of training docs (restricted to docs whose
+    text actually changes under upper(), so the raw check is well-defined).
+    Probed twice: normalized (build+probe both lower_punct) → flagged TRUE
+    via the zero-false-negative guarantee; raw (normalize='none') → the
+    uppercase shingles miss the raw filter, hit_frac ~ fpp → FALSE. The
+    pair pins 'flagged ONLY under normalization'. Both sides are pure
+    Catalyst (lower + regexp_replace; \\p{L}/\\p{N} classes shared by Java
+    regex and the DuckDB RE2 oracle)."""
+    from cuckoofilter4j_spark.functions import ngram_contamination
+
+    train = _docs(spark, sf_dir).select("doc_id", "text")
+    upper_copies = (
+        train.filter(F.col("doc_id") < 20)
+        .filter(F.upper("text") != F.col("text"))
+        .select((F.col("doc_id") + 30000).alias("doc_id"), F.upper("text").alias("text"))
+    )
+    norm = ngram_contamination(
+        train, upper_copies, "text", "doc_id",
+        shingle_k=5, threshold=0.5, fpp=FPP, unit="token",
+        normalize="lower_punct",
+    ).select("doc_id", F.col("contaminated").alias("contaminated_norm"))
+    raw = ngram_contamination(
+        train, upper_copies, "text", "doc_id",
+        shingle_k=5, threshold=0.5, fpp=FPP, unit="token",
+        normalize="none",
+    ).select("doc_id", F.col("contaminated").alias("contaminated_raw"))
+    return norm.join(raw, "doc_id")
+
+
+def q_decontaminate_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The empty-shingle gate contract (ADVICE r4 fix): the TRAINING corpus
+    includes null- and empty-text docs — their empty shingle must NOT enter
+    the filter — and the eval set has 5 null/empty docs that must be KEPT
+    deterministically (empty grams never count as hits on either side:
+    null docs are judged on real content only, of which they have none),
+    while 5 verbatim copies are still dropped."""
+    from cuckoofilter4j_spark.functions import decontaminate
+
+    train = _docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(90000, None), (90001, "")], "doc_id long, text string"
+        )
+    )
+    copies = _docs(spark, sf_dir).filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text"
+    )
+    empties = spark.range(5).select(
+        (F.col("id") + 50000).alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    kept = decontaminate(
+        train, copies.unionByName(empties), "text", "doc_id",
+        shingle_k=5, threshold=0.5, fpp=FPP, unit="token",
+    )
+    return kept.select("doc_id")
+
+
+def q_dup_clusters_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """algorithm='auto' (the dup_clusters default, functions/cluster.py):
+    min-label propagation for a bounded few rounds, then automatic
+    switch-over to star contraction on non-convergence — the caller never
+    chooses. Planted 199-diameter chain (propagation alone would need ~199
+    rounds): every node must land on the chain minimum, doc_id 0."""
+    from cuckoofilter4j_spark.functions import dup_clusters as _dc
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 199)
+    chain = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return _dc(chain, algorithm="auto").select("id", "cluster_id")
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1130,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_get_count": q_ckf_get_count,
         "ckf_sharded_empty_shards": q_ckf_sharded_empty_shards,
         "ckf_count_members": q_ckf_count_members,
+        "ckf_count_members_grouped": q_ckf_count_members_grouped,
         "ckf_sharded_delete": q_ckf_sharded_delete,
         "ckf_delete_drain": q_ckf_delete_drain,
         "ckf_false_delete_rate": q_ckf_false_delete_rate,
@@ -1151,9 +1246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
+        "dup_clusters_auto": q_dup_clusters_auto,
         "ngram_contamination": q_ngram_contamination,
         "ngram_contamination_tokens": q_ngram_contamination_tokens,
+        "ngram_contamination_normalized": q_ngram_contamination_normalized,
         "decontaminate_gate": q_decontaminate,
+        "decontaminate_empty": q_decontaminate_empty,
         "ann_topk": q_ann_topk,
         "ann_topk_vectorized": q_ann_topk_vectorized,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1256,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "ckf_get_count": "SELECT CAST(3 * count(*) AS BIGINT) AS n_stored, CAST(0 AS BIGINT) AS n_failed FROM documents",
         "ckf_sharded_empty_shards": "SELECT CAST(count(*) AS BIGINT) AS n_probed, CAST(count(*) AS BIGINT) AS n_found, TRUE AS had_empty_shard FROM documents WHERE doc_id < 40",
         "ckf_count_members": "SELECT CAST(count(*) AS BIGINT) AS n_probed, CAST(count(*) AS BIGINT) AS n_members FROM documents",
+        "ckf_count_members_grouped": "SELECT lang, CAST(count(*) AS BIGINT) AS n_probed, CAST(count(*) AS BIGINT) AS n_members FROM documents GROUP BY lang",
         "ckf_sharded_delete": """
             SELECT CAST(count(*) AS BIGINT) AS n_before,
                    CAST(sum(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
@@ -1327,7 +1426,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(range + 50000 AS BIGINT) AS doc_id FROM range(5)
         """,
+        # uppercased verbatim copies: contaminated ONLY under normalization
+        # (restricted to docs whose text changes under upper(), mirroring
+        # the query's filter)
+        "ngram_contamination_normalized": """
+            SELECT doc_id + 30000 AS doc_id,
+                   TRUE AS contaminated_norm,
+                   FALSE AS contaminated_raw
+            FROM documents WHERE doc_id < 20 AND upper(text) != text
+        """,
+        # kept = the 5 null/empty eval docs (deterministically: empty grams
+        # never count as hits on either side); the 5 verbatim copies drop
+        "decontaminate_empty": """
+            SELECT CAST(range + 50000 AS BIGINT) AS doc_id FROM range(5)
+        """,
         "dup_clusters_star": """
+            SELECT doc_id AS id, CAST(0 AS BIGINT) AS cluster_id
+            FROM documents WHERE doc_id < 200
+        """,
+        "dup_clusters_auto": """
             SELECT doc_id AS id, CAST(0 AS BIGINT) AS cluster_id
             FROM documents WHERE doc_id < 200
         """,

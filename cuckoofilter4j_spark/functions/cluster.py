@@ -20,7 +20,23 @@ round (no driver-side data).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """An iterative clustering loop exhausted max_iter without converging.
+    dup_clusters(algorithm='auto') catches exactly this to switch from
+    propagation to star contraction."""
+
+
+# per-algorithm max_iter defaults (resolved when the caller passes None):
+# propagation rounds = component diameter (near-dup graphs: ≤ 2-4, so 20 is
+# generous); star rounds grow ~log²(largest component), so its ceiling is
+# higher. 'auto' gives propagation only a few rounds before switching.
+_DEFAULT_ITERS = {"propagation": 20, "star": 30}
+_AUTO_PROP_ROUNDS = 6
 
 
 def _truncate_lineage(df: DataFrame) -> DataFrame:
@@ -48,22 +64,33 @@ def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
-    algorithm: str = "propagation",
+    max_iter: Optional[int] = None,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over an (id_a, id_b) pair list.
 
     Returns (id, cluster_id) for every id that appears in some pair, with
     cluster_id = the component's minimum id (deterministic keeper). The
     returned DataFrame is PERSISTED (it was materialized by the convergence
-    check) — call .unpersist() when done with it. Raises if max_iter rounds
-    don't converge; on any raise every intermediate cache, including the
-    final round's, is released.
+    check) — call .unpersist() when done with it. Raises ConvergenceError
+    if max_iter rounds don't converge; on any raise every intermediate
+    cache, including the final round's, is released.
 
-    algorithm="propagation" (default): min-label propagation — O(|E|)
-    shuffled rows per round, rounds = component DIAMETER. The right choice
-    for near-dup graphs (boilerplate clusters are stars/shallow trees,
-    diameter ≤ 2-4).
+    `max_iter=None` resolves per algorithm (propagation 20, star 30 — their
+    round counts measure different things, diameter vs log² n, so one
+    shared default would silently shortchange one of them).
+
+    algorithm="auto" (default): min-label propagation for a few rounds
+    (near-dup graphs — boilerplate clusters are stars/shallow trees,
+    diameter ≤ 2-4 — converge immediately and a propagation round is ONE
+    shuffle join vs star's two), switching to star contraction on
+    non-convergence instead of raising. The caller never needs to know the
+    graph's diameter. Under 'auto' the propagation stage is always capped
+    at its few-round budget; `max_iter` (default 30) applies to the star
+    fallback.
+
+    algorithm="propagation": min-label propagation only — O(|E|) shuffled
+    rows per round, rounds = component DIAMETER.
 
     algorithm="star": alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -71,12 +98,29 @@ def dup_clusters(
     scale path for pathological graphs (long chains, web-graph diameters)
     where propagation would need diameter rounds. Same output contract.
     """
+    if algorithm == "auto":
+        try:
+            return dup_clusters(
+                pairs, id_a, id_b, max_iter=_AUTO_PROP_ROUNDS,
+                algorithm="propagation",
+            )
+        except ConvergenceError:
+            return _dup_clusters_star(
+                pairs, id_a, id_b,
+                _DEFAULT_ITERS["star"] if max_iter is None else max_iter,
+            )
     if algorithm == "star":
-        return _dup_clusters_star(pairs, id_a, id_b, max_iter)
+        return _dup_clusters_star(
+            pairs, id_a, id_b,
+            _DEFAULT_ITERS["star"] if max_iter is None else max_iter,
+        )
     if algorithm != "propagation":
         raise ValueError(
-            f"algorithm must be 'propagation' or 'star', got {algorithm!r}"
+            "algorithm must be 'auto', 'propagation' or 'star', "
+            f"got {algorithm!r}"
         )
+    if max_iter is None:
+        max_iter = _DEFAULT_ITERS["propagation"]
     edges = pairs.select(
         F.col(id_a).alias("__src"), F.col(id_b).alias("__dst")
     ).filter(F.col("__src") != F.col("__dst"))
@@ -122,10 +166,11 @@ def dup_clusters(
             if changed == 0:
                 converged = True
                 return labels
-        raise RuntimeError(
+        raise ConvergenceError(
             f"dup_clusters did not converge in {max_iter} rounds — the pair "
             "graph has a longer diameter than near-dup clusters should; "
-            "raise max_iter or use dup_clusters(algorithm='star')"
+            "raise max_iter, use dup_clusters(algorithm='star'), or "
+            "algorithm='auto' to switch automatically"
         )
     finally:
         und.unpersist()
@@ -232,7 +277,7 @@ def _dup_clusters_star(
                     )
                 )
                 return labels
-        raise RuntimeError(
+        raise ConvergenceError(
             f"dup_clusters(algorithm='star') did not converge in {max_iter} "
             "rounds — raise max_iter (rounds grow ~log² of the largest "
             "component, so this indicates an extreme graph)"
@@ -249,15 +294,15 @@ def dedup_by_pairs(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
-    algorithm: str = "propagation",
+    max_iter: Optional[int] = None,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Keep ONE row per duplicate cluster (the minimum id) and every row
     that appears in no pair. The corpus-level consumer of the LSH pair
     producers: near_dups = minhash_dup_pairs(...);
     deduped = dedup_by_pairs(docs, near_dups, "doc_id").
-    `algorithm` passes through to dup_clusters ('star' for high-diameter
-    pair graphs).
+    `algorithm`/`max_iter` pass through to dup_clusters (default 'auto':
+    propagation first, star contraction on non-convergence).
 
     One broadcast-or-shuffle join of the corpus against the (tiny relative
     to the corpus) cluster map; non-keeper members are dropped in-plan.

@@ -28,16 +28,48 @@ from cuckoofilter4j_spark.operators.build import build_filter_sharded, sha256_ke
 from cuckoofilter4j_spark.operators.probe import might_contain_sharded
 
 # shingling-parameter stamp on contamination filters: a filter probed with
-# the wrong unit/k silently reports ~fpp hit rates for contaminated docs
+# the wrong unit/k/normalization silently reports ~fpp hit rates for
+# contaminated docs
 SHINGLE_UNIT_COL = "shingle_unit"
 SHINGLE_K_COL = "shingle_k"
+SHINGLE_NORM_COL = "shingle_norm"
 
 
 _TOKEN_RE = r"\S+"  # same token definition as functions/text.py token_count
+# normalization for "lower_punct": strip everything that is not a letter,
+# digit, or whitespace. \p{L}/\p{N} are supported by BOTH Java regex (Spark)
+# and RE2 (DuckDB oracles), so the two sides normalize identically.
+_PUNCT_RE = r"[^\p{L}\p{N}\s]+"
+NORMALIZE_MODES = ("none", "lower", "lower_punct")
+
+
+def _norm_text(col: Column, normalize: str) -> Column:
+    """Pre-shingling text normalization, pure Catalyst codegen.
+
+    "none": exact text; "lower": casefold only; "lower_punct": casefold +
+    strip punctuation/symbols (the GPT-3 appendix-C decontamination style —
+    a case-changed or re-punctuated copy of an eval document still matches
+    the training corpus's shingles)."""
+    if normalize == "none":
+        return col
+    if normalize == "lower":
+        return F.lower(col)
+    if normalize == "lower_punct":
+        return F.regexp_replace(F.lower(col), _PUNCT_RE, " ")
+    raise ValueError(
+        f"normalize must be one of {NORMALIZE_MODES}, got {normalize!r}"
+    )
 
 
 def _ngram_keys(
-    df: DataFrame, text_col: str, id_col: str, k: int, unit: str = "char"
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    unit: str = "char",
+    normalize: str = "none",
+    drop_empty: bool = False,
+    with_empty_flag: bool = False,
 ) -> DataFrame:
     """(id, key) for every k-gram — explode POSITIONS + codegen'd slicing;
     everything stays inside whole-stage codegen (no interpreted lambdas,
@@ -49,13 +81,25 @@ def _ngram_keys(
     not character windows): regexp_extract_all('\\S+') → slice(toks, i, k)
     → array_join(' '), so 'foo  bar' and 'foo bar' shingle identically.
 
+    `normalize` (see _norm_text) applies BEFORE shingling on both the build
+    and probe sides.
+
     NULL text coalesces to '' so every document still yields one probe row
     (the empty shingle): sequence/explode would otherwise DROP null-text
     rows entirely, and a decontamination gate keyed on the report would
-    pass those documents unchecked (ADVICE r3)."""
+    pass those documents unchecked (ADVICE r3).
+
+    `drop_empty=True` (the BUILD side) removes empty-gram rows instead:
+    a null/empty-text TRAINING document must not insert sha256('') into the
+    filter, or every null/empty EVAL document would probe hit_frac=1 and be
+    silently dropped — the opposite of the 'null-text docs kept' contract
+    (ADVICE r4). `with_empty_flag=True` (the PROBE side) adds a boolean
+    `__g_empty` column so the aggregation can exclude empty-gram hits from
+    hit_frac (judging docs on real content only) while still emitting one
+    row per document."""
     if unit == "char":
-        coalesced = F.coalesce(F.col(text_col), F.lit(""))
-        return (
+        coalesced = _norm_text(F.coalesce(F.col(text_col), F.lit("")), normalize)
+        grams = (
             df.select(
                 F.col(id_col).alias("id"),
                 coalesced.alias("__t"),
@@ -67,13 +111,14 @@ def _ngram_keys(
                 ).alias("__i"),
             )
             .select("id", F.col("__t").substr(F.col("__i"), F.lit(k)).alias("__g"))
-            .select("id", sha256_key("__g").alias("key"))
         )
-    if unit == "token":
+    elif unit == "token":
         toks = F.regexp_extract_all(
-            F.coalesce(F.col(text_col), F.lit("")), F.lit(_TOKEN_RE), 0
+            _norm_text(F.coalesce(F.col(text_col), F.lit("")), normalize),
+            F.lit(_TOKEN_RE),
+            0,
         )
-        return (
+        grams = (
             df.select(
                 F.col(id_col).alias("id"),
                 toks.alias("__tk"),
@@ -90,9 +135,15 @@ def _ngram_keys(
                     F.slice(F.col("__tk"), F.col("__i"), F.lit(k)), " "
                 ).alias("__g"),
             )
-            .select("id", sha256_key("__g").alias("key"))
         )
-    raise ValueError(f"unit must be 'char' or 'token', got {unit!r}")
+    else:
+        raise ValueError(f"unit must be 'char' or 'token', got {unit!r}")
+    if drop_empty:
+        grams = grams.filter(F.length("__g") > 0)
+    cols = ["id", sha256_key("__g").alias("key")]
+    if with_empty_flag:
+        cols.append((F.length("__g") == 0).alias("__g_empty"))
+    return grams.select(*cols)
 
 
 def ngram_contamination(
@@ -108,6 +159,7 @@ def ngram_contamination(
     max_keys: Optional[int] = None,
     sketches: Optional[DataFrame] = None,
     unit: str = "char",
+    normalize: str = "none",
 ) -> DataFrame:
     """Per-eval-document contamination report against the training corpus.
 
@@ -117,7 +169,18 @@ def ngram_contamination(
     k-token word-grams — the GPT/PaLM-style 13-gram decontamination unit),
     n_hits how many of them the training filter contains, and
     contaminated = hit_frac >= threshold. A `sketches` filter passed in
-    must have been built with the SAME unit and shingle_k.
+    must have been built with the SAME unit, shingle_k, and normalize.
+
+    `normalize` ("none" | "lower" | "lower_punct") casefolds / strips
+    punctuation before shingling on BOTH sides (GPT-3 appendix-C style) so
+    case-changed or re-punctuated copies still match — pure Catalyst
+    (lower + regexp_replace), no UDFs.
+
+    Null/empty-text eval documents are probed as the empty shingle (so the
+    report covers every input row) but empty grams NEVER count as hits —
+    documents are judged on real content only. Symmetrically the build
+    side never inserts the empty gram, so this holds deterministically,
+    not merely at ~fpp.
 
     `max_keys` sizes the filter (expected DISTINCT training n-grams); when
     omitted it is computed with one approx_count_distinct pass (documented
@@ -126,48 +189,58 @@ def ngram_contamination(
     reuse one trained filter across many eval sets — the intended 100 TB
     shape: build once, probe forever.
     """
+    _norm_text(F.lit(""), normalize)  # eager arg validation
     if sketches is None:
         sketches = build_contamination_filter(
             train, text_col, id_col, shingle_k, fpp=fpp, seed=seed,
             num_shards=num_shards, max_keys=max_keys, unit=unit,
+            normalize=normalize,
         )
     elif SHINGLE_UNIT_COL in sketches.columns and SHINGLE_K_COL in sketches.columns:
         # validate the stamp: a pre-built filter probed with the wrong
-        # unit/k reports hit_frac ~ fpp for contaminated docs — the gate
-        # would silently pass everything. One 1-row job per call.
+        # unit/k/normalization reports hit_frac ~ fpp for contaminated docs
+        # — the gate would silently pass everything. One 1-row job per call.
+        has_norm = SHINGLE_NORM_COL in sketches.columns
         stamp = sketches.select(
-            F.first(SHINGLE_UNIT_COL).alias("u"), F.first(SHINGLE_K_COL).alias("k")
+            F.first(SHINGLE_UNIT_COL).alias("u"),
+            F.first(SHINGLE_K_COL).alias("k"),
+            *([F.first(SHINGLE_NORM_COL).alias("n")] if has_norm else []),
         ).first()
+        stamp_norm = stamp["n"] if has_norm else "none"
         if stamp["u"] is not None and (
-            stamp["u"] != unit or int(stamp["k"]) != int(shingle_k)
+            stamp["u"] != unit
+            or int(stamp["k"]) != int(shingle_k)
+            or stamp_norm != normalize
         ):
             raise ValueError(
                 f"sketches were built with unit={stamp['u']!r}, "
-                f"shingle_k={int(stamp['k'])} but this call probes "
-                f"unit={unit!r}, shingle_k={int(shingle_k)} — mismatched "
-                "shingling makes every contaminated document look clean "
-                "(hit_frac ~ fpp); pass matching parameters"
+                f"shingle_k={int(stamp['k'])}, normalize={stamp_norm!r} but "
+                f"this call probes unit={unit!r}, shingle_k={int(shingle_k)}, "
+                f"normalize={normalize!r} — mismatched shingling makes every "
+                "contaminated document look clean (hit_frac ~ fpp); pass "
+                "matching parameters"
             )
-    probes = _ngram_keys(eval_df, text_col, id_col, shingle_k, unit).dropDuplicates(
-        ["id", "key"]
-    )
-    # output_cols=["id"]: the report aggregates (id, bool) — without the
-    # projection every probed n-gram's 32-byte key would ride back through
-    # the opaque probe (Catalyst can't prune it; BASELINE.md r4)
+    probes = _ngram_keys(
+        eval_df, text_col, id_col, shingle_k, unit, normalize=normalize,
+        with_empty_flag=True,
+    ).dropDuplicates(["id", "key"])
+    # output_cols=["id","__g_empty"]: the report aggregates (id, flag, bool)
+    # — without the projection every probed n-gram's 32-byte key would ride
+    # back through the opaque probe (Catalyst can't prune it; BASELINE.md r4)
     hit = might_contain_sharded(
-        probes, sketches, "key", num_shards=None, output_cols=["id"]
+        probes, sketches, "key", num_shards=None, output_cols=["id", "__g_empty"]
     )
+    # empty-gram rows keep the doc in the report (count toward n_ngrams so
+    # hit_frac never divides by zero) but can never count as hits
+    real_hit = (F.col("might_contain") & ~F.col("__g_empty")).cast("long")
     return (
         hit.groupBy("id")
         .agg(
             F.count("*").alias("n_ngrams"),
-            F.sum(F.col("might_contain").cast("long")).alias("n_hits"),
-            F.round(
-                F.sum(F.col("might_contain").cast("long")) / F.count("*"), 6
-            ).alias("hit_frac"),
+            F.sum(real_hit).alias("n_hits"),
+            F.round(F.sum(real_hit) / F.count("*"), 6).alias("hit_frac"),
             (
-                (F.sum(F.col("might_contain").cast("long")) / F.count("*"))
-                >= F.lit(float(threshold))
+                (F.sum(real_hit) / F.count("*")) >= F.lit(float(threshold))
             ).alias("contaminated"),
         )
         .withColumnRenamed("id", id_col)
@@ -187,20 +260,25 @@ def decontaminate(
     max_keys: Optional[int] = None,
     sketches: Optional[DataFrame] = None,
     unit: str = "token",
+    normalize: str = "none",
 ) -> DataFrame:
     """The gate built on ngram_contamination: return `eval_df` with the
     contaminated documents REMOVED (anti-join on the report's flagged ids —
     one broadcast-or-shuffle join; the report side is one row per eval doc).
 
     Defaults to the production decontamination shape — token 13-grams
-    (GPT/PaLM style). Null-text rows are probed as the empty shingle (see
-    _ngram_keys), so every input row is either kept or flagged; none can
-    slip past unchecked. Pass `sketches` (build_contamination_filter) to
-    reuse one trained filter across eval sets."""
+    (GPT/PaLM style); add normalize="lower_punct" for the GPT-3
+    appendix-C normalization. Null-text rows are probed as the empty
+    shingle (see _ngram_keys), so every input row is either kept or
+    flagged; none can slip past unchecked — and since empty grams never
+    count as hits (on either side), null/empty docs are deterministically
+    KEPT, judged on real content only. Pass `sketches`
+    (build_contamination_filter) to reuse one trained filter across eval
+    sets."""
     report = ngram_contamination(
         train, eval_df, text_col, id_col, shingle_k=shingle_k,
         threshold=threshold, fpp=fpp, seed=seed, num_shards=num_shards,
-        max_keys=max_keys, sketches=sketches, unit=unit,
+        max_keys=max_keys, sketches=sketches, unit=unit, normalize=normalize,
     )
     flagged = report.filter(F.col("contaminated")).select(id_col)
     return eval_df.join(flagged, id_col, "left_anti")
@@ -216,13 +294,26 @@ def build_contamination_filter(
     num_shards: int = 64,
     max_keys: Optional[int] = None,
     unit: str = "char",
+    normalize: str = "none",
 ) -> DataFrame:
     """Sharded global cuckoo filter over the training corpus's distinct
     k-gram shingles (char windows or whitespace-token word-grams, per
-    `unit`) — build ONCE, persist with sources.save_sketches, probe from
-    every eval/decontamination job. One distinct-shuffle over the n-gram
-    keys (map-side combined), then the standard sharded build."""
-    keys = _ngram_keys(train, text_col, id_col, shingle_k, unit).select("key").distinct()
+    `unit`, normalized per `normalize`) — build ONCE, persist with
+    sources.save_sketches, probe from every eval/decontamination job. One
+    distinct-shuffle over the n-gram keys (map-side combined), then the
+    standard sharded build.
+
+    drop_empty: a null/empty-text training document must NOT insert the
+    empty shingle — otherwise every null/empty eval doc would probe
+    hit_frac=1 and be silently dropped by decontaminate (ADVICE r4)."""
+    keys = (
+        _ngram_keys(
+            train, text_col, id_col, shingle_k, unit, normalize=normalize,
+            drop_empty=True,
+        )
+        .select("key")
+        .distinct()
+    )
     if max_keys is None:
         max_keys = int(
             keys.agg(F.approx_count_distinct("key").alias("n")).collect()[0]["n"]
@@ -233,8 +324,11 @@ def build_contamination_filter(
         fpp=fpp, seed=seed, sizing="paper",
     )
     # stamp the shingling params: probing a char-8 filter with token-13
-    # shingles yields hit_frac ~ fpp for genuinely contaminated docs — the
-    # gate silently stops gating. ngram_contamination validates the stamp.
-    return sk.withColumn(SHINGLE_UNIT_COL, F.lit(unit)).withColumn(
-        SHINGLE_K_COL, F.lit(int(shingle_k))
+    # shingles (or a raw filter with normalized probes) yields hit_frac ~
+    # fpp for genuinely contaminated docs — the gate silently stops gating.
+    # ngram_contamination validates the stamp.
+    return (
+        sk.withColumn(SHINGLE_UNIT_COL, F.lit(unit))
+        .withColumn(SHINGLE_K_COL, F.lit(int(shingle_k)))
+        .withColumn(SHINGLE_NORM_COL, F.lit(normalize))
     )

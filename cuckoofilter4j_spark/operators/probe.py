@@ -561,10 +561,12 @@ def count_members_sharded(
     sketches,
     key_col: str = "key",
     num_shards: Optional[int] = None,
+    group_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
-    """Aggregate membership probe: ONE row (n_probed, n_members) instead of
-    a per-row boolean column — the shape for membership-rate / observed-FPP
-    / contamination-rate checks, where per-key results are never consumed.
+    """Aggregate membership probe: ONE row (n_probed, n_members) — or one
+    row PER GROUP (`group_cols`, e.g. ["lang", "repo"]) — instead of a
+    per-row boolean column. The shape for membership-rate / observed-FPP /
+    contamination-rate checks, where per-key results are never consumed.
 
     Why a dedicated operator: mapInArrow is opaque to Catalyst, so
     `might_contain_sharded(df).filter(col).count()` ships every input
@@ -572,9 +574,10 @@ def count_members_sharded(
     unsafe rows just to count booleans — measured as the dominant cost of
     count-style probes (the Python kernel itself scales to 38M probes/s
     across 16 processes on this host while the full-return pipeline walls
-    at ~5.5M/s). Here each task emits ONE partial-count row; the JVM-side
-    return path disappears and the probe scales with cores again
-    (5.6 → 16.8M probes/s at local[4]→local[16], 30.4M keys).
+    at ~5.5M/s). Here each task emits partial-count rows (one per group it
+    saw — dictionary-encoded composite group codes + bincount, no per-row
+    Python); the JVM-side return path disappears and the final shuffle
+    carries tasks × groups tiny rows into one groupBy.
 
     Requires binary keys (sha256_key) and uniform shard params — the same
     conditions as the stacked probe; anything else falls back to the
@@ -583,6 +586,7 @@ def count_members_sharded(
 
     import pyarrow as pa
 
+    gcols = list(group_cols) if group_cols else []
     smap, num_shards = _resolve_sharded(sketches, num_shards)
     if not (
         isinstance(df.schema[key_col].dataType, _BinaryType) and _stacked_ok(smap)
@@ -590,7 +594,8 @@ def count_members_sharded(
         probed = might_contain_sharded(
             df, smap, key_col, result_col="__cms_mc", num_shards=num_shards
         )
-        return probed.agg(
+        grouped = probed.groupBy(*gcols) if gcols else probed.groupBy()
+        return grouped.agg(
             F.count("*").alias("n_probed"),
             F.coalesce(
                 F.sum(F.col("__cms_mc").cast("long")), F.lit(0).cast("long")
@@ -600,34 +605,91 @@ def count_members_sharded(
     token = _stacked_token(smap, num_shards)
     S = int(num_shards)
     out_schema = StructType(
-        [
+        [df.schema[c] for c in gcols]
+        + [
             StructField("n_probed", LongType(), False),
             StructField("n_members", LongType(), False),
         ]
     )
+    n_g = len(gcols)
+    # the mapped frame is df.select(*gcols, key_col): groups first, key last
 
     def probe_counts(batches):
         stack = _stacked_cache_get(token, lambda: _build_stack(bc.value, S))
         seed_words = None
         total = members = 0
+        totals: Dict[tuple, list] = {}
+        gtypes = None
         for batch in batches:
-            if batch.num_rows == 0:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            # the mapped frame is df.select(key_col): single column, index 0
             res, seed_words = _batch_membership(
-                batch.column(0), stack, S, "contains", seed_words
+                batch.column(n_g), stack, S, "contains", seed_words
             )
-            total += batch.num_rows
-            members += int(res.sum())
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([total], type=pa.int64()),
-                pa.array([members], type=pa.int64()),
-            ],
-            ["n_probed", "n_members"],
-        )
+            if not n_g:
+                total += n
+                members += int(res.sum())
+                continue
+            if gtypes is None:
+                gtypes = [batch.schema.field(j).type for j in range(n_g)]
+            # composite group code per row: dictionary-encode each group
+            # column (vectorized, nulls -> extra code), mixed-radix combine,
+            # then ONE bincount pair per batch — no per-row Python
+            codes = np.zeros(n, dtype=np.int64)
+            dicts = []
+            for j in range(n_g):
+                enc = batch.column(j).dictionary_encode()
+                ind = enc.indices.to_numpy(zero_copy_only=False)
+                dvals = enc.dictionary.to_pylist()
+                if ind.dtype.kind == "f":  # nulls surfaced as NaN
+                    ind = np.where(np.isnan(ind), len(dvals), ind)
+                    dvals = dvals + [None]
+                codes = codes * len(dvals) + ind.astype(np.int64)
+                dicts.append(dvals)
+            uniq, inv = np.unique(codes, return_inverse=True)
+            cnt = np.bincount(inv, minlength=uniq.size)
+            mem = np.bincount(
+                inv, weights=res.astype(np.float64), minlength=uniq.size
+            ).astype(np.int64)
+            # decode each unique composite code back to its group tuple
+            for pos, code in enumerate(uniq):
+                vals = []
+                c = int(code)
+                for dvals in reversed(dicts):
+                    c, r = divmod(c, len(dvals))
+                    vals.append(dvals[r])
+                g = tuple(reversed(vals))
+                slot = totals.setdefault(g, [0, 0])
+                slot[0] += int(cnt[pos])
+                slot[1] += int(mem[pos])
+        if not n_g:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([total], type=pa.int64()),
+                    pa.array([members], type=pa.int64()),
+                ],
+                ["n_probed", "n_members"],
+            )
+            return
+        if totals:
+            groups = list(totals.keys())
+            arrays = [
+                pa.array([g[j] for g in groups], type=gtypes[j])
+                for j in range(n_g)
+            ]
+            arrays.append(pa.array([totals[g][0] for g in groups], type=pa.int64()))
+            arrays.append(pa.array([totals[g][1] for g in groups], type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, gcols + ["n_probed", "n_members"]
+            )
 
-    partials = df.select(key_col).mapInArrow(probe_counts, out_schema)
+    partials = df.select(*gcols, key_col).mapInArrow(probe_counts, out_schema)
+    if gcols:
+        return partials.groupBy(*gcols).agg(
+            F.sum("n_probed").alias("n_probed"),
+            F.sum("n_members").alias("n_members"),
+        )
     # coalesce: a source with ZERO file splits emits no partial rows at all,
     # and sum-of-nothing is NULL, not 0
     return partials.agg(

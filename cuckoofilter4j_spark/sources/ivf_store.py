@@ -76,16 +76,30 @@ def save_ivf_index(
         .parquet(os.path.join(path, "lists"))
     )
     # staleness baseline: mean cosine to the winning centroid over the
-    # corpus the quantizer was trained for (one column aggregate over the
-    # just-written table — probes never read SIM_COL thanks to pruning)
+    # corpus the quantizer was trained for — recorded PER LIST (skewed
+    # corpora drift per-list: some lists absorb all the appended vectors,
+    # and a partial rebuild needs to know which). One groupBy aggregate
+    # over the just-written table, ≤ n_lists driver-side rows; the global
+    # figure derives from the per-list partials. Probes never read SIM_COL
+    # thanks to pruning.
     spark = corpus.sparkSession
     # explicit schema: a zero-row save leaves no parquet files to infer from
-    base = (
+    per_rows = (
         spark.read.schema(assigned.schema)
         .parquet(os.path.join(path, "lists"))
-        .agg(F.avg(SIM_COL).alias("s"), F.count("*").alias("n"))
-        .first()
+        .groupBy(LIST_COL)
+        .agg(F.sum(SIM_COL).alias("s"), F.count("*").alias("n"))
+        .collect()
     )
+    n_total = sum(int(r["n"]) for r in per_rows)
+    s_total = sum(float(r["s"]) for r in per_rows)
+    per_list = {
+        str(int(r[LIST_COL])): {
+            "mean_center_sim": float(r["s"]) / int(r["n"]),
+            "n": int(r["n"]),
+        }
+        for r in per_rows
+    }
     meta = {
         "n_lists": int(cm.shape[0]),
         "dim": int(cm.shape[1]),
@@ -93,8 +107,9 @@ def save_ivf_index(
         "id_col": id_col,
         "vec_col": vec_col,
         "centroids": cm.tolist(),
-        "mean_center_sim": float(base["s"]) if base["s"] is not None else None,
-        "n_vectors_at_save": int(base["n"]),
+        "mean_center_sim": (s_total / n_total) if n_total else None,
+        "n_vectors_at_save": n_total,
+        "per_list_center_sim": per_list,
     }
     write_text(
         spark,
@@ -172,31 +187,56 @@ def append_ivf_index(
     return meta
 
 
-def ivf_staleness(spark: SparkSession, path: str) -> dict:
+def ivf_staleness(spark: SparkSession, path: str, worst_k: int = 5) -> dict:
     """How far the stored corpus has drifted from the coarse quantizer:
-    compares the CURRENT mean cosine-to-assigned-centroid (one column
+    compares the CURRENT mean cosine-to-assigned-centroid (one groupBy
     aggregate over the persisted `__ivf_sim` — no vectors are re-scored)
     against the baseline recorded at save time. `drift` > 0 means newer
     vectors sit farther from their centroids than the training corpus did
     — recall at fixed n_probe degrades and the quantizer deserves a
-    retrain (save_ivf_index over the full corpus)."""
+    retrain (save_ivf_index over the full corpus).
+
+    `per_list`: the `worst_k` MOST-drifted lists (skewed corpora drift
+    per-list — a few lists absorb all the appended vectors while the rest
+    stay fresh), each with its current/baseline mean sim, row counts, and
+    drift — so a PARTIAL rebuild (re-clustering just those lists' vectors)
+    is actionable without re-scoring anything. Lists with no per-list
+    baseline (saved before the per-list stamp, or empty at save) fall back
+    to the global save-time baseline; the fallback is flagged."""
     meta = load_ivf_meta(spark, path)
     if "mean_center_sim" not in meta:
         raise ValueError(
             f"index at {path} predates the staleness column ({SIM_COL}) — "
             "rebuild it with save_ivf_index to enable ivf_staleness"
         )
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    # explicit single-column schema: works on stores saved empty (no files
-    # to infer from) and reads only the sim column bytes on full ones
-    cur = (
-        spark.read.schema(StructType([StructField(SIM_COL, DoubleType())]))
-        .parquet(os.path.join(path, "lists"))
-        .agg(F.avg(SIM_COL).alias("s"), F.count("*").alias("n"))
-        .first()
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
-    mean_now = float(cur["s"]) if cur["s"] is not None else None
+
+    # explicit schema: works on stores saved empty (no files to infer
+    # from) and reads only the sim bytes + the partition column on full
+    # ones (LIST_COL is the partition directory value, not file bytes)
+    cur_rows = (
+        spark.read.schema(
+            StructType(
+                [
+                    StructField(SIM_COL, DoubleType()),
+                    StructField(LIST_COL, IntegerType()),
+                ]
+            )
+        )
+        .parquet(os.path.join(path, "lists"))
+        .groupBy(LIST_COL)
+        .agg(F.sum(SIM_COL).alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    n_now = sum(int(r["n"]) for r in cur_rows)
+    mean_now = (
+        sum(float(r["s"]) for r in cur_rows) / n_now if n_now else None
+    )
     # saved-empty index (mean_center_sim None, zero rows at save): there is
     # no baseline to drift from — report None rather than a fake 0
     mean_save = (
@@ -204,8 +244,34 @@ def ivf_staleness(spark: SparkSession, path: str) -> dict:
         if meta["mean_center_sim"] is not None
         else None
     )
+    base_lists = meta.get("per_list_center_sim") or {}
+    per_list = []
+    for r in cur_rows:
+        lid = int(r[LIST_COL])
+        base = base_lists.get(str(lid))
+        base_mean = (
+            float(base["mean_center_sim"]) if base is not None else mean_save
+        )
+        now_mean = float(r["s"]) / int(r["n"])
+        per_list.append(
+            {
+                "list": lid,
+                "n": int(r["n"]),
+                "n_at_save": int(base["n"]) if base is not None else 0,
+                "mean_center_sim": now_mean,
+                "mean_center_sim_at_save": base_mean,
+                "baseline_is_global_fallback": base is None,
+                "drift": (
+                    base_mean - now_mean if base_mean is not None else None
+                ),
+            }
+        )
+    # most-drifted first; un-driftable (no baseline at all) lists sort last
+    per_list.sort(
+        key=lambda d: (d["drift"] is None, -(d["drift"] or 0.0), d["list"])
+    )
     return {
-        "n_vectors": int(cur["n"]),
+        "n_vectors": n_now,
         "n_vectors_at_save": int(meta["n_vectors_at_save"]),
         "mean_center_sim": mean_now,
         "mean_center_sim_at_save": mean_save,
@@ -214,6 +280,7 @@ def ivf_staleness(spark: SparkSession, path: str) -> dict:
             if mean_save is not None and mean_now is not None
             else None
         ),
+        "per_list": per_list[: max(int(worst_k), 0)],
     }
 
 

@@ -41,7 +41,7 @@ def test_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(6)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dup_clusters(pairs, max_iter=2)
+        dup_clusters(pairs, max_iter=2, algorithm="propagation")
     # and converges fine with enough rounds
     got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs, max_iter=10).collect()}
     assert set(got.values()) == {0}
@@ -110,7 +110,7 @@ def test_star_converges_where_propagation_exceeds_max_iter(spark):
         [(i, i + 1) for i in range(50)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dup_clusters(pairs, max_iter=10)
+        dup_clusters(pairs, max_iter=10, algorithm="propagation")
     got = dup_clusters(pairs, algorithm="star", max_iter=10)
     vals = {r["id"]: r["cluster_id"] for r in got.collect()}
     assert vals == {i: 0 for i in range(51)}

@@ -178,3 +178,61 @@ def test_staleness_detects_out_of_distribution_append(spark, tmp_path):
     assert stale["drift"] > base["drift"] + 0.02
     assert stale["mean_center_sim"] < base["mean_center_sim"]
     assert stale["n_vectors"] == base["n_vectors"] + n_ood
+
+
+def test_staleness_per_list_pinpoints_skewed_append(spark, tmp_path):
+    """Appending vectors that all land in ONE list must surface that list
+    at the top of per_list (worst drift) while untouched lists report ~0
+    drift — the actionable partial-rebuild signal."""
+    import numpy as np
+
+    from cuckoofilter4j_spark.sources import (
+        append_ivf_index,
+        ivf_staleness,
+        load_ivf_meta,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, path, n_lists=8, seed=42)
+    meta = load_ivf_meta(spark, path)
+    cents = np.asarray(meta["centroids"])
+    # per-list baselines were recorded at save
+    assert meta["per_list_center_sim"]
+    base = ivf_staleness(spark, path, worst_k=8)
+    assert all(abs(d["drift"]) < 1e-9 for d in base["per_list"])
+    # craft vectors that route to list 0 (argmax cosine, verified with the
+    # same stored centroids the appender uses) but sit FARTHER from its
+    # centroid than the training corpus does: cos(v, c0) pinned ~0.15
+    # below the recorded per-list baseline via a controlled mix of c0 and
+    # orthogonal noise, rejection-sampling the routing
+    rng = np.random.default_rng(3)
+    dim = cents.shape[1]
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    c0 = cn[0]
+    base0 = meta["per_list_center_sim"]["0"]["mean_center_sim"]
+    target = max(base0 - 0.15, base0 * 0.5)
+    rows = []
+    i = 0
+    while len(rows) < 200:
+        i += 1
+        noise = rng.standard_normal(dim)
+        noise -= noise @ c0 * c0
+        noise /= np.linalg.norm(noise)
+        v = target * c0 + np.sqrt(1 - target**2) * noise
+        sims = cn @ v
+        if np.argmax(sims) != 0:  # routing must really pick list 0
+            continue
+        rows.append((300000 + i, v.astype("float32").tolist()))
+        assert i < 5000, "rejection sampling failed to route to list 0"
+    skew = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    append_ivf_index(skew, path)
+    stale = ivf_staleness(spark, path, worst_k=3)
+    worst = stale["per_list"][0]
+    # the skewed list is identified, drifted, and grew; others stayed fresh
+    assert worst["drift"] > 0.05
+    assert worst["n"] > worst["n_at_save"]
+    assert not worst["baseline_is_global_fallback"]
+    others = stale["per_list"][1:]
+    assert all(d["drift"] < worst["drift"] / 2 for d in others)
+    assert len(stale["per_list"]) == 3  # worst_k honored

@@ -95,3 +95,217 @@ def test_swar_count_sharded_stacked_matches_per_filter():
         expect[idx] = filters[(s,)].count_batch([keys[i] for i in idx])
     assert np.array_equal(np.asarray(res), expect)
     assert (np.asarray(res) >= 1).all()  # zero false negatives
+
+
+def test_count_members_sharded_grouped_exact(spark):
+    """Grouped membership-rate aggregate: per-group (n_probed, n_members)
+    must equal exact per-group counts — members all found (zero false
+    negatives), absent keys not counted except hash-determined FPs, which
+    we avoid by probing only members plus keys routed to empty groups."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.operators import (
+        build_filter_sharded,
+        count_members_sharded,
+        sha256_key,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keyed = docs.select("doc_id", "lang", sha256_key("text").alias("key"))
+    sk = build_filter_sharded(keyed, "key", num_shards=8, max_keys=4096)
+    out = count_members_sharded(keyed, sk, "key", group_cols=["lang"])
+    got = {r["lang"]: (r["n_probed"], r["n_members"]) for r in out.collect()}
+    expect = {
+        r["lang"]: (r["n"], r["n"])
+        for r in keyed.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expect
+
+    # two group columns incl. an int col, with a NULL group value
+    keyed2 = keyed.withColumn(
+        "bucket",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+            (F.col("doc_id") % 3).cast("int")
+        ),
+    )
+    out2 = count_members_sharded(keyed2, sk, "key", group_cols=["lang", "bucket"])
+    got2 = {
+        (r["lang"], r["bucket"]): (r["n_probed"], r["n_members"])
+        for r in out2.collect()
+    }
+    expect2 = {
+        (r["lang"], r["bucket"]): (r["n"], r["n"])
+        for r in keyed2.groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got2 == expect2
+
+    # grouped fallback path (non-binary key type) agrees
+    skeyed = docs.select("doc_id", "lang", F.col("text").alias("key"))
+    sk_s = build_filter_sharded(skeyed, "key", num_shards=8, max_keys=4096)
+    out3 = count_members_sharded(skeyed, sk_s, "key", group_cols=["lang"])
+    got3 = {r["lang"]: (r["n_probed"], r["n_members"]) for r in out3.collect()}
+    assert got3 == expect
+
+
+def test_contamination_normalize_catches_case_changed_copies(spark):
+    """A case-changed copy of a training doc must be flagged under
+    normalize='lower' / 'lower_punct' and NOT under 'none' (the raw
+    shingles differ). Both sides normalize identically (build + probe)."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.functions import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo foxtrot golf hotel india x{i} "
+              f"juliet kilo lima mike november oscar papa quebec") for i in range(30)],
+        "doc_id long, text string",
+    )
+    upper = train.select(
+        (F.col("doc_id") + 100).alias("doc_id"), F.upper("text").alias("text")
+    )
+    for norm, want in (("none", False), ("lower", True), ("lower_punct", True)):
+        rep = ngram_contamination(
+            train, upper, "text", "doc_id", shingle_k=5, threshold=0.5,
+            unit="token", normalize=norm,
+        )
+        flags = {r["doc_id"]: r["contaminated"] for r in rep.collect()}
+        assert all(v == want for v in flags.values()), (norm, flags)
+
+
+def test_contamination_normalize_punct_catches_repunctuated_copies(spark):
+    """'lower_punct' additionally strips punctuation/symbols: a copy with
+    injected punctuation matches only under lower_punct."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.functions import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(i, f"red green blue yellow purple orange cyan w{i} "
+              f"magenta olive teal navy maroon silver") for i in range(20)],
+        "doc_id long, text string",
+    )
+    punct = train.select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        F.regexp_replace("text", " ", "! ").alias("text"),
+    )
+    for norm, want in (("lower", False), ("lower_punct", True)):
+        rep = ngram_contamination(
+            train, punct, "text", "doc_id", shingle_k=4, threshold=0.5,
+            unit="token", normalize=norm,
+        )
+        flags = {r["doc_id"]: r["contaminated"] for r in rep.collect()}
+        assert all(v == want for v in flags.values()), (norm, flags)
+
+
+def test_contamination_norm_stamp_mismatch_raises(spark):
+    """A pre-built filter probed with a different normalization must raise,
+    not silently report hit_frac ~ fpp."""
+    import pytest as _pytest
+
+    from cuckoofilter4j_spark.functions import (
+        build_contamination_filter,
+        ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [(i, f"one two three four five six seven q{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    sk = build_contamination_filter(
+        train, "text", "doc_id", shingle_k=3, unit="token", normalize="lower"
+    )
+    with _pytest.raises(ValueError, match="normalize"):
+        ngram_contamination(
+            train, train, "text", "doc_id", shingle_k=3, unit="token",
+            normalize="none", sketches=sk,
+        )
+
+
+def test_empty_text_train_doc_does_not_poison_gate(spark):
+    """ADVICE r4: a null/empty-text TRAINING doc must not insert sha256('')
+    — and empty grams never count as hits — so null/empty EVAL docs are
+    DETERMINISTICALLY kept while verbatim copies are still dropped."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.functions import decontaminate, ngram_contamination
+
+    base = spark.createDataFrame(
+        [(i, f"lorem ipsum dolor sit amet consectetur p{i} "
+              f"adipiscing elit sed do eiusmod tempor") for i in range(20)],
+        "doc_id long, text string",
+    )
+    train = base.unionByName(
+        spark.createDataFrame(
+            [(900, None), (901, "")], "doc_id long, text string"
+        )
+    )
+    copies = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    clean = spark.createDataFrame(
+        [(i + 200, f"zz{i} yy{i} xx{i} ww{i} vv{i} uu{i} tt{i} ss{i}")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    nulls = spark.createDataFrame(
+        [(300, None), (301, ""), (302, "   ")], "doc_id long, text string"
+    )
+    eval_df = copies.unionByName(clean).unionByName(nulls)
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            train, eval_df, "text", "doc_id", shingle_k=5, threshold=0.5,
+            unit="token",
+        ).collect()
+    )
+    assert kept == [200, 201, 202, 203, 204, 300, 301, 302]
+    # the report still covers every eval row, and null docs show hit_frac 0
+    rep = ngram_contamination(
+        train, eval_df, "text", "doc_id", shingle_k=5, threshold=0.5,
+        unit="token",
+    )
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    assert set(rows) == {r["doc_id"] for r in eval_df.collect()}
+    for d in (300, 301, 302):
+        assert rows[d]["hit_frac"] == 0.0 and not rows[d]["contaminated"]
+
+
+def test_dup_clusters_auto_converges_on_high_diameter_chain(spark):
+    """algorithm='auto' (the new default) must converge a planted
+    199-diameter chain WITHOUT the caller choosing an algorithm:
+    propagation runs its few-round budget, then star contraction takes
+    over instead of raising."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.functions import ConvergenceError, dup_clusters
+
+    pairs = spark.range(199).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    got = dup_clusters(pairs)  # defaults: algorithm='auto', max_iter=None
+    vals = {r["id"]: r["cluster_id"] for r in got.collect()}
+    got.unpersist()
+    assert len(vals) == 200 and set(vals.values()) == {0}
+    # explicit propagation on the same graph still raises the typed error
+    import pytest as _pytest
+
+    with _pytest.raises(ConvergenceError):
+        dup_clusters(pairs, algorithm="propagation", max_iter=5)
+
+
+def test_dup_clusters_auto_fast_path_stays_propagation(spark):
+    """On a shallow graph 'auto' must converge inside the propagation stage
+    (same labels as explicit propagation) — the near-dup hot path."""
+    from cuckoofilter4j_spark.functions import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12)], "id_a long, id_b long"
+    )
+    a = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    b = {
+        r["id"]: r["cluster_id"]
+        for r in dup_clusters(pairs, algorithm="propagation").collect()
+    }
+    assert a == b == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
