@@ -564,13 +564,17 @@ class CuckooFilter:
         self.has_victim = bool(has_victim)
         self.victim_i1, self.victim_i2, self.victim_tag = (int(v) for v in victim)
         # Deterministic kick RNG (deviation: reference uses ThreadLocalRandom)
-        self._rng = np.random.default_rng(
-            self.seed if rng_seed is None else rng_seed
-        )
+        self._rng_seed = self.seed if rng_seed is None else rng_seed
+        self._rng = np.random.default_rng(self._rng_seed)
         self.gen = IndexTagGen(self.num_buckets, self.tag_bits, self.seed, self.hash_algo)
         # lineage / metrics
         self.kicks = 0
         self.failed_inserts = 0
+        # near-overflow hook (reference TODO.md: "Add hook to callback for
+        # when filter is close to overflow") — process-local, not serialized
+        self._overflow_cb = None
+        self._overflow_thresh = 0.9
+        self._overflow_fired = False
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -598,6 +602,61 @@ class CuckooFilter:
     def storage_bits(self) -> int:
         return self.table.size * self.table.itemsize * 8
 
+    def expected_fpp(self) -> float:
+        """Instantaneous estimated false-positive rate at the CURRENT load
+        (closes reference TODO.md "Add method to calculate instantaneous
+        estimated false positive rate"). A never-inserted key inspects
+        2 buckets × 4 slots; stored tags are uniform over [1, 2^f − 1]
+        (tag 0 is reserved-empty and rescued at generation), so each
+        occupied slot matches with p = 1/(2^f − 1):
+
+            fpp ≈ 1 − (1 − p)^(2·b·load_factor)
+
+        The victim slot's contribution also requires an index collision
+        (~buckets⁻¹) and is negligible. At design load this reduces to the
+        familiar ~2b·load/2^f bound the sizing math inverts."""
+        p = 1.0 / ((1 << self.tag_bits) - 1)
+        return 1.0 - (1.0 - p) ** (2 * BUCKET_SIZE * self.load_factor())
+
+    def clear(self) -> None:
+        """Reset to empty in place — numpy memset of the packed table, the
+        "quick mem wipe" of reference TODO.md "Add function to clear the
+        filter". Sizing, seed, and hash algorithm are preserved (the same
+        keys re-derive the same fingerprints), the kick RNG rewinds to its
+        constructed state (so a cleared filter re-fills byte-identically),
+        and the near-overflow hook re-arms."""
+        self.table[:] = 0
+        self.count = 0
+        self.has_victim = False
+        self.victim_i1 = self.victim_i2 = self.victim_tag = 0
+        self.kicks = 0
+        self.failed_inserts = 0
+        self._rng = np.random.default_rng(self._rng_seed)
+        self._overflow_fired = False
+
+    def set_overflow_callback(self, callback, threshold: float = 0.9) -> None:
+        """Register `callback(filter)` to fire ONCE when an insert drives
+        the load factor to `threshold` or beyond (closes reference TODO.md
+        "Add hook to callback for when filter is close to overflow") — the
+        signal to stop routing keys here, split the shard, or rotate the
+        epoch before kick-loop failures start. Checked once per insert
+        BATCH (the vectorized paths never pay per-item Python); re-armed by
+        clear(). Process-local: not carried through to_bytes/copy."""
+        if not (0.0 < threshold <= 1.0):
+            raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+        self._overflow_cb = callback
+        self._overflow_thresh = float(threshold)
+        self._overflow_fired = False
+
+    def _check_overflow(self) -> None:
+        if (
+            self._overflow_cb is not None
+            and not self._overflow_fired
+            and self.load_factor() >= self._overflow_thresh
+        ):
+            self._overflow_fired = True
+            self._overflow_cb(self)
+
     # -- key plumbing --------------------------------------------------------
     def _index_tag(self, keys) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         words = keys if (isinstance(keys, np.ndarray) and keys.ndim == 2 and keys.dtype == np.uint64) else encode_keys(keys)
@@ -609,7 +668,9 @@ class CuckooFilter:
     def put(self, key) -> bool:
         """Single insert, exact reference semantics (CuckooFilter.java:413-456)."""
         i1, i2, tag = self._index_tag(encode_keys([key] if not _is_batch(key) else key))
-        return bool(self._put_one(int(i1[0]), int(i2[0]), int(tag[0])))
+        ok = bool(self._put_one(int(i1[0]), int(i2[0]), int(tag[0])))
+        self._check_overflow()
+        return ok
 
     def put_batch(self, keys) -> np.ndarray:
         """Vectorized batch insert. Returns per-item success booleans.
@@ -710,6 +771,7 @@ class CuckooFilter:
             ok[pending] = ok2
             self.count += int(ok2.sum())
             self.failed_inserts += int(pending.size - ok2.sum())
+        self._check_overflow()
         return ok
 
     def _scatter_pass(

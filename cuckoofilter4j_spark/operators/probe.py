@@ -58,6 +58,16 @@ def _probe_map(
     if isinstance(sketches, DataFrame):
         sketches = collect_sketches(sketches, gcols)
     bc = df.sparkSession.sparkContext.broadcast(dict(sketches))
+    # single-filter probes use the shared worker decode cache; hash the
+    # content token ONCE here (driver, plan time) instead of once per task
+    token = None
+    if not gcols and sketches.get(()) is not None:
+        import hashlib
+
+        token = (
+            "filt-"
+            + hashlib.blake2b(sketches[()], digest_size=16).hexdigest()
+        )
     out_schema = StructType(df.schema.fields + [StructField(result_col, result_field, False)])
     kc = key_col
 
@@ -66,7 +76,9 @@ def _probe_map(
         isinstance(df.schema[c].dataType, int_types) for c in gcols
     )
     if arrow_ok:
-        return _probe_map_arrow(df, bc, kc, gcols, result_col, out_schema, mode)
+        return _probe_map_arrow(
+            df, bc, kc, gcols, result_col, out_schema, mode, token
+        )
 
     def probe(batches):
         cache: Dict[tuple, CuckooFilter] = {}
@@ -86,7 +98,7 @@ def _probe_map(
                 elif gcols:
                     cache[gvals] = CuckooFilter.from_bytes(blob)
                 else:
-                    cache[gvals] = _cached_filter_from_bytes(blob)
+                    cache[gvals] = _cached_filter_from_bytes(blob, token)
             return cache[gvals]
 
         for pdf in batches:
@@ -128,9 +140,11 @@ def _probe_map_arrow(
     result_col: str,
     out_schema: StructType,
     mode: str,
+    token: Optional[str] = None,
 ) -> DataFrame:
     """mapInArrow probe: numpy end-to-end, zero per-row Python objects;
-    `bc` is the broadcast {group: sketch_bytes} dict."""
+    `bc` is the broadcast {group: sketch_bytes} dict; `token` is the
+    plan-time decode-cache key for the single-filter (ungrouped) case."""
     import pyarrow as pa
 
     from cuckoofilter4j_spark.operators.build import words_from_arrow_binary
@@ -154,7 +168,7 @@ def _probe_map_arrow(
                 elif gcols:
                     cache[gvals] = CuckooFilter.from_bytes(blob)
                 else:
-                    cache[gvals] = _cached_filter_from_bytes(blob)
+                    cache[gvals] = _cached_filter_from_bytes(blob, token)
             return cache[gvals]
 
         for batch in batches:

@@ -97,6 +97,75 @@ def test_swar_count_sharded_stacked_matches_per_filter():
     assert (np.asarray(res) >= 1).all()  # zero false negatives
 
 
+def test_clear_resets_filter_in_place():
+    """Reference TODO.md 'Add function to clear the filter': clear() zeroes
+    table/count/victim/metrics, preserves sizing+seed, and the SAME keys
+    re-insert to a byte-identical filter."""
+    from cuckoofilter4j_spark.core import CuckooFilter
+
+    rng = np.random.default_rng(5)
+    keys = [rng.bytes(16) for _ in range(3000)]
+    f = CuckooFilter(num_buckets=1024, tag_bits=8, seed=9)
+    f.put_batch(keys)
+    snapshot = f.to_bytes()
+    assert f.count == 3000
+    f.clear()
+    assert f.count == 0 and not f.has_victim and f.load_factor() == 0.0
+    assert not f.contains_batch(keys).any()
+    f.put_batch(keys)
+    assert f.to_bytes() == snapshot  # deterministic re-fill
+
+
+def test_expected_fpp_tracks_observed():
+    """Reference TODO.md 'instantaneous estimated false positive rate':
+    the estimate must track the measured rate on absent keys within 2x at
+    two different loads (and be ~0 when empty)."""
+    from cuckoofilter4j_spark.core import CuckooFilter
+
+    rng = np.random.default_rng(13)
+    f = CuckooFilter(num_buckets=8192, tag_bits=8, seed=4)
+    assert f.expected_fpp() == 0.0
+    absent = [rng.bytes(16) for _ in range(200_000)]
+    for n_keys in (12_000, 28_000):
+        f.clear()
+        f.put_batch([rng.bytes(16) for _ in range(n_keys)])
+        est = f.expected_fpp()
+        obs = f.contains_batch(absent).mean()
+        assert est / 2 <= obs <= est * 2, (n_keys, est, obs)
+        assert 0 < est < 1
+
+
+def test_overflow_callback_fires_once_at_threshold():
+    """Reference TODO.md 'hook to callback for when filter is close to
+    overflow': fires exactly once when an insert crosses the threshold,
+    re-arms after clear(), never fires below threshold."""
+    from cuckoofilter4j_spark.core import CuckooFilter
+
+    rng = np.random.default_rng(17)
+    fired = []
+    f = CuckooFilter(num_buckets=256, tag_bits=8, seed=2)
+    f.set_overflow_callback(lambda flt: fired.append(flt.load_factor()), 0.5)
+    f.put_batch([rng.bytes(16) for _ in range(200)])  # load ~0.195
+    assert fired == []
+    f.put_batch([rng.bytes(16) for _ in range(400)])  # crosses 0.5
+    assert len(fired) == 1 and fired[0] >= 0.5
+    f.put_batch([rng.bytes(16) for _ in range(100)])  # stays fired-once
+    assert len(fired) == 1
+    f.clear()
+    f.put_batch([rng.bytes(16) for _ in range(600)])  # re-armed
+    assert len(fired) == 2
+    # single-put path also checks
+    g = CuckooFilter(num_buckets=256, tag_bits=8, seed=2)
+    hits = []
+    g.set_overflow_callback(lambda flt: hits.append(1), 0.0015)
+    g.put(b"x")  # 1/1024 slots ≈ 0.00098 < 0.0015
+    assert hits == []
+    g.put(b"y")  # 2/1024 ≈ 0.00195 ≥ 0.0015
+    assert hits == [1]
+    with pytest.raises(ValueError, match="threshold"):
+        g.set_overflow_callback(lambda flt: None, 0.0)
+
+
 def test_count_members_sharded_grouped_exact(spark):
     """Grouped membership-rate aggregate: per-group (n_probed, n_members)
     must equal exact per-group counts — members all found (zero false
