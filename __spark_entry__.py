@@ -234,6 +234,26 @@ def q_ckf_count_members_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_members_sharded(keyed, sk, "key", group_cols=["lang"])
 
 
+def q_ckf_sql_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-callable sharded probe (register_sharded_probe_udf, probe.py):
+    the membership filter as a WHERE-clause predicate — same stacked/SWAR
+    kernel as might_contain_sharded, so per-key results are identical.
+    Probing the filter's own keys through spark.sql: zero false negatives
+    ⇒ every document row survives the WHERE."""
+    from cuckoofilter4j_spark.operators import register_sharded_probe_udf
+
+    keyed = _docs_keyed(spark, sf_dir)
+    sk = build_filter_sharded(
+        keyed, "key", num_shards=8, max_keys=MAX_KEYS, fpp=FPP, seed=SEED
+    )
+    register_sharded_probe_udf(spark, "ckf_in_corpus", sk)
+    keyed.createOrReplaceTempView("__sql_probe_docs")
+    return spark.sql(
+        "SELECT doc_id, ckf_in_corpus(key) AS might_contain "
+        "FROM __sql_probe_docs WHERE ckf_in_corpus(key)"
+    )
+
+
 def q_ckf_sharded_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed delete through a SHARDED global filter (delete_keys_sharded,
     probe.py): each delete routes to its shard with the build hash. Deleting
@@ -1225,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_sharded_empty_shards": q_ckf_sharded_empty_shards,
         "ckf_count_members": q_ckf_count_members,
         "ckf_count_members_grouped": q_ckf_count_members_grouped,
+        "ckf_sql_probe": q_ckf_sql_probe,
         "ckf_sharded_delete": q_ckf_sharded_delete,
         "ckf_delete_drain": q_ckf_delete_drain,
         "ckf_false_delete_rate": q_ckf_false_delete_rate,
@@ -1355,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         "ckf_sharded_empty_shards": "SELECT CAST(count(*) AS BIGINT) AS n_probed, CAST(count(*) AS BIGINT) AS n_found, TRUE AS had_empty_shard FROM documents WHERE doc_id < 40",
         "ckf_count_members": "SELECT CAST(count(*) AS BIGINT) AS n_probed, CAST(count(*) AS BIGINT) AS n_members FROM documents",
         "ckf_count_members_grouped": "SELECT lang, CAST(count(*) AS BIGINT) AS n_probed, CAST(count(*) AS BIGINT) AS n_members FROM documents GROUP BY lang",
+        "ckf_sql_probe": "SELECT doc_id, TRUE AS might_contain FROM documents",
         "ckf_sharded_delete": """
             SELECT CAST(count(*) AS BIGINT) AS n_before,
                    CAST(sum(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after,

@@ -954,3 +954,56 @@ def register_probe_udf(
         raise ValueError(f"mode must be 'contains' or 'count', got {mode!r}")
     spark.udf.register(name, probe)
     return probe
+
+
+def register_sharded_probe_udf(
+    spark,
+    name: str,
+    sketches,
+    num_shards: Optional[int] = None,
+    mode: str = "contains",
+):
+    """Register a probe against a SHARDED global filter as a SQL-callable
+    pandas UDF — the SQL face of `might_contain_sharded`:
+
+        register_sharded_probe_udf(spark, "in_corpus", sharded_sketches)
+        spark.sql("SELECT * FROM docs WHERE in_corpus(sha_key)")
+
+    Same kernel as the stacked DataFrame probe (shard routing replicated in
+    numpy, SWAR membership/count, per-worker cached stacked table keyed by
+    content), so per-key results are identical. Requires binary keys and
+    uniform shard params (every build_filter_sharded* output qualifies);
+    heterogeneous sketch sets must use the DataFrame probes, which can
+    route per group. Plan-time cost is O(S) header reads + one content
+    digest, both driver-side."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.functions import pandas_udf
+
+    if mode not in ("contains", "count"):
+        raise ValueError(f"mode must be 'contains' or 'count', got {mode!r}")
+    smap, num_shards = _resolve_sharded(sketches, num_shards)
+    if not _stacked_ok(smap):
+        raise ValueError(
+            "register_sharded_probe_udf requires uniform shard params "
+            "(num_buckets/tag_bits/seed/hash_algo) across all shard "
+            "sketches — probe heterogeneous sets with the DataFrame API "
+            "(might_contain / might_contain_cogroup)"
+        )
+    bc = spark.sparkContext.broadcast(dict(smap))
+    token = _stacked_token(smap, num_shards)
+    S = int(num_shards)
+    mode_ = mode
+
+    def _probe_pd(keys: pd.Series) -> pd.Series:
+        stack = _stacked_cache_get(token, lambda: _build_stack(bc.value, S))
+        col = pa.Array.from_pandas(keys, type=pa.binary())
+        res, _ = _batch_membership(col, stack, S, mode_)
+        return pd.Series(res)
+
+    if mode == "contains":
+        probe = pandas_udf(_probe_pd, "boolean")
+    else:
+        probe = pandas_udf(_probe_pd, "long")
+    spark.udf.register(name, probe)
+    return probe

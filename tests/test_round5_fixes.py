@@ -218,6 +218,68 @@ def test_count_members_sharded_grouped_exact(spark):
     assert got3 == expect
 
 
+def test_register_sharded_probe_udf_matches_dataframe_probe(spark):
+    """The SQL UDF probe must agree per-key with might_contain_sharded
+    (members AND hash-determined false positives on absent keys), and the
+    count mode with approx_count_sharded; heterogeneous sketch sets are
+    rejected at registration."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.operators import (
+        approx_count_sharded,
+        build_filter_sharded,
+        might_contain_sharded,
+        register_sharded_probe_udf,
+        sha256_key,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keyed = docs.select("doc_id", sha256_key("text").alias("key"))
+    absent = docs.select(
+        (F.col("doc_id") + 7000).alias("doc_id"),
+        sha256_key(F.concat("text", F.lit("_nope"))).alias("key"),
+    )
+    both = keyed.unionByName(absent)
+    sk = build_filter_sharded(keyed, "key", num_shards=8, max_keys=4096)
+    register_sharded_probe_udf(spark, "r5_in_corpus", sk)
+    register_sharded_probe_udf(spark, "r5_count", sk, mode="count")
+    both.createOrReplaceTempView("r5_probe_docs")
+    via_sql = {
+        r["doc_id"]: (r["mc"], r["c"])
+        for r in spark.sql(
+            "SELECT doc_id, r5_in_corpus(key) AS mc, r5_count(key) AS c "
+            "FROM r5_probe_docs"
+        ).collect()
+    }
+    via_df = {
+        r["doc_id"]: r["might_contain"]
+        for r in might_contain_sharded(both, sk, "key").collect()
+    }
+    via_cnt = {
+        r["doc_id"]: r["approx_count"]
+        for r in approx_count_sharded(both, sk, "key").collect()
+    }
+    assert {k: v[0] for k, v in via_sql.items()} == via_df
+    assert {k: v[1] for k, v in via_sql.items()} == via_cnt
+    assert all(via_df[r["doc_id"]] for r in keyed.collect())  # no false neg
+
+    # heterogeneous params rejected at registration (plan time, loud)
+    import pytest as _pytest
+
+    sk_a = build_filter_sharded(keyed, "key", num_shards=2, max_keys=4096, seed=1)
+    sk_b = build_filter_sharded(keyed, "key", num_shards=2, max_keys=4096, seed=2)
+    mixed = {
+        (0,): {(s,): b for (s,), b in
+               __import__("cuckoofilter4j_spark.operators.probe", fromlist=["collect_sketches"])
+               .collect_sketches(sk_a, ["__ckf_shard"]).items()}[(0,)],
+        (1,): {(s,): b for (s,), b in
+               __import__("cuckoofilter4j_spark.operators.probe", fromlist=["collect_sketches"])
+               .collect_sketches(sk_b, ["__ckf_shard"]).items()}[(1,)],
+    }
+    with _pytest.raises(ValueError, match="uniform"):
+        register_sharded_probe_udf(spark, "r5_bad", mixed, num_shards=2)
+
+
 def test_contamination_normalize_catches_case_changed_copies(spark):
     """A case-changed copy of a training doc must be flagged under
     normalize='lower' / 'lower_punct' and NOT under 'none' (the raw
