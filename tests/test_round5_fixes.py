@@ -354,6 +354,51 @@ def test_contamination_norm_stamp_mismatch_raises(spark):
         )
 
 
+def test_contamination_stamp_survives_sketch_store(spark, tmp_path):
+    """build → save_sketches → load_sketches → probe: the shingling stamp
+    (unit/k/normalize) must survive the store round-trip — a reloaded
+    filter probed with mismatched params still raises, and with matching
+    params reports identically to the in-memory filter."""
+    import pytest as _pytest
+
+    from cuckoofilter4j_spark.functions import (
+        build_contamination_filter,
+        ngram_contamination,
+    )
+    from cuckoofilter4j_spark.sources import load_sketches, save_sketches
+
+    train = spark.createDataFrame(
+        [(i, f"aa bb cc dd ee ff gg hh m{i}") for i in range(15)],
+        "doc_id long, text string",
+    )
+    sk = build_contamination_filter(
+        train, "text", "doc_id", shingle_k=3, unit="token", normalize="lower"
+    )
+    path = str(tmp_path / "contam_store")
+    save_sketches(sk, path, group_cols=["__ckf_shard"])
+    sk2 = load_sketches(spark, path)
+    rep_mem = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_contamination(
+            train, train, "text", "doc_id", shingle_k=3, unit="token",
+            normalize="lower", sketches=sk,
+        ).collect()
+    }
+    rep_store = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_contamination(
+            train, train, "text", "doc_id", shingle_k=3, unit="token",
+            normalize="lower", sketches=sk2,
+        ).collect()
+    }
+    assert rep_mem == rep_store and all(rep_mem.values())
+    with _pytest.raises(ValueError, match="normalize"):
+        ngram_contamination(
+            train, train, "text", "doc_id", shingle_k=3, unit="token",
+            normalize="none", sketches=sk2,
+        )
+
+
 def test_empty_text_train_doc_does_not_poison_gate(spark):
     """ADVICE r4: a null/empty-text TRAINING doc must not insert sha256('')
     — and empty grams never count as hits — so null/empty EVAL docs are
