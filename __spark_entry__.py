@@ -464,6 +464,61 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", *text_stats("text"))
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-token counts vs whitespace tokens (functions/text.py
+    BPE_SPLIT_PATTERN — same regex evaluates identically in DuckDB RE2)."""
+    from cuckoofilter4j_spark.functions import bpe_token_count, token_count
+
+    d = _docs(spark, sf_dir)
+    nb = bpe_token_count("text")
+    nw = token_count("text")
+    return d.select(
+        "doc_id",
+        nb.alias("n_bpe_tokens"),
+        nw.alias("n_ws_tokens"),
+        F.round(nb / F.greatest(nw, F.lit(1)), 6).alias("bpe_per_ws"),
+    )
+
+
+def q_doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint profile per document (rolling-hash k-grams,
+    MOSS window minima): set size + min/max/sum pin every fingerprint value
+    against the DuckDB list-lambda oracle."""
+    from cuckoofilter4j_spark.functions import rolling_hashes, winnow_fingerprints
+
+    d = _docs(spark, sf_dir)
+    # stage the arrays as real projection columns: every later reference
+    # then reads the materialized value instead of re-evaluating the
+    # O(n*k) hash tree (Catalyst substitutes, it does not CSE)
+    staged = d.select(
+        "doc_id",
+        rolling_hashes("text", 7).alias("h"),
+        winnow_fingerprints("text", 7, 4).alias("fps"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("h").alias("n_kgrams"),
+        F.size("fps").alias("n_fps"),
+        F.element_at("fps", 1).alias("fp_min"),
+        F.element_at("fps", F.size("fps")).alias("fp_max"),
+        F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
+    )
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap near-dup pairs via winnowing fingerprints (MOSS)
+    on the shared dup fixture, scoped to doc_id < 150 so the value-exact
+    DuckDB oracle's fingerprint self-join stays small."""
+    from cuckoofilter4j_spark.functions import winnow_dup_pairs
+
+    dd = _dup_docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 10000) < 150
+    )
+    return winnow_dup_pairs(
+        dd, "text", "doc_id", k=7, w=4, min_shared=3, min_overlap=0.6
+    )
+
+
 def q_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rollup per source: exact integer sums (shuffle-light partial agg)."""
     from cuckoofilter4j_spark.functions import token_count, punct_count
@@ -1258,6 +1313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_checkpoint_resume": q_ckf_checkpoint_resume,
         "ckf_serde_roundtrip": q_ckf_serde_roundtrip,
         "text_stats": q_text_stats,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "doc_winnow_fp": q_doc_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         "text_rollup": q_text_rollup,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup": q_exact_dedup,
@@ -1348,6 +1406,29 @@ doubled AS (
 )
 """
 
+# GPT-2-style pre-tokenizer count (functions/text.py BPE_SPLIT_PATTERN —
+# the pattern is written to parse identically under Java regex and RE2;
+# SQL single-quote doubling is the only transformation)
+_BPE_PAT_SQL = r"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_N_BPE = f"len(regexp_extract_all(text, '{_BPE_PAT_SQL}'))"
+
+# Rabin-Karp k=7 rolling hashes + winnowing w=4 as DuckDB list lambdas —
+# value-for-value the same Horner fold as functions/text.py rolling_hashes
+# (the BIGINT cast keeps a*257 out of INT32 overflow territory)
+_RH7 = (
+    "list_transform(range(1, greatest(length(text) - 6, 0) + 1), "
+    "i -> list_reduce(list_transform(range(i, i + 7), "
+    "j -> CAST(ascii(text[j:j]) AS BIGINT)), "
+    "(a, b) -> (a * 257 + b) % 1000000007))"
+)
+_WINNOW4 = (
+    "list_sort(list_distinct(CASE "
+    "WHEN len(h) >= 4 THEN list_transform(range(1, len(h) - 3 + 1), "
+    "i -> list_min(h[i:i+3])) "
+    "WHEN len(h) > 0 THEN [list_min(h)] "
+    "ELSE CAST([] AS BIGINT[]) END))"
+)
+
 # k-char shingle set as a DuckDB list expression
 _SH = lambda t, k: (
     f"list_distinct(list_transform(range(1, greatest(length({t}) - {k - 1}, 1) + 1),"
@@ -1394,6 +1475,36 @@ def oracle_sql() -> dict[str, str]:
         "ckf_checkpoint_resume": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
         "ckf_serde_roundtrip": "SELECT lang, TRUE AS roundtrip_ok FROM (SELECT DISTINCT lang FROM documents)",
         "text_stats": _TEXT_STATS_SQL,
+        "text_bpe_tokens": f"""
+            SELECT doc_id,
+                   {_N_BPE} AS n_bpe_tokens,
+                   {_N_TOKENS} AS n_ws_tokens,
+                   round({_N_BPE} / greatest({_N_TOKENS}, 1), 6) AS bpe_per_ws
+            FROM documents
+        """,
+        "doc_winnow_fp": f"""
+            WITH h AS (SELECT doc_id, {_RH7} AS h FROM documents),
+            w AS (SELECT doc_id, len(h) AS n_kgrams, {_WINNOW4} AS fps FROM h)
+            SELECT doc_id, n_kgrams, len(fps) AS n_fps,
+                   fps[1] AS fp_min, fps[-1] AS fp_max,
+                   CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
+            FROM w
+        """,
+        "winnow_pairs": f"""
+            WITH {_DUP_DOCS_CTE.strip()},
+            base AS (SELECT doc_id, text FROM dup_docs WHERE doc_id % 10000 < 150),
+            h AS (SELECT doc_id, {_RH7} AS h FROM base),
+            wfp AS (SELECT doc_id, {_WINNOW4} AS fps FROM h),
+            e AS (SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM wfp),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.n_fps AS na, b.n_fps AS nb, count(*) AS n_shared
+                  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+                   round(n_shared / greatest(least(na, nb), 1), 6) AS overlap
+            FROM p WHERE n_shared >= 3
+              AND round(n_shared / greatest(least(na, nb), 1), 6) >= 0.6
+        """,
         "text_rollup": f"""
             SELECT source,
                    count(*) AS n_docs,

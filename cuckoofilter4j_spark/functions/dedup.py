@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from cuckoofilter4j_spark.functions.text import shingles
+from cuckoofilter4j_spark.functions.text import shingles, winnow_fingerprints
 
 
 def content_sha(col) -> Column:
@@ -322,6 +322,76 @@ def minhash_dup_pairs(
     est = (agree / F.lit(float(num_hashes))).alias("est_jaccard")
     return scored.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 7,
+    w: int = 4,
+    min_shared: int = 2,
+    min_overlap: float = 0.0,
+    max_fp_bucket: Optional[int] = None,
+    stats_out: Optional[dict] = None,
+) -> DataFrame:
+    """Near-duplicate pairs via winnowing fingerprints (MOSS,
+    Schleimer/Wilkerson/Aiken SIGMOD'03) — the substring-overlap dedup
+    family, complementary to MinHash (set-resemblance) and SimHash
+    (weighted cosine): two docs pair iff they share >= min_shared winnowed
+    k-gram fingerprints, i.e. share enough literal substrings of length
+    >= k+w-1. Returns (id_a, id_b, n_shared, overlap) with id_a < id_b,
+    overlap = n_shared / min(|fps_a|, |fps_b|) rounded to 6 decimals; rows
+    must clear BOTH min_shared and min_overlap (containment-style overlap
+    separates near-copies, which sit at ~1.0, from the coincidental
+    common-substring pairs every natural-language corpus produces).
+
+    Scale shape (100 TB): candidate generation explodes to (fingerprint,
+    id) rows — O(n_docs * ~2m/(w+1)) small rows — and self-joins on the
+    fingerprint value, never all-pairs. A fingerprint shared by B docs
+    yields B²/2 join rows (the classic hot-bucket pathology for
+    boilerplate substrings): cap it with `max_fp_bucket`, which thins hot
+    fingerprints deterministically via cap_hot_buckets and reports exact
+    drop stats through `stats_out` (no silent caps)."""
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        winnow_fingerprints(text_col, k, w).alias("fps"),
+    )
+    fps = fps.withColumn("n_fps", F.size("fps"))
+    exploded = fps.select("id", "n_fps", F.explode("fps").alias("fp"))
+    if max_fp_bucket is not None:
+        from cuckoofilter4j_spark.functions.lsh import cap_hot_buckets
+
+        exploded, drop_stats = cap_hot_buckets(
+            exploded, ["fp"], "id", max_fp_bucket
+        )
+        if stats_out is not None:
+            stats_out["drop_stats"] = drop_stats
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            # n_fps rides along per-id (functionally dependent on id), so
+            # the overlap denominator needs no second join back to fps
+            F.col("a.n_fps").alias("n_fps_a"),
+            F.col("b.n_fps").alias("n_fps_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    overlap = F.round(
+        F.col("n_shared") / F.greatest(F.least("n_fps_a", "n_fps_b"), F.lit(1)), 6
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"),
+        overlap.alias("overlap"),
+    ).filter(
+        (F.col("n_shared") >= min_shared) & (F.col("overlap") >= min_overlap)
     )
 
 

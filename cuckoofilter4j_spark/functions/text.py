@@ -123,6 +123,107 @@ def shingles(col, k: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
 
 
+# GPT-2-style pre-tokenizer split pattern (Radford et al. 2019, public
+# gpt-2/src/encoder.py), adapted so the SAME pattern is valid in Java regex
+# (Spark codegen) AND RE2 (DuckDB oracle): RE2 has no lookahead, so the
+# original trailing `\s+(?!\S)|\s+` collapses to `\s+` — whitespace runs
+# between words still become single tokens, only the "trailing space binds
+# to the next word" refinement is dropped. Both engines use leftmost-first
+# alternation, so match boundaries are identical.
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens(col) -> Column:
+    """Array of BPE-style pre-tokens (GPT-2 split regex, see
+    BPE_SPLIT_PATTERN). This is the pre-tokenization stage of a BPE
+    tokenizer — the unit whose count tracks real tokenizer token counts far
+    better than whitespace splitting (digits split from letters, punctuation
+    runs isolated, contractions split). Pure Catalyst codegen."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def bpe_token_count(col) -> Column:
+    """Count of BPE-style pre-tokens (counts whitespace-run tokens too,
+    matching the GPT-2 pre-tokenizer's behaviour)."""
+    return F.size(bpe_tokens(col))
+
+
+# Rabin-Karp polynomial rolling-hash parameters. base > 255 keeps single-char
+# codes injective; mod is the classic 1e9+7 prime so Horner accumulation
+# (acc*base + code) stays < 2^38 — exact in int64 in BOTH Spark and DuckDB.
+ROLLING_BASE = 257
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_hashes(col, k: int = 7) -> Column:
+    """Array of Rabin-Karp polynomial hashes of every k-char window.
+
+    H(i) = sum_j code(text[i+j]) * base^(k-1-j) mod 1e9+7, computed by
+    Horner fold over the window's characters — pure Catalyst nested
+    higher-order functions (transform + aggregate), whole-stage codegen,
+    no Python in the data path. Empty array when length(text) < k.
+
+    Character codes come from ascii() (the first-codepoint function that
+    exists verbatim in DuckDB, making every hash value oracle-checkable).
+    Scale note: this is O(n*k) work per document inside codegen; for
+    book-length documents where O(n) true rolling matters, do the same fold
+    in a Pandas UDF — the fingerprint values are identical by construction.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    c = _c(col)
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty — gate
+    # short texts explicitly so length < k yields an empty hash array
+    idx = F.sequence(F.lit(1), F.length(c) - (k - 1))
+    hashes = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.split(c.substr(i, F.lit(k)), ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % ROLLING_MOD,
+        ),
+    )
+    return F.when(F.length(c) >= k, hashes).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def winnow_fingerprints(col, k: int = 7, w: int = 4) -> Column:
+    """Winnowing document fingerprint set (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): the distinct minima of every window of
+    w consecutive k-gram rolling hashes, sorted ascending.
+
+    Guarantees: any shared substring of length >= k+w-1 between two
+    documents contributes at least one shared fingerprint, while only
+    ~2/(w+1) of the k-gram hashes are kept. Documents shorter than k+w-1
+    chars (fewer than w k-grams) fingerprint to the single global minimum
+    of their hashes (empty set below k chars). Pure Catalyst."""
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+
+    def _winnow(h):
+        m = F.size(h)
+        # greatest(..., 1): sequence(1, 0) would be the DESCENDING [1, 0];
+        # the m<w case degenerates to one whole-array window == `short`
+        windows = F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
+        winnowed = F.transform(windows, lambda i: F.array_min(F.slice(h, i, w)))
+        short = F.when(m > 0, F.array(F.array_min(h))).otherwise(
+            F.array().cast("array<long>")
+        )
+        return F.array_sort(
+            F.array_distinct(F.when(m >= w, winnowed).otherwise(short))
+        )
+
+    # bind the rolling-hash array ONCE as a lambda variable: Catalyst
+    # substitutes (not CSEs) column expressions, so writing `h` directly
+    # would re-evaluate the whole O(n*k) hash tree per window inside the
+    # transform lambda — O(n^2 k) per document (measured: minutes instead
+    # of seconds on a 500-doc table)
+    return F.element_at(
+        F.transform(F.array(rolling_hashes(col, k)), _winnow), 1
+    )
+
+
 def text_stats(col):
     """Bundle of named stat columns for a text column."""
     return [

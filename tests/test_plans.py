@@ -178,3 +178,17 @@ def test_probe_output_cols_narrows_return_schema(spark):
     assert nodes and nodes[0].startswith("MapInArrow"), plan
     assert not any(n.startswith("Project") for n in nodes[:1]), plan
     assert shuffle_count(out) == 0, plan
+
+
+def test_winnow_pairs_join_on_fingerprint_no_cartesian(spark):
+    """winnow_dup_pairs candidates join on the fingerprint value (an
+    equi-join -> hash/sort-merge), never all-pairs; and the O(n*k)
+    fingerprint expression appears in a projection, not duplicated into
+    every downstream consumer (the CollapseProject non-cheap guard)."""
+    from cuckoofilter4j_spark.functions import winnow_dup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = winnow_dup_pairs(docs, "text", "doc_id", min_shared=3)
+    plan = plan_string(out, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

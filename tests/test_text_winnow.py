@@ -1,0 +1,171 @@
+"""Round-5: BPE-style pre-tokenization + rolling-hash winnowing fingerprints.
+
+Covers the two text-analysis items of the training-data-pipeline brief that
+the text module previously lacked: a BPE-ish regex token counter and a
+rolling-hash (MOSS winnowing) document fingerprint, plus the winnow-based
+near-dup pair generator built on top.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import (
+    bpe_token_count,
+    bpe_tokens,
+    rolling_hashes,
+    winnow_dup_pairs,
+    winnow_fingerprints,
+)
+from cuckoofilter4j_spark.functions.text import ROLLING_BASE, ROLLING_MOD
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(
+        col.alias("v")
+    ).first()["v"]
+
+
+# ---------------------------------------------------------------------------
+# BPE pre-tokenizer
+# ---------------------------------------------------------------------------
+
+def test_bpe_tokens_gpt2_style_splits(spark):
+    toks = _one(spark, "Hello world's  2nd   test!\nnew-line", bpe_tokens("text"))
+    assert toks == [
+        "Hello", " world", "'s", "  ", "2", "nd", "   ", "test", "!",
+        "\n", "new", "-", "line",
+    ]
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    # digits split from letters and punctuation isolated -> more BPE tokens
+    # than whitespace tokens
+    n_bpe = _one(spark, "abc123 def, ghi.", bpe_token_count("text"))
+    assert n_bpe == 6  # abc | 123 | ' def' | ',' | ' ghi' | '.'
+    row = (
+        spark.createDataFrame([("abc123 def, ghi.",)], "text string")
+        .select(
+            bpe_token_count("text").alias("b"),
+            F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).alias("w"),
+        )
+        .first()
+    )
+    assert row["b"] > row["w"]
+
+
+def test_bpe_empty_and_whitespace_only(spark):
+    assert _one(spark, "", bpe_token_count("text")) == 0
+    assert _one(spark, "   \n\t ", bpe_token_count("text")) == 1  # one \s+ run
+
+
+# ---------------------------------------------------------------------------
+# Rolling hashes
+# ---------------------------------------------------------------------------
+
+def _poly(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+    return h
+
+
+def test_rolling_hashes_match_reference_fold(spark):
+    text = "the quick brown fox"
+    k = 5
+    got = _one(spark, text, rolling_hashes("text", k))
+    want = [_poly(text[i : i + k]) for i in range(len(text) - k + 1)]
+    assert got == want
+
+
+def test_rolling_hashes_short_text_empty(spark):
+    assert _one(spark, "abc", rolling_hashes("text", 7)) == []
+    assert _one(spark, "", rolling_hashes("text", 7)) == []
+
+
+def test_rolling_hashes_k_validation():
+    with pytest.raises(ValueError):
+        rolling_hashes("text", 0)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing
+# ---------------------------------------------------------------------------
+
+def _winnow_ref(text: str, k: int, w: int) -> list:
+    hs = [_poly(text[i : i + k]) for i in range(len(text) - k + 1)]
+    if not hs:
+        return []
+    if len(hs) < w:
+        return sorted({min(hs)})
+    return sorted({min(hs[i : i + w]) for i in range(len(hs) - w + 1)})
+
+
+@pytest.mark.parametrize("k,w", [(7, 4), (5, 2), (3, 8)])
+def test_winnow_fingerprints_match_reference(spark, k, w):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    assert _one(spark, text, winnow_fingerprints("text", k, w)) == _winnow_ref(
+        text, k, w
+    )
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    # fewer than w k-grams -> the single global min
+    text = "abcdefgh"  # k=7 -> 2 k-grams < w=4
+    got = _one(spark, text, winnow_fingerprints("text", 7, 4))
+    assert got == _winnow_ref(text, 7, 4)
+    assert len(got) == 1
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    # two docs sharing a substring of length >= k+w-1 share a fingerprint
+    k, w = 7, 4
+    common = "zqxjkvwpbyfgmdclt"  # length 17 >= k+w-1 = 10, rare chars
+    df = spark.createDataFrame(
+        [(1, "aaa " + common + " bbb"), (2, "ccc ddd " + common + " eee")],
+        "id long, text string",
+    )
+    rows = df.select("id", winnow_fingerprints("text", k, w).alias("f")).collect()
+    f1, f2 = (set(r["f"]) for r in sorted(rows, key=lambda r: r["id"]))
+    assert f1 & f2
+
+
+def test_winnow_w_validation():
+    with pytest.raises(ValueError):
+        winnow_fingerprints("text", 7, 0)
+
+
+# ---------------------------------------------------------------------------
+# winnow_dup_pairs
+# ---------------------------------------------------------------------------
+
+def test_winnow_dup_pairs_finds_near_copies(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (2, "pack my box with five dozen liquor jugs before the long journey"),
+        (3, "how vexingly quick daft zebras jump across the frozen river bank"),
+    ]
+    rows = base + [(i + 100, t + " x") for i, t in base]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_dup_pairs(
+        df, "text", "doc_id", k=7, w=4, min_shared=3, min_overlap=0.6
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 101), (2, 102), (3, 103)}
+    for r in pairs:
+        assert r["overlap"] == 1.0  # the " x" copy's fps superset the base's
+
+
+def test_winnow_dup_pairs_hot_fp_cap(spark):
+    # every doc shares one boilerplate substring -> one hot fingerprint;
+    # the cap thins it and reports exact drop stats
+    boiler = "identical boilerplate header line"
+    rows = [(i, f"{boiler} unique tail {i} zz{i}qq") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    pairs = winnow_dup_pairs(
+        df, "text", "doc_id", k=7, w=4, min_shared=1,
+        max_fp_bucket=4, stats_out=stats,
+    )
+    pairs.collect()
+    drop = stats["drop_stats"].first()
+    assert drop["dropped_rows"] > 0
