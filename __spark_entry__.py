@@ -1366,9 +1366,12 @@ _ES = "+".join(_MARK(m) for m in ["el", "la", "de", "que", "los"])
 _DE = "+".join(_MARK(m) for m in ["der", "die", "das", "und", "ist"])
 _FR = "+".join(_MARK(m) for m in ["le", "la", "les", "des", "est"])
 
+_STOPWORDS_SQL = "['the','and','of','to','is','in','a','it','that','for','on','with','as','was','at','by','an','be','this','are']"
+
 _TEXT_STATS_SQL = f"""
 WITH m AS (
   SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z]+') AS words,
          ({_EN}) AS en, ({_ES}) AS es, ({_DE}) AS de, ({_FR}) AS fr
   FROM documents
 )
@@ -1378,6 +1381,8 @@ SELECT doc_id,
        round({_PUNCT} / greatest(length(text), 1), 6) AS punct_ratio,
        round({_DIGITS} / greatest(length(text), 1), 6) AS digit_ratio,
        round({_NOSPACE} / greatest({_N_TOKENS}, 1), 6) AS avg_token_len,
+       round(len(list_filter(words, t -> list_contains({_STOPWORDS_SQL}, t)))
+             / greatest(len(words), 1), 6) AS stopword_ratio,
        round(least(length(text) / 500.0, 1.0) * 0.4
              + greatest(1.0 - ({_PUNCT} / greatest(length(text), 1)) * 5, 0.0) * 0.3
              + least({_N_TOKENS} / 80.0, 1.0) * 0.3, 6) AS quality_score,

@@ -95,6 +95,24 @@ def lang_id(col) -> Column:
     )
 
 
+# common-English stopwords for the ratio feature; kept small and fixed so
+# the DuckDB oracle can inline the identical list
+STOPWORDS = [
+    "the", "and", "of", "to", "is", "in", "a", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+
+
+def stopword_ratio(col) -> Column:
+    """Fraction of word tokens ([a-z]+ runs of the lowercased text) that are
+    common-English stopwords — the classic quality signal: natural prose
+    sits around 0.3-0.5, keyword spam / code / gibberish near 0.
+    Pure Catalyst: regexp_extract_all + filter + size."""
+    words = F.regexp_extract_all(F.lower(_c(col)), F.lit("[a-z]+"), 0)
+    hits = F.size(F.filter(words, lambda t: t.isin(*STOPWORDS)))
+    return F.round(hits / F.greatest(F.size(words), F.lit(1)), 6)
+
+
 def quality_score(col) -> Column:
     """Composite [0,1] quality score from length/punct/token statistics.
 
@@ -232,6 +250,7 @@ def text_stats(col):
         punct_ratio(col).alias("punct_ratio"),
         digit_ratio(col).alias("digit_ratio"),
         avg_token_len(col).alias("avg_token_len"),
+        stopword_ratio(col).alias("stopword_ratio"),
         quality_score(col).alias("quality_score"),
         lang_id(col).alias("lang_pred"),
         doc_fingerprint(col).alias("fingerprint"),

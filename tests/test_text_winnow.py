@@ -169,3 +169,24 @@ def test_winnow_dup_pairs_hot_fp_cap(spark):
     pairs.collect()
     drop = stats["drop_stats"].first()
     assert drop["dropped_rows"] > 0
+
+
+# ---------------------------------------------------------------------------
+# stopword_ratio
+# ---------------------------------------------------------------------------
+
+def test_stopword_ratio_values(spark):
+    from cuckoofilter4j_spark.functions import stopword_ratio
+
+    rows = spark.createDataFrame(
+        [
+            (1, "The cat sat on the mat."),        # the,on,the / the,cat,sat,on,the,mat = 3/6
+            (2, "qwerty zxcvb asdfgh"),            # 0/3
+            (3, ""),                               # 0 tokens -> 0
+        ],
+        "id long, text string",
+    ).select("id", stopword_ratio("text").alias("r")).collect()
+    got = {r["id"]: r["r"] for r in rows}
+    assert got[1] == 0.5
+    assert got[2] == 0.0
+    assert got[3] == 0.0
