@@ -514,8 +514,12 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = _dup_docs(spark, sf_dir).filter(
         (F.col("doc_id") % 10000) < 150
     )
+    # scan_local is the hot path (vectorized numpy, ~11x the HOF form) and
+    # produces VALUE-IDENTICAL fingerprints, so the DuckDB oracle — which
+    # mirrors the catalyst form 1:1 — checks this path exactly
     return winnow_dup_pairs(
-        dd, "text", "doc_id", k=7, w=4, min_shared=3, min_overlap=0.6
+        dd, "text", "doc_id", k=7, w=4, min_shared=3, min_overlap=0.6,
+        method="scan_local",
     )
 
 

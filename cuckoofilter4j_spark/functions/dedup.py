@@ -325,6 +325,101 @@ def minhash_dup_pairs(
     )
 
 
+def winnow_fingerprint_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 7,
+    w: int = 4,
+    method: str = "catalyst",
+) -> DataFrame:
+    """(id, n_fps, fps) winnowing-fingerprint table, two physical forms with
+    IDENTICAL values (pinned by test):
+
+    - 'catalyst': text.winnow_fingerprints — nested higher-order functions,
+      stays JVM-side, and is expressible 1:1 in DuckDB (the oracle form).
+    - 'scan_local': one vectorized numpy pass per Arrow batch — a single
+      sliding-window matmul against the precomputed base powers gives every
+      k-gram hash, a second window-min gives the winnow minima. Higher-order
+      functions evaluate interpreted per element in Spark, so at corpus
+      scale this is the hot path (same shape as
+      minhash_signature_scan_local: ZERO shuffle, fingerprints land
+      already per-doc).
+
+    Character codes are Unicode code points in both forms (Spark's ascii()
+    == Python ord() for BMP text; the synthetic corpora are ASCII)."""
+    if method == "catalyst":
+        out = df.select(
+            F.col(id_col).alias("id"),
+            winnow_fingerprints(text_col, k, w).alias("fps"),
+        )
+        return out.select("id", F.size("fps").alias("n_fps"), "fps")
+    if method != "scan_local":
+        raise ValueError(f"method must be 'catalyst' or 'scan_local', got {method!r}")
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from cuckoofilter4j_spark.functions.text import ROLLING_BASE, ROLLING_MOD
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    kk, ww = int(k), int(w)
+    # Horner fold == dot product with [B^(k-1), ..., B, 1] (mod M); codes
+    # < 0x110000 and powers < M keep every partial sum < k*2^51 — exact in
+    # int64 without per-step reduction
+    powers = np.array(
+        [pow(ROLLING_BASE, kk - 1 - j, ROLLING_MOD) for j in range(kk)],
+        dtype=np.int64,
+    )
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("id", id_field.dataType, True),
+            StructField("n_fps", IntegerType(), False),
+            StructField("fps", ArrayType(LongType()), False),
+        ]
+    )
+
+    def fps_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for t in pdf[text_col]:
+                t = t or ""
+                if t.isascii():
+                    codes = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int64)
+                else:
+                    codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+                if codes.size < kk:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                h = (sliding_window_view(codes, kk) @ powers) % ROLLING_MOD
+                if h.size < ww:
+                    mins = h.min(keepdims=True)
+                else:
+                    mins = sliding_window_view(h, ww).min(axis=1)
+                out.append(np.unique(mins))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "n_fps": np.fromiter(
+                        (a.size for a in out), dtype=np.int32, count=len(out)
+                    ),
+                    "fps": out,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fps_batches, out_schema)
+
+
 def winnow_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -333,6 +428,7 @@ def winnow_dup_pairs(
     w: int = 4,
     min_shared: int = 2,
     min_overlap: float = 0.0,
+    method: str = "catalyst",
     max_fp_bucket: Optional[int] = None,
     stats_out: Optional[dict] = None,
 ) -> DataFrame:
@@ -346,6 +442,9 @@ def winnow_dup_pairs(
     must clear BOTH min_shared and min_overlap (containment-style overlap
     separates near-copies, which sit at ~1.0, from the coincidental
     common-substring pairs every natural-language corpus produces).
+    `method` selects the fingerprint computation ('catalyst' oracle form or
+    the vectorized 'scan_local' hot path — identical values, see
+    winnow_fingerprint_table).
 
     Scale shape (100 TB): candidate generation explodes to (fingerprint,
     id) rows — O(n_docs * ~2m/(w+1)) small rows — and self-joins on the
@@ -354,11 +453,7 @@ def winnow_dup_pairs(
     boilerplate substrings): cap it with `max_fp_bucket`, which thins hot
     fingerprints deterministically via cap_hot_buckets and reports exact
     drop stats through `stats_out` (no silent caps)."""
-    fps = df.select(
-        F.col(id_col).alias("id"),
-        winnow_fingerprints(text_col, k, w).alias("fps"),
-    )
-    fps = fps.withColumn("n_fps", F.size("fps"))
+    fps = winnow_fingerprint_table(df, text_col, id_col, k, w, method=method)
     exploded = fps.select("id", "n_fps", F.explode("fps").alias("fp"))
     if max_fp_bucket is not None:
         from cuckoofilter4j_spark.functions.lsh import cap_hot_buckets

@@ -190,3 +190,73 @@ def test_stopword_ratio_values(spark):
     assert got[1] == 0.5
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# scan-local winnow parity
+# ---------------------------------------------------------------------------
+
+def test_winnow_scan_local_identical_to_catalyst(spark):
+    """The vectorized numpy path must produce VALUE-IDENTICAL fingerprint
+    sets to the Catalyst/oracle form on real corpus text (unlike minhash,
+    where the two methods use different documented hash families)."""
+    from cuckoofilter4j_spark.functions import winnow_fingerprint_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for k, w in [(7, 4), (5, 2)]:
+        cat = {
+            r["id"]: (r["n_fps"], list(r["fps"]))
+            for r in winnow_fingerprint_table(
+                docs, "text", "doc_id", k, w, method="catalyst"
+            ).collect()
+        }
+        loc = {
+            r["id"]: (r["n_fps"], list(r["fps"]))
+            for r in winnow_fingerprint_table(
+                docs, "text", "doc_id", k, w, method="scan_local"
+            ).collect()
+        }
+        assert cat == loc
+
+
+def test_winnow_scan_local_edge_docs(spark):
+    from cuckoofilter4j_spark.functions import winnow_fingerprint_table
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "abc"), (3, "abcdefgh"), (4, None),
+         (5, "café au lait café au lait café")],
+        "doc_id long, text string",
+    )
+    cat = {r["id"]: list(r["fps"]) for r in winnow_fingerprint_table(
+        df.fillna({"text": ""}), "text", "doc_id", 7, 4, "catalyst").collect()}
+    loc = {r["id"]: list(r["fps"]) for r in winnow_fingerprint_table(
+        df, "text", "doc_id", 7, 4, "scan_local").collect()}
+    assert cat == loc
+
+
+def test_winnow_dup_pairs_method_parity(spark):
+    from cuckoofilter4j_spark.functions import winnow_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dd = docs.limit(0)  # schema only; build a small dup fixture instead
+    base = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    dd = base.unionByName(
+        base.select((F.col("doc_id") + 10000).alias("doc_id"),
+                    F.concat("text", F.lit(" x")).alias("text"))
+    )
+    out = {}
+    for m in ["catalyst", "scan_local"]:
+        out[m] = sorted(
+            (r["id_a"], r["id_b"], r["n_shared"], r["overlap"])
+            for r in winnow_dup_pairs(
+                dd, "text", "doc_id", min_shared=3, min_overlap=0.6, method=m
+            ).collect()
+        )
+    assert out["catalyst"] == out["scan_local"]
+    assert len(out["catalyst"]) >= 35  # the planted near-copies
+
+def test_winnow_method_validation(spark):
+    from cuckoofilter4j_spark.functions import winnow_fingerprint_table
+    docs = spark.range(1).selectExpr("id as doc_id", "'abc' as text")
+    with pytest.raises(ValueError):
+        winnow_fingerprint_table(docs, "text", "doc_id", method="nope")
