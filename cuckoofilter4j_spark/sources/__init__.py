@@ -4,6 +4,7 @@ from cuckoofilter4j_spark.sources.ivf_store import (
     append_ivf_index,
     ivf_staleness,
     ivf_topk_from_store,
+    rebuild_ivf_lists,
     load_ivf_index,
     load_ivf_meta,
     save_ivf_index,
@@ -36,6 +37,7 @@ __all__ = [
     "append_ivf_index",
     "ivf_staleness",
     "ivf_topk_from_store",
+    "rebuild_ivf_lists",
     "load_ivf_index",
     "load_ivf_meta",
     "load_sketches",

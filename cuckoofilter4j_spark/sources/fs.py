@@ -85,3 +85,21 @@ def replace_text(spark: SparkSession, path: str, text: str) -> None:
 def exists(spark: SparkSession, path: str) -> bool:
     _, fs, hpath = _fs(spark, path)
     return bool(fs.exists(hpath))
+
+
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursively delete a file or directory via the Hadoop FileSystem.
+    Returns True if something was deleted, False if the path was absent."""
+    _, fs, hpath = _fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return bool(fs.delete(hpath, True))
+
+
+def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename (move) a file or directory via the Hadoop FileSystem.
+    A metadata operation on hdfs:// and file:// (no data copy); object
+    stores emulate it. Returns the filesystem's success flag."""
+    jvm, fs, hsrc = _fs(spark, src)
+    hdst = jvm.org.apache.hadoop.fs.Path(dst)
+    return bool(fs.rename(hsrc, hdst))

@@ -187,6 +187,149 @@ def append_ivf_index(
     return meta
 
 
+def rebuild_ivf_lists(
+    spark: SparkSession,
+    path: str,
+    lists: list[int],
+    seed: int | None = None,
+) -> dict:
+    """PARTIAL index rebuild: re-cluster the vectors of the selected
+    (drifted) lists into the same number of fresh centroids and rewrite
+    ONLY those list partitions — the action `ivf_staleness(worst_k=...)`
+    points at. Untouched lists' files, centroids, and recall are provably
+    unchanged (their partitions are never written).
+
+    Mechanics: the selected lists' current rows are read with partition
+    pruning, a new sub-quantizer of len(lists) spherical-k-means centroids
+    is trained on them, rows are reassigned among the NEW sub-centroids
+    (mapped back onto the SAME list ids, so the partition layout and every
+    prober's routing stay consistent). The reassigned rows are STAGED to
+    `<path>/.rebuild_tmp` (Spark forbids overwriting a path a plan reads
+    from, and staging is the right mechanics anyway), then each selected
+    partition directory is swapped in via FileSystem rename — a metadata
+    move, no second data pass. A selected list left with zero rows after
+    reassignment has its directory deleted and keeps its old centroid row
+    in the manifest — probes routed there scan an empty list, which is
+    correct, just one wasted probe until the next full rebuild.
+
+    The manifest is updated in place: new centroid rows + fresh per-list
+    staleness baselines for the rebuilt lists; the global baseline is
+    re-derived from the per-list entries (so it mixes each list's
+    most-recent baseline — exactly the semantics per-list drift needs).
+
+    Returns {lists, n_reassigned, emptied_lists, mean_center_sim_before,
+    mean_center_sim_after} — `after` >= `before` is the rebuild's payoff
+    (vectors now sit closer to their centroids, so recall at fixed
+    n_probe recovers). Not atomic: a crash mid-write needs the same
+    recovery as any bulk rewrite (re-run the rebuild)."""
+    from cuckoofilter4j_spark.sources.fs import delete_path, rename_path
+
+    meta = load_ivf_meta(spark, path)
+    if "per_list_center_sim" not in meta:
+        raise ValueError(
+            f"index at {path} predates per-list staleness baselines — "
+            "rebuild it fully with save_ivf_index first"
+        )
+    n_lists = int(meta["n_lists"])
+    sel = sorted(set(int(l) for l in lists))
+    if not sel:
+        raise ValueError("lists must name at least one list to rebuild")
+    bad = [l for l in sel if not (0 <= l < n_lists)]
+    if bad:
+        raise ValueError(f"list ids {bad} out of range [0, {n_lists})")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if seed is None:
+        seed = int(meta["seed"]) + 1  # differ from the save-time init
+
+    lists_path = os.path.join(path, "lists")
+    sub = spark.read.parquet(lists_path).where(F.col(LIST_COL).isin(sel))
+    before_row = sub.agg(
+        F.sum(SIM_COL).alias("s"), F.count("*").alias("n")
+    ).first()
+    n_sub = int(before_row["n"] or 0)
+    if n_sub == 0:
+        raise ValueError(f"selected lists {sel} hold no vectors — nothing to rebuild")
+    mean_before = float(before_row["s"]) / n_sub
+
+    sub_corpus = sub.select(id_col, vec_col)
+    new_cent = train_ivf_centroids(sub_corpus, vec_col, len(sel), seed)
+    # k-means can return < len(sel) centroids (fewer distinct vectors than
+    # lists): the first k selected ids receive the new centroids, the rest
+    # end up empty
+    mapped_ids = sel[: new_cent.shape[0]]
+    assigned = assign_ivf_lists(sub_corpus, new_cent, vec_col, out_sim_col=SIM_COL)
+    remap = F.element_at(
+        F.array(*[F.lit(int(l)) for l in mapped_ids]), F.col(LIST_COL) + 1
+    )
+    tmp_path = os.path.join(path, ".rebuild_tmp")
+    delete_path(spark, tmp_path)
+    (
+        assigned.withColumn(LIST_COL, remap)
+        .repartition(F.col(LIST_COL))
+        .write.mode("overwrite")
+        .partitionBy(LIST_COL)
+        .parquet(tmp_path)
+    )
+    # fresh baselines for the rewritten partitions (read back what landed,
+    # from the staging dir — a new plan, so no read/overwrite conflict)
+    per_rows = (
+        spark.read.parquet(tmp_path)
+        .groupBy(LIST_COL)
+        .agg(F.sum(SIM_COL).alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    written = {int(r[LIST_COL]) for r in per_rows}
+    emptied = [l for l in sel if l not in written]
+    # swap: drop every selected live partition, rename staged ones in
+    for l in sel:
+        delete_path(spark, os.path.join(lists_path, f"{LIST_COL}={l}"))
+    for l in sorted(written):
+        ok = rename_path(
+            spark,
+            os.path.join(tmp_path, f"{LIST_COL}={l}"),
+            os.path.join(lists_path, f"{LIST_COL}={l}"),
+        )
+        if not ok:
+            raise IOError(
+                f"failed to move rebuilt partition {LIST_COL}={l} into place "
+                f"(staged data remains at {tmp_path})"
+            )
+    delete_path(spark, tmp_path)
+
+    cm = np.asarray(meta["centroids"], dtype=np.float64)
+    for local, orig in enumerate(mapped_ids):
+        cm[orig] = new_cent[local]
+    per_list = dict(meta.get("per_list_center_sim") or {})
+    for l in emptied:
+        per_list.pop(str(l), None)
+    for r in per_rows:
+        per_list[str(int(r[LIST_COL]))] = {
+            "mean_center_sim": float(r["s"]) / int(r["n"]),
+            "n": int(r["n"]),
+        }
+    n_total = sum(int(e["n"]) for e in per_list.values())
+    s_total = sum(float(e["mean_center_sim"]) * int(e["n"]) for e in per_list.values())
+    meta.update(
+        {
+            "centroids": cm.tolist(),
+            "per_list_center_sim": per_list,
+            "n_vectors_at_save": n_total,
+            "mean_center_sim": (s_total / n_total) if n_total else None,
+        }
+    )
+    write_text(spark, os.path.join(path, IVF_META_FILE), json.dumps(meta, sort_keys=True))
+    mean_after = (
+        sum(float(r["s"]) for r in per_rows) / n_sub if n_sub else None
+    )
+    return {
+        "lists": sel,
+        "n_reassigned": n_sub,
+        "emptied_lists": emptied,
+        "mean_center_sim_before": mean_before,
+        "mean_center_sim_after": mean_after,
+    }
+
+
 def ivf_staleness(spark: SparkSession, path: str, worst_k: int = 5) -> dict:
     """How far the stored corpus has drifted from the coarse quantizer:
     compares the CURRENT mean cosine-to-assigned-centroid (one groupBy

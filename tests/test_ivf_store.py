@@ -236,3 +236,105 @@ def test_staleness_per_list_pinpoints_skewed_append(spark, tmp_path):
     others = stale["per_list"][1:]
     assert all(d["drift"] < worst["drift"] / 2 for d in others)
     assert len(stale["per_list"]) == 3  # worst_k honored
+
+
+def test_rebuild_ivf_lists_recovers_drift_untouched_lists_unchanged(
+    spark, tmp_path
+):
+    """The staleness -> rebuild loop: after a skewed append drifts one
+    list, rebuild_ivf_lists on that list must (a) raise its mean center
+    sim back up, (b) leave every untouched list's files byte-identical,
+    (c) keep the full corpus reachable with routing consistent with the
+    updated manifest, and (d) update the per-list baselines so staleness
+    reports the rebuilt list as fresh again."""
+    import numpy as np
+
+    from cuckoofilter4j_spark.sources import (
+        append_ivf_index,
+        ivf_staleness,
+        rebuild_ivf_lists,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, path, n_lists=8, seed=42)
+    meta = load_ivf_meta(spark, path)
+    cents = np.asarray(meta["centroids"])
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    c0 = cn[0]
+    base0 = meta["per_list_center_sim"]["0"]["mean_center_sim"]
+    target = max(base0 - 0.15, base0 * 0.5)
+    rng = np.random.default_rng(7)
+    dim = cents.shape[1]
+    rows = []
+    i = 0
+    while len(rows) < 200:
+        i += 1
+        noise = rng.standard_normal(dim)
+        noise -= noise @ c0 * c0
+        noise /= np.linalg.norm(noise)
+        v = target * c0 + np.sqrt(1 - target**2) * noise
+        if np.argmax(cn @ v) != 0:
+            continue
+        rows.append((400000 + i, v.astype("float32").tolist()))
+        assert i < 5000
+    append_ivf_index(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"), path
+    )
+    n_before = spark.read.parquet(os.path.join(path, "lists")).count()
+    stale = ivf_staleness(spark, path, worst_k=1)
+    drifted = stale["per_list"][0]["list"]
+    assert drifted == 0
+
+    # snapshot untouched lists' file bytes
+    import glob as _glob
+
+    def _files(lid):
+        return sorted(
+            _glob.glob(os.path.join(path, "lists", f"__ivf_list={lid}", "*"))
+        )
+
+    untouched_snapshot = {
+        lid: [(f, os.path.getsize(f), os.path.getmtime(f)) for f in _files(lid)]
+        for lid in range(1, 8)
+    }
+
+    report = rebuild_ivf_lists(spark, path, [drifted])
+    assert report["lists"] == [0]
+    assert report["n_reassigned"] == meta["per_list_center_sim"]["0"]["n"] + 200
+    assert report["mean_center_sim_after"] > report["mean_center_sim_before"]
+
+    # untouched partitions byte-identical (same files, sizes, mtimes)
+    for lid in range(1, 8):
+        now = [(f, os.path.getsize(f), os.path.getmtime(f)) for f in _files(lid)]
+        assert now == untouched_snapshot[lid]
+    # no rows lost, staging dir cleaned up
+    assert spark.read.parquet(os.path.join(path, "lists")).count() == n_before
+    assert not os.path.exists(os.path.join(path, ".rebuild_tmp"))
+
+    # staleness now reports the rebuilt list as fresh (baseline == current)
+    after = ivf_staleness(spark, path, worst_k=8)
+    d0 = [d for d in after["per_list"] if d["list"] == 0]
+    if d0:  # list 0 may have been split across the rebuilt ids
+        assert abs(d0[0]["drift"]) < 1e-9
+    # manifest centroids updated for the rebuilt list only
+    meta2 = load_ivf_meta(spark, path)
+    cents2 = np.asarray(meta2["centroids"])
+    assert not np.allclose(cents2[0], cents[0])
+    assert np.allclose(cents2[1:], cents[1:])
+    # probing still returns results from both old and new vectors
+    q = _queries(emb)
+    hits = ivf_topk_from_store(spark, path, q, k=5, n_probe=8)
+    assert hits.count() == 5 * 5
+
+
+def test_rebuild_ivf_lists_validation(spark, tmp_path):
+    from cuckoofilter4j_spark.sources import rebuild_ivf_lists
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, path, n_lists=4, seed=42)
+    with pytest.raises(ValueError):
+        rebuild_ivf_lists(spark, path, [])
+    with pytest.raises(ValueError):
+        rebuild_ivf_lists(spark, path, [99])
