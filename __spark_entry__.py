@@ -1178,6 +1178,57 @@ def q_tdigest_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV distinct sketch with set operations (sketches/theta.py) —
+    the corpus-overlap question HLL cannot answer: corpus A = all document
+    texts, corpus B = lower-half verbatim ∪ upper-half modified, so
+    A ∩ B / A ∪ B / A \\ B are all planted exactly. The k=16384 sketches
+    stay unsaturated (θ == 1) at every test SF, so every set-op estimate is
+    an EXACT distinct count (pinned value-for-value against the oracle's
+    EXCEPT/INTERSECT/UNION); a second k=128 saturated pair exercises the
+    (k/θ)-estimator, all five estimates within 5σ = 5/sqrt(k-1) of exact."""
+    import math
+
+    from cuckoofilter4j_spark.operators import build_sketch, theta_overlap_report
+
+    d = _docs(spark, sf_dir)
+    a_keys = d.select(sha256_key("text").alias("key"))
+    b_text = F.when(F.col("doc_id") < 250, F.col("text")).otherwise(
+        F.concat(F.col("text"), F.lit(" y"))
+    )
+    b_keys = d.select(sha256_key(b_text).alias("key"))
+
+    def reports(k):
+        sa = build_sketch(a_keys, "key", "theta", None, k=k, seed=SEED)
+        sb = build_sketch(b_keys, "key", "theta", None, k=k, seed=SEED)
+        return theta_overlap_report(sa, sb, [])
+
+    rep = reports(16384)  # unsaturated at every SF → exact counts
+    exact_rows = rep.select(
+        F.expr(
+            "stack(5, 'a', est_a, 'b', est_b, 'union', est_union, "
+            "'intersect', est_intersect, 'a_not_b', est_a_not_b) AS (op, v)"
+        )
+    ).select("op", F.col("v").cast("long").alias("value"))
+
+    sig5 = 5.0 / math.sqrt(128 - 1)
+    ops = ["est_a", "est_b", "est_union", "est_intersect", "est_a_not_b"]
+    truth = rep.select(*[F.col(c).alias(f"__t_{c}") for c in ops])
+    all_ok = None
+    for c in ops:
+        ok = F.abs(F.col(c) - F.col(f"__t_{c}")) <= sig5 * F.col("__t_est_union")
+        all_ok = ok if all_ok is None else (all_ok & ok)
+    bounded_row = (
+        reports(128)
+        .crossJoin(F.broadcast(truth))
+        .select(
+            F.lit("bounded_all_within_5sigma").alias("op"),
+            all_ok.cast("long").alias("value"),
+        )
+    )
+    return exact_rows.unionByName(bounded_row)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (applyInPandasWithState, cuckoo filter as
     bounded per-group state): stream every document twice in 4 micro-batches;
@@ -1346,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_count_bound": q_cms_count_bound,
         "kll_quantile_bound": q_kll_quantile_bound,
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
+        "theta_overlap": q_theta_overlap,
         "stream_dedup": q_stream_dedup,
         "media_decode": q_media_decode,
         "audio_features": q_audio_features,
@@ -1621,6 +1673,23 @@ def oracle_sql() -> dict[str, str]:
         "cms_count_bound": "SELECT doc_id, TRUE AS count_ok FROM documents",
         "kll_quantile_bound": "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.25), (0.5), (0.75)) t(q)",
         "tdigest_quantile_bound": "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.1), (0.5), (0.9)) t(q)",
+        # exact set-op rows: the k=16384 theta pair is unsaturated at every
+        # test SF, so est_* are exact distinct counts — mirrored here with
+        # real EXCEPT / INTERSECT / UNION over the same planted B corpus
+        "theta_overlap": """
+            WITH a AS (SELECT DISTINCT text AS t FROM documents),
+            b AS (SELECT DISTINCT CASE WHEN doc_id < 250 THEN text
+                                       ELSE text || ' y' END AS t FROM documents)
+            SELECT 'a' AS op, (SELECT count(*) FROM a) AS value
+            UNION ALL SELECT 'a_not_b',
+              (SELECT count(*) FROM (SELECT t FROM a EXCEPT SELECT t FROM b))
+            UNION ALL SELECT 'b', (SELECT count(*) FROM b)
+            UNION ALL SELECT 'bounded_all_within_5sigma', 1
+            UNION ALL SELECT 'intersect',
+              (SELECT count(*) FROM (SELECT t FROM a INTERSECT SELECT t FROM b))
+            UNION ALL SELECT 'union',
+              (SELECT count(*) FROM (SELECT t FROM a UNION SELECT t FROM b))
+        """,
         # media_decode: the synth formulas (multimodal.py synth_media) are
         # w = 8 + id % 24, h = 8 + 7*id % 24; checksum verified in-plan
         "media_decode": """

@@ -34,6 +34,7 @@ from cuckoofilter4j_spark.sketches import (
     HyperLogLog,
     KllSketch,
     TDigest,
+    ThetaSketch,
 )
 
 _FACTORIES = {
@@ -47,6 +48,7 @@ _FACTORIES = {
     "kll": lambda params, seed: KllSketch(int(params.get("k", 200)), seed),
     # t-digest has no seed (deterministic merging variant)
     "tdigest": lambda params, seed: TDigest(float(params.get("delta", 200.0))),
+    "theta": lambda params, seed: ThetaSketch(int(params.get("k", 4096)), seed),
 }
 
 _DECODERS = {
@@ -55,15 +57,14 @@ _DECODERS = {
     "cms": CountMinSketch.from_bytes,
     "kll": KllSketch.from_bytes,
     "tdigest": TDigest.from_bytes,
+    "theta": ThetaSketch.from_bytes,
 }
 
 
 def _ingest(kind: str, sk, series: pd.Series) -> None:
     if kind == "bloom":
         sk.put_batch(series)
-    elif kind == "hll":
-        sk.add_batch(series)
-    elif kind == "cms":
+    elif kind in ("hll", "cms", "theta"):
         sk.add_batch(series)
     else:  # kll / tdigest: numeric values
         sk.update_batch(series.to_numpy(dtype=np.float64))
@@ -91,8 +92,9 @@ def build_sketch(
     **params,
 ) -> DataFrame:
     """One mergeable sketch per group. kinds: "bloom" (max_keys, fpp),
-    "hll" (precision), "cms" (eps, delta), "kll" (k), "tdigest" (delta) —
-    the quantile kinds take a numeric key_col.
+    "hll" (precision), "cms" (eps, delta), "kll" (k), "tdigest" (delta),
+    "theta" (k — KMV distinct sketch with set ops) — the quantile kinds
+    take a numeric key_col.
 
     method="scan_local" (default): zero-data-shuffle partials per
     (group x scan partition) + associative merge of the tiny sketch rows —
@@ -133,7 +135,7 @@ def build_sketch(
 
     int_types = (IntegerType, LongType, ShortType)
     arrow_ok = (
-        kind_ in ("bloom", "hll", "cms")
+        kind_ in ("bloom", "hll", "cms", "theta")
         and isinstance(df.schema[key_col].dataType, BinaryType)
         and all(isinstance(df.schema[c].dataType, int_types) for c in gcols)
     )
@@ -463,3 +465,168 @@ def kll_quantiles(
             yield pd.DataFrame(rows)[out_cols]
 
     return sketches.mapInPandas(proj, schema)
+
+
+# ---------------------------------------------------------------------------
+# Theta (KMV) distinct sketch: estimates + set operations over sketch rows
+# ---------------------------------------------------------------------------
+
+def theta_estimates(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Project (group cols, estimate, theta, exact, rows_in) from built theta
+    sketch rows. `exact` is True while the sketch never overflowed k distinct
+    hashes (θ == 1) — `estimate` is then the exact distinct count."""
+    gcols = list(group_cols)
+    from pyspark.sql.types import BooleanType, DoubleType
+
+    by_name = {f.name: f for f in sketches.schema.fields}
+    schema = StructType(
+        [StructField(c, by_name[c].dataType, True) for c in gcols]
+        + [
+            StructField("estimate", DoubleType(), False),
+            StructField("theta", DoubleType(), False),
+            StructField("exact", BooleanType(), False),
+            StructField("rows_in", LongType(), False),
+        ]
+    )
+
+    def proj(batches):
+        for pdf in batches:
+            out = pdf[gcols].copy()
+            sks = [ThetaSketch.from_bytes(bytes(b)) for b in pdf["sketch"]]
+            out["estimate"] = [sk.estimate() for sk in sks]
+            out["theta"] = [sk.theta_frac for sk in sks]
+            out["exact"] = [sk.is_exact() for sk in sks]
+            out["rows_in"] = pdf["rows_in"]
+            yield out
+
+    return sketches.mapInPandas(proj, schema)
+
+
+_THETA_OPS = ("union", "intersect", "a_not_b")
+
+
+def theta_set_op(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str], op: str
+) -> DataFrame:
+    """Per-group set operation over two theta-sketch DataFrames (the output of
+    build_sketch(..., kind="theta") with IDENTICAL k/seed). Returns sketch
+    rows in the standard (group cols, kind, sketch, rows_in) shape, so results
+    compose: theta_set_op(theta_set_op(a, b, g, "union"), c, g, "intersect").
+
+    op: "union" | "intersect" | "a_not_b". Groups are matched by an inner
+    equi-join on group_cols (a group must exist on both sides — for
+    "a_not_b" against a possibly-empty B side, union B with empty sketches
+    first). rows_in carries rows_in_a + rows_in_b for union (still the true
+    ingest count) and 0 for the other ops (result rows were never ingested).
+
+    Scale shape: sketch rows are tiny (≤ k·8 bytes + header, one per group);
+    the join and the decode/op/encode mapInPandas touch only those rows —
+    never the raw data. At millions of groups this is an ordinary
+    hash-partitioned equi-join on the group key.
+    """
+    if op not in _THETA_OPS:
+        raise ValueError(f"op must be one of {_THETA_OPS}, got {op!r}")
+    gcols = list(group_cols)
+    sa = a.select(*gcols, F.col("sketch").alias("__sk_a"), F.col("rows_in").alias("__ri_a"))
+    sb = b.select(*gcols, F.col("sketch").alias("__sk_b"), F.col("rows_in").alias("__ri_b"))
+    joined = sa.join(sb, on=gcols) if gcols else sa.crossJoin(sb)
+
+    by_name = {f.name: f for f in a.schema.fields}
+    schema = StructType(
+        [StructField(c, by_name[c].dataType, True) for c in gcols]
+        + [
+            StructField("kind", StringType(), False),
+            StructField("sketch", BinaryType(), False),
+            StructField("rows_in", LongType(), False),
+        ]
+    )
+    out_cols = [f.name for f in schema.fields]
+    op_ = op
+
+    def apply_op(batches):
+        for pdf in batches:
+            rows = []
+            gvals = zip(*(pdf[c] for c in gcols)) if gcols else ((),) * len(pdf)
+            for gv, ba, bb, ra, rb in zip(
+                gvals, pdf["__sk_a"], pdf["__sk_b"], pdf["__ri_a"], pdf["__ri_b"]
+            ):
+                ska = ThetaSketch.from_bytes(bytes(ba))
+                skb = ThetaSketch.from_bytes(bytes(bb))
+                if op_ == "union":
+                    res, ri = ska.merge(skb), int(ra) + int(rb)
+                elif op_ == "intersect":
+                    res, ri = ska.intersect(skb), 0
+                else:
+                    res, ri = ska.a_not_b(skb), 0
+                rows.append(
+                    dict(zip(gcols, gv), kind="theta", sketch=res.to_bytes(), rows_in=ri)
+                )
+            if not rows:
+                yield pd.DataFrame({c: [] for c in out_cols})
+                continue
+            yield pd.DataFrame(rows)[out_cols]
+
+    return joined.mapInPandas(apply_op, schema)
+
+
+def theta_overlap_report(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """One-call overlap report between two theta-sketch DataFrames: per group,
+    estimated |A|, |B|, |A ∪ B|, |A ∩ B|, |A \\ B|, |B \\ A| and Jaccard.
+    `exact` is True when BOTH inputs are unsaturated (θ == 1 each side) —
+    every number in the row is then an exact distinct count, not an estimate.
+
+    The training-pipeline question this answers directly: "how much of eval
+    corpus B is inside training corpus A" = est_intersect / est_b per group.
+    """
+    gcols = list(group_cols)
+    sa = a.select(*gcols, F.col("sketch").alias("__sk_a"))
+    sb = b.select(*gcols, F.col("sketch").alias("__sk_b"))
+    joined = sa.join(sb, on=gcols) if gcols else sa.crossJoin(sb)
+
+    from pyspark.sql.types import BooleanType, DoubleType
+
+    by_name = {f.name: f for f in a.schema.fields}
+    schema = StructType(
+        [StructField(c, by_name[c].dataType, True) for c in gcols]
+        + [
+            StructField("est_a", DoubleType(), False),
+            StructField("est_b", DoubleType(), False),
+            StructField("est_union", DoubleType(), False),
+            StructField("est_intersect", DoubleType(), False),
+            StructField("est_a_not_b", DoubleType(), False),
+            StructField("est_b_not_a", DoubleType(), False),
+            StructField("jaccard", DoubleType(), False),
+            StructField("exact", BooleanType(), False),
+        ]
+    )
+    out_cols = [f.name for f in schema.fields]
+
+    def report(batches):
+        for pdf in batches:
+            rows = []
+            gvals = zip(*(pdf[c] for c in gcols)) if gcols else ((),) * len(pdf)
+            for gv, ba, bb in zip(gvals, pdf["__sk_a"], pdf["__sk_b"]):
+                ska = ThetaSketch.from_bytes(bytes(ba))
+                skb = ThetaSketch.from_bytes(bytes(bb))
+                un = ska.merge(skb)
+                rows.append(
+                    dict(
+                        zip(gcols, gv),
+                        est_a=ska.estimate(),
+                        est_b=skb.estimate(),
+                        est_union=un.estimate(),
+                        est_intersect=ska.intersect(skb).estimate(),
+                        est_a_not_b=ska.a_not_b(skb).estimate(),
+                        est_b_not_a=skb.a_not_b(ska).estimate(),
+                        jaccard=ska.jaccard(skb),
+                        exact=ska.is_exact() and skb.is_exact(),
+                    )
+                )
+            if not rows:
+                yield pd.DataFrame({c: [] for c in out_cols})
+                continue
+            yield pd.DataFrame(rows)[out_cols]
+
+    return joined.mapInPandas(report, schema)

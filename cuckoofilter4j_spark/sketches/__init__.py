@@ -8,5 +8,13 @@ from cuckoofilter4j_spark.sketches.cms import CountMinSketch
 from cuckoofilter4j_spark.sketches.hll import HyperLogLog
 from cuckoofilter4j_spark.sketches.kll import KllSketch
 from cuckoofilter4j_spark.sketches.tdigest import TDigest
+from cuckoofilter4j_spark.sketches.theta import ThetaSketch
 
-__all__ = ["BloomFilter", "CountMinSketch", "HyperLogLog", "KllSketch", "TDigest"]
+__all__ = [
+    "BloomFilter",
+    "CountMinSketch",
+    "HyperLogLog",
+    "KllSketch",
+    "TDigest",
+    "ThetaSketch",
+]

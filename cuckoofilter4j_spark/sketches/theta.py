@@ -1,0 +1,209 @@
+"""Mergeable Theta (KMV / k-minimum-values) distinct sketch with set
+operations — union, intersection and A-not-B cardinality estimation.
+
+Why this sibling exists: HLL answers |A| and |A ∪ B| (register max is a
+union), but a training-data pipeline constantly asks *overlap* questions HLL
+cannot — "how much of this eval set is inside the training corpus?", "how
+many documents do these two crawls share?", "what is new in this snapshot?".
+The theta/KMV family (Beyer et al., SIGMOD'07 "On Synopses for Distinct-Value
+Estimation"; the Apache DataSketches theta design) keeps the k smallest
+distinct 64-bit key hashes plus a threshold θ, so retained samples from two
+sketches are comparable uniform samples of the keyspace and intersections /
+differences estimate directly:
+
+  θ starts at 1.0 (represented as 2^64): the sketch is EXACT until more than
+  k distinct hashes are seen. On overflow, θ drops to the (k+1)-th smallest
+  hash value and exactly the k hashes < θ are retained.
+
+  estimate(S)   = |retained| / θ          (exact while θ == 1)
+  union         = merge: θ = min(θa, θb), retained = (Ra ∪ Rb) < θ, re-trim
+  intersection  : θ = min(θa, θb), retained = (Ra ∩ Rb) < θ  (no trim needed)
+  A-not-B       : θ = min(θa, θb), retained = {x ∈ Ra: x < θ, x ∉ Rb}
+
+  relative standard error ≈ 1 / sqrt(k - 1) for a saturated sketch; set-op
+  errors scale with the UNION size (the sample frame), not the result size.
+
+Everything is vectorized numpy over the shared xxh64 word-matrix hashing
+(cuckoofilter4j_spark.hashing) — the same key-encoding contract as the other
+sketches, so one scan can feed cuckoo + bloom + hll + theta partials.
+
+No counterpart in the reference (MGunlogson/CuckooFilter4J has membership
+only); this is an extension of the sketch family for dataset-overlap
+workloads.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+_M64 = (1 << 64) - 1
+_U64 = np.uint64
+_THETA_ONE = 1 << 64  # θ = 1.0 in hash-value units (python int: 2^64 > uint64)
+_MAGIC = b"THE1"
+
+
+class ThetaSketch:
+    """KMV/theta distinct sketch. Exact below k distinct keys, (k/θ)-estimator
+    above; merge/intersect/a_not_b are closed over (k, seed)."""
+
+    def __init__(self, k: int = 4096, seed: int = 42):
+        if not (16 <= k <= (1 << 26)):
+            raise ValueError(f"k must be in [16, 2^26], got {k}")
+        self.k = int(k)
+        self.seed = int(seed) & _M64
+        self.theta = _THETA_ONE  # python int: may be 2^64 (no uint64 overflow)
+        self.retained = np.empty(0, dtype=np.uint64)  # sorted, distinct, < theta
+
+    # -- ingest ----------------------------------------------------------------
+    def _hash(self, keys) -> np.ndarray:
+        from cuckoofilter4j_spark.core import encode_keys
+        from cuckoofilter4j_spark.hashing import xxh64_words
+
+        words = (
+            keys
+            if isinstance(keys, np.ndarray) and keys.ndim == 2 and keys.dtype == np.uint64
+            else encode_keys(keys)
+        )
+        return xxh64_words(words, self.seed)
+
+    def add_batch(self, keys) -> int:
+        h = self._hash(keys)
+        if h.size == 0:
+            return 0
+        if self.theta <= _M64:
+            h = h[h < _U64(self.theta)]
+        cand = np.union1d(self.retained, h)  # sorted distinct
+        self._absorb_sorted(cand)
+        return h.size
+
+    def _absorb_sorted(self, cand: np.ndarray) -> None:
+        """Install a sorted-distinct candidate array (< current θ), trimming
+        to the k smallest and lowering θ to the (k+1)-th value on overflow."""
+        if cand.size > self.k:
+            self.theta = int(cand[self.k])  # (k+1)-th smallest; k kept are < θ
+            cand = cand[: self.k]
+        self.retained = cand
+
+    # -- estimate --------------------------------------------------------------
+    @property
+    def theta_frac(self) -> float:
+        return self.theta / float(_THETA_ONE)
+
+    def estimate(self) -> float:
+        return self.retained.size / self.theta_frac
+
+    def is_exact(self) -> bool:
+        """True while θ == 1 — estimate() is then the exact distinct count."""
+        return self.theta == _THETA_ONE
+
+    def std_error(self) -> float:
+        return 1.0 / math.sqrt(self.k - 1)
+
+    # -- merge (union) ---------------------------------------------------------
+    def _check_peer(self, other: "ThetaSketch", op: str) -> None:
+        if not isinstance(other, ThetaSketch):
+            raise TypeError(f"theta {op} requires a ThetaSketch")
+        if (self.k, self.seed) != (other.k, other.seed):
+            raise ValueError(f"theta {op} requires identical (k, seed)")
+
+    def merge_in_place(self, other: "ThetaSketch") -> None:
+        self._check_peer(other, "merge")
+        theta = min(self.theta, other.theta)
+        cand = np.union1d(self.retained, other.retained)
+        if theta <= _M64:
+            cand = cand[cand < _U64(theta)]
+        self.theta = theta
+        self._absorb_sorted(cand)
+
+    def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        out = self.copy()
+        out.merge_in_place(other)
+        return out
+
+    def copy(self) -> "ThetaSketch":
+        out = ThetaSketch(self.k, self.seed)
+        out.theta = self.theta
+        out.retained = self.retained.copy()
+        return out
+
+    # -- set operations --------------------------------------------------------
+    def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Sketch of A ∩ B: both retained sets are uniform samples of the
+        keyspace below min(θ); their intersection is the sample of A ∩ B."""
+        self._check_peer(other, "intersect")
+        theta = min(self.theta, other.theta)
+        cand = np.intersect1d(self.retained, other.retained)
+        if theta <= _M64:
+            cand = cand[cand < _U64(theta)]
+        out = ThetaSketch(self.k, self.seed)
+        out.theta = theta
+        out.retained = cand  # |A ∩ B| sample can never exceed k: no trim
+        return out
+
+    def a_not_b(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Sketch of A \\ B: A's sample below min(θ) minus B's retained keys."""
+        self._check_peer(other, "a_not_b")
+        theta = min(self.theta, other.theta)
+        cand = self.retained
+        if theta <= _M64:
+            cand = cand[cand < _U64(theta)]
+        cand = np.setdiff1d(cand, other.retained, assume_unique=True)
+        out = ThetaSketch(self.k, self.seed)
+        out.theta = theta
+        out.retained = cand
+        return out
+
+    def jaccard(self, other: "ThetaSketch") -> float:
+        """Estimated |A ∩ B| / |A ∪ B| (0.0 for two empty sketches).
+
+        Both counts are taken at the UNION's θ: merge may trim to k and lower
+        θ below min(θa, θb), and a ratio of samples at different thresholds
+        is biased — the intersection sample must be re-filtered to the same
+        frame before dividing."""
+        un = self.merge(other)
+        if un.retained.size == 0:
+            return 0.0
+        inter = self.intersect(other).retained
+        if un.theta <= _M64:
+            inter = inter[inter < _U64(un.theta)]
+        return inter.size / un.retained.size
+
+    # -- serde -----------------------------------------------------------------
+    _HDR = struct.Struct("<4siqQBq")  # magic, k, seed, theta_lo64, theta_is_one, n
+
+    def to_bytes(self) -> bytes:
+        seed = int(self.seed) if self.seed < 2**63 else int(self.seed) - 2**64
+        is_one = 1 if self.theta == _THETA_ONE else 0
+        theta_lo = 0 if is_one else int(self.theta)
+        return (
+            self._HDR.pack(_MAGIC, self.k, seed, theta_lo, is_one, self.retained.size)
+            + np.ascontiguousarray(self.retained, dtype="<u8").tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ThetaSketch":
+        if len(data) < cls._HDR.size or data[:4] != _MAGIC:
+            raise ValueError("bad theta bytes: wrong magic")
+        magic, k, seed, theta_lo, is_one, n = cls._HDR.unpack_from(data, 0)
+        if n < 0 or len(data) < cls._HDR.size + 8 * n:
+            raise ValueError("bad theta bytes: truncated retained array")
+        out = cls(k, seed & _M64)
+        out.theta = _THETA_ONE if is_one else int(theta_lo)
+        out.retained = (
+            np.frombuffer(data, dtype="<u8", count=n, offset=cls._HDR.size)
+            .astype(np.uint64, copy=True)
+        )
+        return out
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, ThetaSketch):
+            return NotImplemented
+        return (
+            (self.k, self.seed, self.theta) == (other.k, other.seed, other.theta)
+            and np.array_equal(self.retained, other.retained)
+        )
+
+    __hash__ = None

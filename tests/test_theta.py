@@ -1,0 +1,205 @@
+"""Theta (KMV) distinct sketch: kernel exactness/bounds, set-operation
+estimators, merge/serde invariants, and the Spark partial/final build +
+set-op operators. Extension beyond the reference (membership-only); the
+training-pipeline question it serves is corpus-overlap estimation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.sketches import ThetaSketch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+# -- kernel --------------------------------------------------------------------
+def test_theta_exact_below_k():
+    t = ThetaSketch(k=1024, seed=7)
+    t.add_batch([b"key%d" % i for i in range(500)])
+    t.add_batch([b"key%d" % i for i in range(500)])  # re-adds are no-ops
+    assert t.is_exact()
+    assert t.estimate() == 500.0
+    assert t.theta_frac == 1.0
+
+
+def test_theta_estimation_bound_and_retained_invariant():
+    n = 200_000
+    t = ThetaSketch(k=4096, seed=7)
+    for i in range(0, n, 50_000):
+        t.add_batch([b"x%d" % j for j in range(i, i + 50_000)])
+    assert not t.is_exact()
+    assert t.retained.size == t.k  # saturated: exactly k retained
+    assert (t.retained < np.uint64(t.theta)).all()  # every sample below θ
+    assert np.all(np.diff(t.retained.astype(np.int64)) > 0)  # sorted distinct
+    assert abs(t.estimate() - n) / n < 5 * t.std_error()
+
+
+def test_theta_merge_equals_direct_and_is_commutative():
+    ka = [b"a%d" % i for i in range(100_000)]
+    kb = [b"b%d" % i for i in range(60_000)]
+    a, b, direct = (ThetaSketch(4096, 7) for _ in range(3))
+    a.add_batch(ka)
+    b.add_batch(kb + ka[:20_000])  # overlap
+    direct.add_batch(ka)
+    direct.add_batch(kb + ka[:20_000])
+    assert a.merge(b) == direct
+    assert a.merge(b) == b.merge(a)
+    with pytest.raises(ValueError, match="merge"):
+        a.merge(ThetaSketch(2048, 7))
+    with pytest.raises(ValueError, match="merge"):
+        a.merge(ThetaSketch(4096, 8))
+
+
+def test_theta_set_ops_known_overlap():
+    ka = [b"a%d" % i for i in range(100_000)]
+    kb = [b"b%d" % i for i in range(100_000)]
+    common = [b"c%d" % i for i in range(50_000)]
+    A, B = ThetaSketch(4096, 7), ThetaSketch(4096, 7)
+    A.add_batch(ka + common)
+    B.add_batch(kb + common)
+    union_n = 250_000
+    tol = 5 * A.std_error() * union_n  # set-op error scales with the union
+    assert abs(A.merge(B).estimate() - union_n) < tol
+    assert abs(A.intersect(B).estimate() - 50_000) < tol
+    assert abs(A.a_not_b(B).estimate() - 100_000) < tol
+    assert abs(B.a_not_b(A).estimate() - 100_000) < tol
+    assert abs(A.jaccard(B) - 0.2) < 5 * A.std_error()
+
+
+def test_theta_set_ops_disjoint_and_identical_are_exact_shapes():
+    A, B = ThetaSketch(1024, 7), ThetaSketch(1024, 7)
+    A.add_batch([b"a%d" % i for i in range(400)])
+    B.add_batch([b"b%d" % i for i in range(300)])
+    assert A.intersect(B).estimate() == 0.0
+    assert A.a_not_b(B).estimate() == 400.0  # both exact: θ == 1 each side
+    assert A.intersect(A.copy()).estimate() == 400.0
+    assert A.a_not_b(A.copy()).estimate() == 0.0
+    assert A.jaccard(B) == 0.0
+    assert ThetaSketch(1024, 7).jaccard(ThetaSketch(1024, 7)) == 0.0  # empty
+
+
+def test_theta_serde_roundtrip_and_garbage():
+    t = ThetaSketch(k=64, seed=9)
+    t.add_batch([b"k%d" % i for i in range(1000)])  # force θ < 1
+    assert not t.is_exact()
+    rt = ThetaSketch.from_bytes(t.to_bytes())
+    assert rt == t
+    assert rt.estimate() == t.estimate()
+    empty = ThetaSketch.from_bytes(ThetaSketch(64, 9).to_bytes())
+    assert empty.is_exact() and empty.estimate() == 0.0
+    with pytest.raises(ValueError, match="magic"):
+        ThetaSketch.from_bytes(b"XXXX" + t.to_bytes()[4:])
+
+
+def test_theta_merge_associativity_random():
+    rng = np.random.default_rng(3)
+    parts = []
+    for i in range(4):
+        t = ThetaSketch(512, 5)
+        t.add_batch([rng.bytes(12) for _ in range(3000)])
+        parts.append(t)
+    left = parts[0].merge(parts[1]).merge(parts[2]).merge(parts[3])
+    right = parts[0].merge(parts[1].merge(parts[2].merge(parts[3])))
+    assert left == right
+
+
+# -- Spark build + operators ---------------------------------------------------
+def test_spark_theta_build_matches_driver_kernel(spark, docs):
+    from cuckoofilter4j_spark.operators import build_sketch, sha256_key, theta_estimates
+
+    keyed = docs.select("lang", sha256_key("text").alias("key"))
+    sk = build_sketch(keyed.repartition(8), "key", "theta", ["lang"], k=64, seed=7)
+    est = theta_estimates(sk, ["lang"])
+    exact = keyed.groupBy("lang").agg(F.countDistinct("key").alias("n_exact"))
+    rows = est.join(exact, "lang").collect()
+    assert rows
+    for r in rows:
+        if r["n_exact"] <= 64:
+            assert r["estimate"] == float(r["n_exact"])  # unsaturated → exact
+        else:
+            assert abs(r["estimate"] - r["n_exact"]) <= 5 * r["n_exact"] / np.sqrt(63)
+    # distributed build is byte-identical to a driver-side single-pass build
+    local = {}
+    for lang, key in keyed.collect():
+        local.setdefault(lang, ThetaSketch(64, 7)).add_batch([bytes(key)])
+    for r in sk.collect():
+        assert ThetaSketch.from_bytes(bytes(r["sketch"])) == local[r["lang"]]
+
+
+def test_spark_theta_build_partition_invariant(spark, docs):
+    from cuckoofilter4j_spark.operators import build_sketch, sha256_key
+
+    keyed = docs.select("lang", sha256_key("text").alias("key"))
+    a = build_sketch(keyed.repartition(2), "key", "theta", ["lang"], k=32, seed=7)
+    b = build_sketch(keyed.repartition(16), "key", "theta", ["lang"], k=32, seed=7)
+    rows_a = {r["lang"]: bytes(r["sketch"]) for r in a.collect()}
+    rows_b = {r["lang"]: bytes(r["sketch"]) for r in b.collect()}
+    assert rows_a == rows_b  # KMV merge is order/partitioning independent
+
+
+def test_spark_theta_set_ops_and_overlap_report(spark, docs):
+    from cuckoofilter4j_spark.operators import (
+        build_sketch,
+        sha256_key,
+        theta_estimates,
+        theta_overlap_report,
+        theta_set_op,
+    )
+
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    a_keys = docs.select("doc_id", sha256_key("text").alias("key"))
+    # B = lower half verbatim ∪ upper half modified → overlap == lower half
+    b_keys = docs.select(
+        "doc_id",
+        sha256_key(
+            F.when(F.col("doc_id") <= half, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" y"))
+            )
+        ).alias("key"),
+    )
+    n = docs.count()
+    n_lo = docs.filter(F.col("doc_id") <= half).count()
+    sa = build_sketch(a_keys, "key", "theta", None, k=4096, seed=7)
+    sb = build_sketch(b_keys, "key", "theta", None, k=4096, seed=7)
+
+    # unsaturated (500 docs < k): every set-op estimate is EXACT
+    rep = theta_overlap_report(sa, sb, []).collect()[0]
+    assert rep["exact"]
+    assert rep["est_a"] == float(n) and rep["est_b"] == float(n)
+    assert rep["est_intersect"] == float(n_lo)
+    assert rep["est_union"] == float(2 * n - n_lo)
+    assert rep["est_a_not_b"] == float(n - n_lo)
+    assert rep["est_b_not_a"] == float(n - n_lo)
+
+    # composable sketch-row set ops agree with the report
+    inter = theta_set_op(sa, sb, [], "intersect")
+    est = theta_estimates(inter, []).collect()[0]
+    assert est["estimate"] == rep["est_intersect"]
+    # (A ∪ B) \ (A ∩ B) = symmetric difference — ops compose over rows
+    sym = theta_set_op(theta_set_op(sa, sb, [], "union"), inter, [], "a_not_b")
+    assert theta_estimates(sym, []).collect()[0]["estimate"] == float(2 * (n - n_lo))
+
+    with pytest.raises(ValueError, match="op must be"):
+        theta_set_op(sa, sb, [], "xor")
+
+
+def test_spark_theta_arrow_path_matches_pandas_path(spark, docs):
+    from cuckoofilter4j_spark.operators import build_sketch, sha256_key
+
+    # binary key + no group cols → arrow fast path; string group col → pandas
+    keyed = docs.select(sha256_key("text").alias("key"))
+    arrow = build_sketch(keyed, "key", "theta", None, k=128, seed=7)
+    forced = build_sketch(
+        keyed.withColumn("key", F.col("key")), "key", "theta", None,
+        k=128, seed=7, method="grouped",
+    )
+    ba = bytes(arrow.collect()[0]["sketch"])
+    bb = bytes(forced.collect()[0]["sketch"])
+    assert ba == bb
