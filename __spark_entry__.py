@@ -605,6 +605,36 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(cands, dd, "text", "doc_id", shingle_k=5, threshold=0.0)
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call end-to-end dedup (functions/dedup.py dedup_corpus): exact
+    collapse → MinHash-LSH candidates → exact n-gram-Jaccard verification →
+    connected components → keep each cluster's min id. Because verification
+    uses TRUE Jaccard (LSH only nominates candidates), the kept set is
+    hash-independent and the oracle recomputes it outright: same exact
+    collapse, the full true-Jaccard≥0.9 edge set (with the provable
+    length-ratio prune: j ≥ t ⇒ min|S|/max|S| ≥ t), and transitive closure
+    via recursive CTE. Fixture: documents ∪ verbatim copies (+10000,
+    doc_id<100) ∪ near copies (+20000, text||' x'); every copy drops, and
+    the corpus's own planted natural near-dup pairs (true j 0.93–0.99)
+    additionally collapse — both engines agree on the exact kept set."""
+    from cuckoofilter4j_spark.functions import dedup_corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = (
+        d.unionByName(
+            d.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            d.select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat("text", F.lit(" x")).alias("text"),
+            )
+        )
+    )
+    return dedup_corpus(corpus, "text", "doc_id", threshold=0.9).select("doc_id")
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution (functions/cluster.py): connected
     components over a deterministic chained edge list (doc ↔ doc+10000,
@@ -1378,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_capped": q_minhash_pairs_capped,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
         "dup_clusters_auto": q_dup_clusters_auto,
@@ -1600,6 +1631,47 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": """
             SELECT doc_id + 10000 * g AS id, doc_id AS cluster_id
             FROM documents, (VALUES (0), (1), (2)) t(g)
+        """,
+        # the TRUE end-to-end oracle: exact collapse, the full exact-Jaccard
+        # >= 0.9 edge set (length-ratio prune is provable: j >= t implies
+        # min|S|/max|S| >= t for distinct-shingle sets), transitive closure
+        # by recursive CTE, keep each component's min id — the Spark side's
+        # LSH stage only NOMINATES candidates, so both engines compute the
+        # identical kept set
+        "dedup_corpus": """
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+              UNION ALL SELECT doc_id + 20000, text || ' x' FROM documents
+            ),
+            survivors AS (SELECT min(doc_id) AS id, text FROM corpus GROUP BY text),
+            shn AS (
+              SELECT id,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(text) - 4, 1) + 1),
+                       i -> text[i:i+4])) AS s
+              FROM survivors
+            ),
+            shs AS (SELECT id, s, len(s) AS ns FROM shn),
+            edges AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM shs a JOIN shs b
+                ON a.id < b.id
+               AND least(a.ns, b.ns) >= 0.9 * greatest(a.ns, b.ns)
+              WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                          / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.9
+            ),
+            sym AS (SELECT ia AS src, ib AS dst FROM edges
+                    UNION SELECT ib, ia FROM edges),
+            reach AS (
+              SELECT id AS a, id AS b FROM survivors
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+            ),
+            roots AS (SELECT a AS id, min(b) AS root FROM reach GROUP BY a)
+            SELECT CAST(s.id AS BIGINT) AS doc_id
+            FROM survivors s JOIN roots r ON r.id = s.id
+            WHERE r.root = s.id
         """,
         "ngram_contamination": """
             SELECT doc_id + 30000 AS doc_id, TRUE AS contaminated

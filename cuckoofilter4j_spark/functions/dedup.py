@@ -618,3 +618,80 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    candidate_threshold: float = 0.5,
+    method: str = "catalyst",
+    max_bucket_size: Optional[int] = None,
+    algorithm: str = "auto",
+    stats_out: Optional[dict] = None,
+) -> DataFrame:
+    """One-call end-to-end corpus deduplication — the full training-data
+    pipeline composed from this module's verified stages:
+
+      1. exact collapse     — min-id per distinct text, ONE shuffle with
+                              map-side combine (mega-duplicate groups never
+                              reach LSH, killing the hot-bucket pathology)
+      2. LSH candidates     — MinHash banding at a deliberately LOW estimated
+                              threshold (`candidate_threshold`): recall stage
+      3. exact verification — TRUE n-gram Jaccard >= `threshold` on the
+                              candidate set only. The kept set is therefore
+                              HASH-INDEPENDENT given candidate recall: LSH
+                              seeds choose only which pairs are *checked*,
+                              exact Jaccard decides which are duplicates
+      4. connected components (auto: propagation -> star fallback) over the
+         verified edges; each cluster keeps its MINIMUM id (deterministic
+         canonical pick, same rule as exact_dedup)
+
+    Returns the kept rows of `df` (all original columns). Pass `stats_out`
+    to receive {"clusters": the persisted (id, cluster_id) DataFrame,
+    "edges": verified duplicate edges, plus minhash_dup_pairs' signature /
+    drop-stats entries} — call stats_out["clusters"].unpersist() when done.
+
+    Scale shape at 100 TB: stage 1 is one exact shuffle; stage 2 is the
+    capped banded self-join (pass max_bucket_size — drops are reported, never
+    silent); stage 3 joins only the candidate pairs back to the corpus;
+    stage 4 shuffles the edge list (tiny vs the corpus); the final keep is a
+    left-anti join against the dropped-id set. Raw text never shuffles except
+    to the verify join's candidate subset.
+    """
+    from cuckoofilter4j_spark.functions.cluster import dup_clusters
+
+    if stats_out is None:
+        stats_out = {}
+    survivors = exact_dedup(df, text_col, id_col)
+    cands = minhash_dup_pairs(
+        survivors,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=candidate_threshold,
+        method=method,
+        max_bucket_size=max_bucket_size,
+        stats_out=stats_out,
+    )
+    edges = ngram_jaccard_pairs(
+        cands.select("id_a", "id_b"),
+        survivors,
+        text_col,
+        id_col,
+        shingle_k=shingle_k,
+        threshold=threshold,
+    )
+    stats_out["edges"] = edges
+    cc = dup_clusters(edges, max_iter=None, algorithm=algorithm)
+    stats_out["clusters"] = cc
+    dropped = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return survivors.join(dropped, on=id_col, how="left_anti")

@@ -1,0 +1,101 @@
+"""dedup_corpus: the one-call end-to-end dedup pipeline (exact collapse →
+LSH candidates → exact-Jaccard verification → connected components → keep
+cluster minimum). The core claim under test: the kept set is
+HASH-INDEPENDENT — LSH parameters choose which pairs get *checked*, exact
+Jaccard decides which are duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import dedup_corpus
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    c = (
+        d.unionByName(
+            d.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat("text", F.lit(" x")).alias("text"),
+            )
+        )
+        .cache()
+    )
+    c.count()
+    return c
+
+
+def test_all_planted_copies_dropped_and_stats_exposed(spark, corpus):
+    stats = {}
+    kept = dedup_corpus(corpus, "text", "doc_id", threshold=0.9, stats_out=stats)
+    ids = sorted(r[0] for r in kept.select("doc_id").collect())
+    assert all(i < 10000 for i in ids)  # every exact AND near copy dropped
+    # the corpus's own planted natural near-dups collapse too: kept < 500
+    assert 400 < len(ids) < 500
+    # stats expose the intermediate stages
+    assert stats["edges"].count() > 0
+    cc = stats["clusters"]
+    assert cc.filter(F.col("cluster_id") > F.col("id")).count() == 0
+    cc.unpersist()
+    stats["signatures"].unpersist()
+
+
+def test_kept_set_is_hash_independent(spark, corpus):
+    """Different LSH geometries (and hence different band-hash seeds and
+    candidate sets) must produce the IDENTICAL kept set: exact verification
+    owns the duplicate decision."""
+    a = dedup_corpus(corpus, "text", "doc_id", threshold=0.9,
+                     num_hashes=64, bands=16)
+    b = dedup_corpus(corpus, "text", "doc_id", threshold=0.9,
+                     num_hashes=128, bands=32)
+    ids_a = sorted(r[0] for r in a.select("doc_id").collect())
+    ids_b = sorted(r[0] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b
+
+
+def test_threshold_above_one_reduces_to_exact_dedup(spark, corpus):
+    from cuckoofilter4j_spark.functions import exact_dedup
+
+    kept = dedup_corpus(corpus, "text", "doc_id", threshold=1.01)
+    exact = exact_dedup(corpus, "text", "doc_id")
+    assert (
+        sorted(r[0] for r in kept.select("doc_id").collect())
+        == sorted(r[0] for r in exact.select("doc_id").collect())
+    )
+
+
+def test_original_columns_survive_and_keeper_is_min(spark, corpus):
+    enriched = corpus.withColumn("extra", F.length("text"))
+    kept = dedup_corpus(enriched, "text", "doc_id", threshold=0.9)
+    assert set(kept.columns) == {"doc_id", "text", "extra"}
+    # min-id keeper rule: no kept doc has a verified duplicate with smaller id
+    stats = {}
+    dedup_corpus(corpus, "text", "doc_id", threshold=0.9, stats_out=stats)
+    kept_ids = {r[0] for r in kept.select("doc_id").collect()}
+    for e in stats["edges"].collect():
+        assert not (e["id_a"] in kept_ids and e["id_b"] in kept_ids), (
+            f"verified duplicate pair both kept: {e}"
+        )
+    stats["clusters"].unpersist()
+    stats["signatures"].unpersist()
+
+
+def test_hot_bucket_cap_passthrough(spark, corpus):
+    stats = {}
+    kept = dedup_corpus(
+        corpus, "text", "doc_id", threshold=0.9,
+        max_bucket_size=500, stats_out=stats,
+    )
+    assert kept.count() > 0
+    drops = stats["drop_stats"].collect()[0]
+    assert drops["hot_buckets"] == 0  # nothing near the cap on this fixture
+    stats["clusters"].unpersist()
+    stats["signatures"].unpersist()
