@@ -605,6 +605,48 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(cands, dd, "text", "doc_id", shingle_k=5, threshold=0.0)
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (functions/sampling.py): the per-row
+    sha256-threshold draw is partitioning-independent and engine-exact, so
+    the oracle runs the IDENTICAL predicate and the kept id set matches
+    value-for-value (df.sample() could never pass this gate)."""
+    from cuckoofilter4j_spark.functions import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), ["doc_id"], 0.25, salt="gate").select(
+        "doc_id"
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10): disjoint, exhaustive,
+    and a pure function of (salt, doc_id) — every row's label matches the
+    oracle's CASE over the same cumulative sha256 thresholds."""
+    from cuckoofilter4j_spark.functions import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir),
+        ["doc_id"],
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="gate",
+    ).select("doc_id", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic sampling: keep all English, drop all German,
+    half of everything else — the boilerplate-rebalancing shape. One CASE
+    chain over the same hash draw; exact id-set parity with the oracle."""
+    from cuckoofilter4j_spark.functions import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _docs(spark, sf_dir),
+        ["doc_id"],
+        "lang",
+        {"en": 1.0, "de": 0.0},
+        salt="gate",
+        default_rate=0.5,
+    ).select("doc_id", "lang")
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call end-to-end dedup (functions/dedup.py dedup_corpus): exact
     collapse → MinHash-LSH candidates → exact n-gram-Jaccard verification →
@@ -1408,6 +1450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_capped": q_minhash_pairs_capped,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
@@ -1522,6 +1567,12 @@ _WINNOW4 = (
 )
 
 # k-char shingle set as a DuckDB list expression
+# deterministic-sampling oracle pieces: the same sha256-prefix draw and the
+# same python-computed thresholds as functions/sampling.py (salt 'gate')
+from cuckoofilter4j_spark.functions.sampling import rate_to_hex as _R2H
+
+_HSH = "substr(sha256(concat_ws(chr(31), 'gate', CAST(doc_id AS VARCHAR))), 1, 16)"
+
 _SH = lambda t, k: (
     f"list_distinct(list_transform(range(1, greatest(length({t}) - {k - 1}, 1) + 1),"
     f" i -> {t}[i:i+{k - 1}]))"
@@ -1631,6 +1682,26 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": """
             SELECT doc_id + 10000 * g AS id, doc_id AS cluster_id
             FROM documents, (VALUES (0), (1), (2)) t(g)
+        """,
+        # identical per-row sha256-threshold predicates (thresholds are the
+        # same python-computed constants the Spark plan embeds — zero
+        # in-engine float math, so the id sets match exactly)
+        "hash_sample": f"""
+            SELECT doc_id FROM documents
+            WHERE {_HSH} < '{_R2H(0.25)}'
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {_HSH} < '{_R2H(0.8)}' THEN 'train'
+                        WHEN {_HSH} < '{_R2H(0.8 + 0.1)}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CASE WHEN lang = 'en' THEN TRUE
+                       WHEN lang = 'de' THEN FALSE
+                       ELSE {_HSH} < '{_R2H(0.5)}' END
         """,
         # the TRUE end-to-end oracle: exact collapse, the full exact-Jaccard
         # >= 0.9 edge set (length-ratio prune is provable: j >= t implies

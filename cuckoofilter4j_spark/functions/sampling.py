@@ -1,0 +1,142 @@
+"""Deterministic hash-based sampling and dataset splitting — the
+reproducibility primitives a training-data pipeline needs that `df.sample()`
+cannot give:
+
+  * `df.sample()` is seeded per-partition: the selected rows CHANGE whenever
+    partitioning, file layout, or cluster size changes. A training set built
+    that way is not reproducible run-to-run.
+  * These functions decide per ROW, from sha256(salt, key columns) alone:
+    the same row is in or out regardless of partitioning, engine, execution
+    order, or data volume — and membership is stable under incremental
+    appends (new rows never flip old rows' membership).
+
+Mechanism: the first 16 hex chars of sha256 are compared lexicographically
+against a threshold string precomputed in Python from the rate
+(`floor(rate · 2^64)` as zero-padded hex). Equal-length lowercase-hex
+comparison == numeric comparison, so the predicate is a pure Catalyst string
+compare — whole-stage codegen, pushed into the scan, zero shuffles, and
+reproducible in any engine with sha256 (the DuckDB oracles run the identical
+predicate). No floating-point happens inside the engine: the float→threshold
+conversion is done ONCE in Python, so there is no cross-engine rounding edge.
+
+Scale shape at 100 TB: sampling/splitting is a row-local filter/projection —
+it composes with partition pruning and costs one scan, no state.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# unit separator: a concat_ws delimiter that survives both Spark and DuckDB
+# and is vanishingly unlikely inside real key columns
+SEP = "\x1f"
+
+_FULL = 1 << 64
+
+
+def rate_to_hex(rate: float) -> str:
+    """floor(rate · 2^64) as a 16-char zero-padded lowercase hex string —
+    the lexicographic threshold for a 16-hex-char hash prefix. Computed in
+    Python so both Spark and any oracle engine compare against the SAME
+    constant (no in-engine float math)."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return f"{min(int(rate * _FULL), _FULL - 1):016x}"
+
+
+def sample_hash_hex(cols: Sequence[Union[str, Column]], salt: str = "") -> Column:
+    """First 16 hex chars of sha256(salt ⊕ key columns) — the per-row
+    uniform draw. Key columns are cast to string and joined with the unit
+    separator; NULL keys are skipped by concat_ws in both Spark and DuckDB
+    (prefer non-null keys). Changing `salt` yields an independent draw."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.substring(
+        F.sha2(F.concat_ws(SEP, F.lit(salt), *[c.cast("string") for c in cs]), 256),
+        1,
+        16,
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    cols: Sequence[Union[str, Column]],
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic `rate` fraction of rows, decided per row by
+    sha256 of the key columns. Partitioning-independent, append-stable,
+    engine-reproducible (see module docstring)."""
+    if rate >= 1.0:
+        return df
+    if rate <= 0.0:
+        return df.filter(F.lit(False))
+    return df.filter(sample_hash_hex(cols, salt) < F.lit(rate_to_hex(rate)))
+
+
+def hash_split(
+    df: DataFrame,
+    cols: Sequence[Union[str, Column]],
+    splits: Mapping[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint-and-exhaustive dataset split (train/val/test):
+    adds `split_col` labeling each row by which cumulative hash-threshold
+    interval its draw falls in. Fractions must sum to 1 (±1e-9); the last
+    split takes the open top interval so coverage is exact. The SAME
+    (cols, salt) in hash_split and hash_sample share the draw — use a
+    different salt per independent decision."""
+    if not splits:
+        raise ValueError("splits must be a non-empty mapping")
+    fracs = list(splits.values())
+    if any(f < 0 for f in fracs):
+        raise ValueError(f"split fractions must be >= 0, got {splits}")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {sum(fracs)}")
+    names = list(splits.keys())
+    h = sample_hash_hex(cols, salt)
+    expr = None
+    cum = 0.0
+    for name, frac in zip(names[:-1], fracs[:-1]):
+        cum += frac
+        cond = h < F.lit(rate_to_hex(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return df.withColumn(split_col, last if expr is None else expr.otherwise(last))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    cols: Sequence[Union[str, Column]],
+    group_col: str,
+    rates: Mapping[object, float],
+    salt: str = "",
+    default_rate: Optional[float] = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sampling — e.g. downsample boilerplate-heavy
+    languages, keep 100% of rare ones. `rates` maps group value → rate;
+    groups absent from `rates` use `default_rate` (None → raise at plan time
+    is impossible row-wise, so None means 'keep': rate 1.0). Thresholds are
+    precomputed per group in Python and dispatched with one CASE chain —
+    still a pure scan-local Catalyst predicate, no join, no shuffle."""
+    h = sample_hash_hex(cols, salt)
+    gc = F.col(group_col)
+    expr = None
+    for gval, rate in rates.items():
+        cond = gc.eqNullSafe(F.lit(gval))
+        keep = (
+            F.lit(True)
+            if rate >= 1.0
+            else (F.lit(False) if rate <= 0.0 else h < F.lit(rate_to_hex(rate)))
+        )
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    if default_rate is None or default_rate >= 1.0:
+        fallback = F.lit(True)
+    elif default_rate <= 0.0:
+        fallback = F.lit(False)
+    else:
+        fallback = h < F.lit(rate_to_hex(default_rate))
+    pred = fallback if expr is None else expr.otherwise(fallback)
+    return df.filter(pred)

@@ -1,0 +1,105 @@
+"""Deterministic hash sampling / splitting: partitioning independence,
+append stability, split disjointness+coverage, stratified rates, and the
+pure-Catalyst plan shape (no shuffle, no Python)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import (
+    hash_sample,
+    hash_split,
+    rate_to_hex,
+    stratified_hash_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+def test_rate_to_hex_bounds():
+    assert rate_to_hex(0.0) == "0" * 16
+    assert rate_to_hex(0.25) == "4000000000000000"
+    assert rate_to_hex(1.0) == "f" * 16  # clamped below 2^64
+    with pytest.raises(ValueError):
+        rate_to_hex(1.5)
+    with pytest.raises(ValueError):
+        rate_to_hex(-0.1)
+
+
+def test_sample_partitioning_independent_and_append_stable(spark, docs):
+    ids_8 = {r[0] for r in hash_sample(docs.repartition(8), ["doc_id"], 0.3, "s").select("doc_id").collect()}
+    ids_1 = {r[0] for r in hash_sample(docs.coalesce(1), ["doc_id"], 0.3, "s").select("doc_id").collect()}
+    assert ids_8 == ids_1  # df.sample() fails this; hash_sample must not
+    # append stability: sampling a subset decides each row identically
+    half = docs.filter(F.col("doc_id") < 250)
+    ids_half = {r[0] for r in hash_sample(half, ["doc_id"], 0.3, "s").select("doc_id").collect()}
+    assert ids_half == {i for i in ids_8 if i < 250}
+    # rate lands in a 5-sigma binomial envelope
+    n, p = docs.count(), 0.3
+    assert abs(len(ids_8) - n * p) <= 5 * (n * p * (1 - p)) ** 0.5
+    # different salt = independent draw
+    ids_t = {r[0] for r in hash_sample(docs, ["doc_id"], 0.3, "t").select("doc_id").collect()}
+    assert ids_t != ids_8
+
+
+def test_sample_edge_rates(spark, docs):
+    assert hash_sample(docs, ["doc_id"], 1.0).count() == docs.count()
+    assert hash_sample(docs, ["doc_id"], 0.0).count() == 0
+
+
+def test_split_disjoint_exhaustive_deterministic(spark, docs):
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(docs, ["doc_id"], splits, salt="sp")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()  # exhaustive
+    assert set(counts) == set(splits)
+    # split assignment is a function of the row alone: re-running on a
+    # repartitioned frame gives identical labels
+    a = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(16), ["doc_id"], splits, salt="sp")
+        .select("doc_id", "split").collect()
+    }
+    assert a == b
+    # hash_sample at the train fraction equals the train split (shared draw)
+    train_ids = {k for k, v in a.items() if v == "train"}
+    sampled = {r[0] for r in hash_sample(docs, ["doc_id"], 0.8, "sp").select("doc_id").collect()}
+    assert sampled == train_ids
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, ["doc_id"], {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(docs, ["doc_id"], {})
+
+
+def test_stratified_rates_and_default(spark, docs):
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    rates = {langs[0]: 1.0, langs[1]: 0.0}
+    out = stratified_hash_sample(docs, ["doc_id"], "lang", rates, default_rate=0.5)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got[langs[0]] == full[langs[0]]  # rate 1.0 keeps everything
+    assert langs[1] not in got  # rate 0.0 drops the group
+    for lg in langs[2:]:
+        n, p = full[lg], 0.5
+        assert abs(got.get(lg, 0) - n * p) <= 5 * (n * p * (1 - p)) ** 0.5
+
+
+def test_plan_is_scan_local_codegen(spark, docs):
+    """The predicate must be a pure Catalyst filter: no exchange, no Python
+    eval — at 100 TB this is one codegen'd scan."""
+    plan = hash_sample(docs, ["doc_id"], 0.25, "s")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    plan2 = (
+        hash_split(docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan2 and "Python" not in plan2
