@@ -647,6 +647,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing ("2.5 epochs of en, 0.5 of the
+    rest"): integer epochs explode scan-locally, the fractional epoch is the
+    per-corpus-salted hash draw — the output multiset is a pure function of
+    (inputs, weights, salt) and the oracle reproduces it row-for-row."""
+    from cuckoofilter4j_spark.functions import mix_corpora
+
+    d = _docs(spark, sf_dir)
+    en = d.filter(F.col("lang") == "en").select("doc_id")
+    rest = d.filter(F.col("lang") != "en").select("doc_id")
+    return mix_corpora(
+        {"en": (en, 2.5), "rest": (rest, 0.5)}, ["doc_id"], salt="gate"
+    ).select("doc_id", "source", F.col("copy").cast("int").alias("copy"))
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call end-to-end dedup (functions/dedup.py dedup_corpus): exact
     collapse → MinHash-LSH candidates → exact n-gram-Jaccard verification →
@@ -1453,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "corpus_mix": q_corpus_mix,
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
@@ -1702,6 +1718,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE CASE WHEN lang = 'en' THEN TRUE
                        WHEN lang = 'de' THEN FALSE
                        ELSE {_HSH} < '{_R2H(0.5)}' END
+        """,
+        # mixing: integer epochs are plain row repeats; the fractional epoch
+        # re-runs the per-corpus-salted draw (salt 'gate'||US||name)
+        "corpus_mix": f"""
+            SELECT doc_id, 'en' AS source, CAST(c AS INT) AS copy
+            FROM documents, (VALUES (1), (2)) t(c) WHERE lang = 'en'
+            UNION ALL
+            SELECT doc_id, 'en', 3 FROM documents
+            WHERE lang = 'en'
+              AND substr(sha256('gate' || chr(31) || 'en' || chr(31)
+                                || CAST(doc_id AS VARCHAR)), 1, 16) < '{_R2H(0.5)}'
+            UNION ALL
+            SELECT doc_id, 'rest', 1 FROM documents
+            WHERE lang != 'en'
+              AND substr(sha256('gate' || chr(31) || 'rest' || chr(31)
+                                || CAST(doc_id AS VARCHAR)), 1, 16) < '{_R2H(0.5)}'
         """,
         # the TRUE end-to-end oracle: exact collapse, the full exact-Jaccard
         # >= 0.9 edge set (length-ratio prune is provable: j >= t implies

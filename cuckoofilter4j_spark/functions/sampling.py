@@ -140,3 +140,61 @@ def stratified_hash_sample(
         fallback = h < F.lit(rate_to_hex(default_rate))
     pred = fallback if expr is None else expr.otherwise(fallback)
     return df.filter(pred)
+
+
+def mix_corpora(
+    corpora: Mapping[str, tuple],
+    cols: Sequence[Union[str, Column]],
+    salt: str = "",
+    source_col: str = "source",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic weighted corpus mixing — the training-data recipe step
+    ("2.5 epochs of wiki, 0.3 of crawl"): each corpus's rows are repeated
+    floor(weight) times and kept one extra time with probability
+    frac(weight), decided by the same per-row sha256 draw as hash_sample
+    (salted per corpus, so decisions are independent across corpora).
+
+    corpora: {name: (DataFrame, weight)} — all frames must share a schema.
+    Output = union of all mixes, plus `source_col` (corpus name) and
+    `copy_col` (1-based epoch index of the repeat). Fully deterministic:
+    the multiset of output rows is a pure function of (inputs, weights,
+    salt) — independent of partitioning and reproducible in any engine.
+
+    Scale shape: integer repeats are a scan-local explode (no shuffle, no
+    data copy until the consumer); the fractional epoch is a scan-local
+    filter. Nothing here shuffles at any corpus size.
+    """
+    if not corpora:
+        raise ValueError("corpora must be a non-empty mapping")
+    parts = []
+    for name, (df, weight) in corpora.items():
+        if weight < 0:
+            raise ValueError(f"weight must be >= 0, got {weight} for {name!r}")
+        n_full = int(weight)
+        frac = weight - n_full
+        base = df.withColumn(source_col, F.lit(name))
+        if n_full > 0:
+            parts.append(
+                base.withColumn(
+                    copy_col,
+                    F.explode(F.sequence(F.lit(1), F.lit(n_full))),
+                )
+            )
+        if frac > 0.0:
+            parts.append(
+                hash_sample(base, cols, frac, salt=f"{salt}\x1f{name}").withColumn(
+                    copy_col, F.lit(n_full + 1)
+                )
+            )
+    if not parts:  # every weight was 0.0
+        first = next(iter(corpora.values()))[0]
+        return (
+            first.withColumn(source_col, F.lit(""))
+            .withColumn(copy_col, F.lit(1))
+            .filter(F.lit(False))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -103,3 +103,42 @@ def test_plan_is_scan_local_codegen(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan2 and "Python" not in plan2
+
+
+def test_mix_corpora_deterministic_multiset(spark, docs):
+    from cuckoofilter4j_spark.functions import mix_corpora
+
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    rest = docs.filter(F.col("lang") != "en").select("doc_id")
+    mixed = mix_corpora({"en": (en, 2.5), "rest": (rest, 0.5)}, ["doc_id"], salt="m")
+    rows = sorted(map(tuple, mixed.collect()))
+    # integer epochs: every en doc appears with copy 1 and 2
+    n_en = en.count()
+    assert sum(1 for r in rows if r[1] == "en" and r[2] in (1, 2)) == 2 * n_en
+    # fractional epoch ~ half of en (5-sigma binomial)
+    n3 = sum(1 for r in rows if r[1] == "en" and r[2] == 3)
+    assert abs(n3 - 0.5 * n_en) <= 5 * (n_en * 0.25) ** 0.5
+    # partitioning independence of the full multiset
+    mixed2 = mix_corpora(
+        {"en": (en.repartition(16), 2.5), "rest": (rest.repartition(3), 0.5)},
+        ["doc_id"], salt="m",
+    )
+    assert rows == sorted(map(tuple, mixed2.collect()))
+    # weight 0 contributes nothing; bad weight raises
+    none = mix_corpora({"en": (en, 0.0)}, ["doc_id"])
+    assert none.count() == 0
+    with pytest.raises(ValueError, match="weight"):
+        mix_corpora({"en": (en, -1.0)}, ["doc_id"])
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_corpora({}, ["doc_id"])
+
+
+def test_mix_corpora_plan_is_scan_local(spark, docs):
+    from cuckoofilter4j_spark.functions import mix_corpora
+
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    plan = (
+        mix_corpora({"en": (en, 2.5)}, ["doc_id"], salt="m")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
