@@ -647,6 +647,35 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality-rule battery (functions/text.py, Rae et
+    al. 2021 appendix A) — word count / mean word length / symbol ratio /
+    bullet & ellipsis line ratios / alphabetic-word ratio / stop-word
+    presence / duplicate-line fraction, plus the word-3-gram repetition
+    signal. The fixture rebuilds each doc as a 4-line page (text twice → a
+    planted duplicate line, a bullet line, an ellipsis line) so every line
+    rule has signal; all rules are one codegen'd projection and the oracle
+    recomputes every flag value-for-value with DuckDB list lambdas."""
+    from cuckoofilter4j_spark.functions import (
+        duplicate_line_fraction,
+        gopher_quality_flags,
+        word_ngram_repetition,
+    )
+
+    structured = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n", "text", "text", F.lit("- bullet item"), F.lit("end...")
+        ).alias("text"),
+    )
+    return structured.select(
+        "doc_id",
+        word_ngram_repetition("text", 3).alias("rep3"),
+        duplicate_line_fraction("text").alias("dup_line_frac"),
+        *gopher_quality_flags("text"),
+    )
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted corpus mixing ("2.5 epochs of en, 0.5 of the
     rest"): integer epochs explode scan-locally, the fractional epoch is the
@@ -1469,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "corpus_mix": q_corpus_mix,
+        "gopher_quality": q_gopher_quality,
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
@@ -1718,6 +1748,65 @@ def oracle_sql() -> dict[str, str]:
             WHERE CASE WHEN lang = 'en' THEN TRUE
                        WHEN lang = 'de' THEN FALSE
                        ELSE {_HSH} < '{_R2H(0.5)}' END
+        """,
+        # every Gopher flag recomputed with DuckDB list lambdas on the same
+        # 4-line fixture; integer-exact counts make the double divisions
+        # bit-identical across engines
+        "gopher_quality": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     text || chr(10) || text || chr(10)
+                          || '- bullet item' || chr(10) || 'end...' AS t
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, t,
+                     list_filter(regexp_split_to_array(t, '\s+'), x -> x != '') AS ws,
+                     list_filter(regexp_split_to_array(t, '\n'), x -> x != '') AS ls
+              FROM base
+            ),
+            m AS (
+              SELECT doc_id, t, ws, ls,
+                     len(ws) AS nw, len(ls) AS nl,
+                     CASE WHEN len(ws) > 0
+                          THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+                          ELSE 0.0 END AS mean_len,
+                     greatest(len(ws) - 2, 0) AS total3,
+                     list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                                    i -> array_to_string(ws[i:i+2], ' ')) AS grams,
+                     len(regexp_extract_all(t, '#|\.\.\.|…')) AS nsym,
+                     len(list_filter(ls, x -> regexp_matches(x, '^\s*([-*•])'))) AS nbul,
+                     len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS nell,
+                     len(list_filter(ws, x -> regexp_matches(x, '\p{L}'))) AS nalpha,
+                     len(list_intersect(ws, ['the','be','to','of','and','that','have','with'])) AS nstop
+              FROM w
+            ),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN total3 <= 0 THEN 0.0
+                          ELSE round(1.0 - len(list_distinct(grams))::DOUBLE / total3, 6) END AS rep3,
+                     CASE WHEN nl <= 0 THEN 0.0
+                          ELSE round(1.0 - len(list_distinct(ls))::DOUBLE / nl, 6) END AS dup_line_frac,
+                     CAST(nw AS INT) AS n_words,
+                     round(mean_len, 6) AS mean_word_len,
+                     (nw >= 50 AND nw <= 100000) AS word_count_ok,
+                     (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+                     CASE WHEN nw > 0 THEN nsym::DOUBLE / nw <= 0.1 ELSE FALSE END AS symbol_ratio_ok,
+                     CASE WHEN nl > 0 THEN nbul::DOUBLE / nl <= 0.9 ELSE TRUE END AS bullet_ratio_ok,
+                     CASE WHEN nl > 0 THEN nell::DOUBLE / nl <= 0.3 ELSE TRUE END AS ellipsis_ratio_ok,
+                     CASE WHEN nw > 0 THEN nalpha::DOUBLE / nw >= 0.8 ELSE FALSE END AS alpha_word_ok,
+                     (nstop >= 2) AS stopword_ok
+              FROM m
+            )
+            SELECT doc_id, rep3, dup_line_frac, n_words, mean_word_len,
+                   word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+                   bullet_ratio_ok, ellipsis_ratio_ok, alpha_word_ok,
+                   stopword_ok,
+                   (dup_line_frac <= 0.30) AS dup_line_ok,
+                   (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+                    AND bullet_ratio_ok AND ellipsis_ratio_ok AND alpha_word_ok
+                    AND stopword_ok AND dup_line_frac <= 0.30) AS gopher_ok
+            FROM f
         """,
         # mixing: integer epochs are plain row repeats; the fractional epoch
         # re-runs the per-corpus-salted draw (salt 'gate'||US||name)

@@ -13,7 +13,7 @@ exact DuckDB equivalents so every query has a value-level SQL oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # marker stopwords per language for the deterministic lang-id heuristic;
 # chosen to be expressible as identical CASE logic in ANSI SQL
@@ -255,3 +255,144 @@ def text_stats(col):
         lang_id(col).alias("lang_pred"),
         doc_fingerprint(col).alias("fingerprint"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Gopher / MassiveText document-quality rules (Rae et al. 2021, appendix A)
+# ---------------------------------------------------------------------------
+
+def words(col) -> Column:
+    """Whitespace word tokens with empties removed — identical semantics in
+    Java regex and RE2 (leading-empty on leading whitespace filtered both
+    sides), so DuckDB oracles mirror it with regexp_split_to_array."""
+    return F.filter(F.split(_c(col), r"\s+"), lambda x: x != "")
+
+
+def _bind(arr: Column, f) -> Column:
+    """Evaluate `f` with `arr` bound ONCE as a lambda variable. Catalyst
+    SUBSTITUTES column expressions into lambdas (no CSE), so referencing an
+    O(n) array expression inside a transform re-evaluates it per element —
+    same trap as winnow_fingerprints, same fix."""
+    return F.element_at(F.transform(F.array(arr), f), 1)
+
+
+def word_ngram_repetition(col, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats: 1 - distinct/total
+    (0.0 for texts with < n words). The Gopher duplicate-n-gram family's
+    scan-local form — boilerplate and looping generations score high."""
+
+    def rep(ws):
+        m = F.size(ws)
+        total = F.greatest(m - (n - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        )
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            F.round(1.0 - F.size(F.array_distinct(grams)) / total, 6)
+        )
+
+    return _bind(words(col), rep)
+
+
+def duplicate_line_fraction(col) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier line
+    (Gopher: drop if > 0.30)."""
+
+    def frac(ls):
+        m = F.size(ls)
+        return F.when(m <= 0, F.lit(0.0)).otherwise(
+            F.round(1.0 - F.size(F.array_distinct(ls)) / m, 6)
+        )
+
+    lines = F.filter(F.split(_c(col), r"\n"), lambda x: x != "")
+    return _bind(lines, frac)
+
+
+# >= 2 distinct members must appear (Gopher's "stop word" existence rule)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(col) -> list:
+    """The MassiveText quality-rule battery as named boolean columns, all
+    pure Catalyst (one codegen'd projection — at 100 TB this is a scan):
+
+      word_count_ok      50 <= words <= 100000
+      mean_word_len_ok   3 <= mean word length <= 10
+      symbol_ratio_ok    (# of '#' or '...') / words <= 0.1
+      bullet_ratio_ok    <= 90% of lines start with a bullet
+      ellipsis_ratio_ok  <= 30% of lines end with an ellipsis
+      alpha_word_ok      >= 80% of words contain an alphabetic char
+      stopword_ok        >= 2 distinct Gopher stop words present
+      dup_line_ok        duplicate-line fraction <= 0.30
+      gopher_ok          conjunction of all of the above
+    """
+    c = _c(col)
+    ws = words(col)
+    lines = F.filter(F.split(c, r"\n"), lambda x: x != "")
+
+    def flags(w):
+        nw = F.size(w)
+        mean_len = F.when(nw > 0, F.aggregate(
+            w, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+        ) / nw).otherwise(F.lit(0.0))
+        n_alpha = F.size(F.filter(w, lambda x: x.rlike(r"\p{L}")))
+        return F.struct(
+            nw.alias("n_words"),
+            F.round(mean_len, 6).alias("mean_word_len"),
+            ((nw >= 50) & (nw <= 100000)).alias("word_count_ok"),
+            ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("mean_word_len_ok"),
+            F.when(nw > 0, (n_alpha / nw) >= 0.8).otherwise(F.lit(False))
+            .alias("alpha_word_ok"),
+        )
+
+    def line_flags(ls):
+        nl = F.size(ls)
+        bullets = F.size(F.filter(ls, lambda x: x.rlike(r"^\s*([-*•])")))
+        ellip = F.size(F.filter(ls, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+        return F.struct(
+            F.when(nl > 0, (bullets / nl) <= 0.9).otherwise(F.lit(True))
+            .alias("bullet_ratio_ok"),
+            F.when(nl > 0, (ellip / nl) <= 0.3).otherwise(F.lit(True))
+            .alias("ellipsis_ratio_ok"),
+        )
+
+    wf = _bind(ws, flags)
+    lf = _bind(lines, line_flags)
+    # occurrence count, not char count ('...' is ONE symbol)
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    symbol_ok = F.when(
+        wf["n_words"] > 0, (n_symbols / wf["n_words"]) <= 0.1
+    ).otherwise(F.lit(False))
+    # array_intersect returns DISTINCT common elements and evaluates the
+    # words array once — no per-stopword rebinding
+    n_stop = F.size(
+        F.array_intersect(ws, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    stopword_ok = n_stop >= 2
+    dup_ok = duplicate_line_fraction(col) <= 0.30
+    cols = [
+        wf["n_words"].alias("n_words"),
+        wf["mean_word_len"].alias("mean_word_len"),
+        wf["word_count_ok"].alias("word_count_ok"),
+        wf["mean_word_len_ok"].alias("mean_word_len_ok"),
+        symbol_ok.alias("symbol_ratio_ok"),
+        lf["bullet_ratio_ok"].alias("bullet_ratio_ok"),
+        lf["ellipsis_ratio_ok"].alias("ellipsis_ratio_ok"),
+        wf["alpha_word_ok"].alias("alpha_word_ok"),
+        stopword_ok.alias("stopword_ok"),
+        dup_ok.alias("dup_line_ok"),
+    ]
+    all_ok = None
+    for f in cols[2:]:
+        all_ok = f if all_ok is None else (all_ok & f)
+    return cols + [all_ok.alias("gopher_ok")]
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str) -> DataFrame:
+    """Keep only documents passing every MassiveText rule — one scan-local
+    codegen'd predicate, no shuffle."""
+    flags = gopher_quality_flags(text_col)
+    return df.withColumns({"__g": F.struct(*flags)}).filter(
+        F.col("__g.gopher_ok")
+    ).drop("__g")

@@ -1,0 +1,86 @@
+"""Gopher/MassiveText quality rules: per-rule planted cases, the conjunction
+filter, repetition/duplicate-line signals, and the scan-local plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import (
+    duplicate_line_fraction,
+    gopher_quality_filter,
+    gopher_quality_flags,
+    word_ngram_repetition,
+    words,
+)
+
+GOOD = (
+    "the quick brown foxes jumped over seventeen lazy dogs and that "
+    "entire spectacle continued without pause because nobody wanted "
+    "to have anything finished before sundown with great enthusiasm "
+    "indeed truly remarkable persistence shown throughout yesterday "
+    "morning afternoon evening alike whenever observers gathered near "
+    "while several curious neighbours wondered aloud what could keep "
+    "everyone watching patiently for quite so long"
+)
+
+
+@pytest.fixture(scope="module")
+def flags_of(spark):
+    def run(text):
+        df = spark.createDataFrame([(text,)], ["text"])
+        return df.select(
+            word_ngram_repetition("text", 3).alias("rep3"),
+            duplicate_line_fraction("text").alias("dlf"),
+            *gopher_quality_flags("text"),
+        ).collect()[0]
+
+    return run
+
+
+def test_good_document_passes_all_rules(flags_of):
+    r = flags_of(GOOD)
+    assert r["gopher_ok"], dict(r.asDict())
+    assert r["n_words"] == len(GOOD.split())
+    assert r["rep3"] == 0.0 and r["dlf"] == 0.0
+
+
+def test_each_rule_fails_on_its_planted_case(flags_of):
+    assert not flags_of("too short to have fifty words")["word_count_ok"]
+    assert not flags_of("a b c d e " * 20)["mean_word_len_ok"]  # mean 1
+    assert not flags_of(GOOD + " " + "# " * 40)["symbol_ratio_ok"]
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    assert not flags_of(bullets)["bullet_ratio_ok"]
+    ellipsis = "\n".join(f"line {i}..." for i in range(10))
+    assert not flags_of(ellipsis)["ellipsis_ratio_ok"]
+    assert not flags_of("12 34 56 78 90 " * 20)["alpha_word_ok"]
+    assert not flags_of("sans mots anglais frequents ici " * 20)["stopword_ok"]
+    dup = "\n".join([GOOD] + ["same line"] * 9)
+    assert not flags_of(dup)["dup_line_ok"]
+
+
+def test_repetition_and_dup_line_values(flags_of):
+    # "x y z x y z": 4 trigrams, 3 distinct (only "x y z" repeats) -> 0.25
+    assert flags_of("x y z x y z")["rep3"] == 0.25
+    # "x y x y x y": 4 trigrams, 2 distinct -> 0.5
+    assert flags_of("x y x y x y")["rep3"] == 0.5
+    # fewer than n words -> defined as 0
+    assert flags_of("one two")["rep3"] == 0.0
+    # 4 lines, 3 distinct -> 0.25
+    assert flags_of("a\nb\na\nc")["dlf"] == 0.25
+    assert flags_of("")["dlf"] == 0.0 and flags_of("")["rep3"] == 0.0
+    assert not flags_of("")["gopher_ok"]
+
+
+def test_filter_conjunction_and_plan(spark):
+    df = spark.createDataFrame(
+        [(0, GOOD), (1, "too few words"), (2, "- a\n- b\n- c")], ["id", "text"]
+    )
+    kept = gopher_quality_filter(df, "text")
+    assert [r[0] for r in kept.select("id").collect()] == [0]
+    assert set(kept.columns) == {"id", "text"}  # helper column dropped
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_words_strips_empties(spark):
+    df = spark.createDataFrame([("  a  b \n c  ",)], ["text"])
+    assert df.select(words("text").alias("w")).collect()[0]["w"] == ["a", "b", "c"]
