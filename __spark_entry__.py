@@ -1294,6 +1294,45 @@ def q_tdigest_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-items sketch (sketches/mg.py): heavy-hitter
+    ENUMERATION, the query CMS cannot answer. Exact mode (k=1024, fewer
+    distinct keys than k) pins per-lang counts VALUE-FOR-VALUE; the skewed
+    mode (langs + a unique-text tail, k=24) pins the two hard guarantees —
+    every key with true count > N/(k+1) is retained, and every estimate is
+    within [true - error_bound, true] — which hold deterministically for
+    ANY partitioning/ingest order."""
+    from cuckoofilter4j_spark.operators import build_sketch, mg_heavy_hitters
+
+    d = _docs(spark, sf_dir)
+    keyed = d.select(F.col("lang").alias("key"))
+    sk_big = build_sketch(keyed, "key", "mg", None, k=1024)
+    exact_hh = mg_heavy_hitters(sk_big, []).select(
+        F.decode("key", "UTF-8").alias("lang"), F.col("est").alias("n_docs")
+    )
+    corpus = keyed.unionByName(d.select(F.hex(sha256_key("text")).alias("key")))
+    sk24 = build_sketch(corpus, "key", "mg", None, k=24)
+    hh24 = mg_heavy_hitters(sk24, []).select(
+        F.decode("key", "UTF-8").alias("lang"),
+        F.col("est").alias("__est"),
+        F.col("error_bound").alias("__eb"),
+    )
+    true_counts = d.groupBy("lang").agg(F.count("*").alias("__true"))
+    return (
+        exact_hh.join(true_counts, "lang")
+        .join(hh24, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.col("__est").isNotNull().alias("retained"),
+            (
+                (F.col("__est") >= F.col("__true") - F.col("__eb"))
+                & (F.col("__est") <= F.col("__true"))
+            ).alias("within_bound"),
+        )
+    )
+
+
 def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV distinct sketch with set operations (sketches/theta.py) —
     the corpus-overlap question HLL cannot answer: corpus A = all document
@@ -1520,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantile_bound": q_kll_quantile_bound,
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
         "theta_overlap": q_theta_overlap,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
         "stream_dedup": q_stream_dedup,
         "media_decode": q_media_decode,
         "audio_features": q_audio_features,
@@ -1937,6 +1977,14 @@ def oracle_sql() -> dict[str, str]:
         "cms_count_bound": "SELECT doc_id, TRUE AS count_ok FROM documents",
         "kll_quantile_bound": "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.25), (0.5), (0.75)) t(q)",
         "tdigest_quantile_bound": "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.1), (0.5), (0.9)) t(q)",
+        # exact mode: fewer distinct lang keys than k=1024, so the MG
+        # estimates ARE the group counts; retention/bound flags are the
+        # sketch's deterministic guarantees
+        "mg_heavy_hitters": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   TRUE AS retained, TRUE AS within_bound
+            FROM documents GROUP BY lang
+        """,
         # exact set-op rows: the k=16384 theta pair is unsaturated at every
         # test SF, so est_* are exact distinct counts — mirrored here with
         # real EXCEPT / INTERSECT / UNION over the same planted B corpus

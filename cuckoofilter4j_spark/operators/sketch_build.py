@@ -33,6 +33,7 @@ from cuckoofilter4j_spark.sketches import (
     CountMinSketch,
     HyperLogLog,
     KllSketch,
+    MisraGries,
     TDigest,
     ThetaSketch,
 )
@@ -49,6 +50,8 @@ _FACTORIES = {
     # t-digest has no seed (deterministic merging variant)
     "tdigest": lambda params, seed: TDigest(float(params.get("delta", 200.0))),
     "theta": lambda params, seed: ThetaSketch(int(params.get("k", 4096)), seed),
+    # misra-gries is hash-free (stores raw keys); seed intentionally unused
+    "mg": lambda params, seed: MisraGries(int(params.get("k", 256))),
 }
 
 _DECODERS = {
@@ -58,13 +61,14 @@ _DECODERS = {
     "kll": KllSketch.from_bytes,
     "tdigest": TDigest.from_bytes,
     "theta": ThetaSketch.from_bytes,
+    "mg": MisraGries.from_bytes,
 }
 
 
 def _ingest(kind: str, sk, series: pd.Series) -> None:
     if kind == "bloom":
         sk.put_batch(series)
-    elif kind in ("hll", "cms", "theta"):
+    elif kind in ("hll", "cms", "theta", "mg"):
         sk.add_batch(series)
     else:  # kll / tdigest: numeric values
         sk.update_batch(series.to_numpy(dtype=np.float64))
@@ -630,3 +634,55 @@ def theta_overlap_report(
             yield pd.DataFrame(rows)[out_cols]
 
     return joined.mapInPandas(report, schema)
+
+
+def mg_heavy_hitters(
+    sketches: DataFrame, group_cols: Sequence[str], min_est: int = 0
+) -> DataFrame:
+    """Explode built Misra-Gries sketch rows into per-key heavy-hitter rows:
+    (group cols, key binary, est, error_bound, n, exact). Guarantees carried
+    per row: true count ∈ [est, est + error_bound]; every key with true
+    count > error_bound is present; exact=True (error_bound 0) means est IS
+    the true count. Filter with min_est to keep only keys provably above a
+    support threshold (est >= min_est ⇒ true >= min_est)."""
+    gcols = list(group_cols)
+    from pyspark.sql.types import BooleanType
+
+    by_name = {f.name: f for f in sketches.schema.fields}
+    schema = StructType(
+        [StructField(c, by_name[c].dataType, True) for c in gcols]
+        + [
+            StructField("key", BinaryType(), False),
+            StructField("est", LongType(), False),
+            StructField("error_bound", LongType(), False),
+            StructField("n", LongType(), False),
+            StructField("exact", BooleanType(), False),
+        ]
+    )
+    out_cols = [f.name for f in schema.fields]
+    min_est_ = int(min_est)
+
+    def proj(batches):
+        for pdf in batches:
+            rows = []
+            gvals = zip(*(pdf[c] for c in gcols)) if gcols else ((),) * len(pdf)
+            for gv, blob in zip(gvals, pdf["sketch"]):
+                sk = MisraGries.from_bytes(bytes(blob))
+                for kb, est in sk.items():
+                    if est >= min_est_:
+                        rows.append(
+                            dict(
+                                zip(gcols, gv),
+                                key=kb,
+                                est=est,
+                                error_bound=sk.decremented,
+                                n=sk.n,
+                                exact=sk.is_exact(),
+                            )
+                        )
+            if not rows:
+                yield pd.DataFrame({c: [] for c in out_cols})
+                continue
+            yield pd.DataFrame(rows)[out_cols]
+
+    return sketches.mapInPandas(proj, schema)

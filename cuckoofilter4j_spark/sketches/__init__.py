@@ -7,6 +7,7 @@ from cuckoofilter4j_spark.sketches.bloom import BloomFilter
 from cuckoofilter4j_spark.sketches.cms import CountMinSketch
 from cuckoofilter4j_spark.sketches.hll import HyperLogLog
 from cuckoofilter4j_spark.sketches.kll import KllSketch
+from cuckoofilter4j_spark.sketches.mg import MisraGries
 from cuckoofilter4j_spark.sketches.tdigest import TDigest
 from cuckoofilter4j_spark.sketches.theta import ThetaSketch
 
@@ -15,6 +16,7 @@ __all__ = [
     "CountMinSketch",
     "HyperLogLog",
     "KllSketch",
+    "MisraGries",
     "TDigest",
     "ThetaSketch",
 ]

@@ -1,0 +1,168 @@
+"""Mergeable Misra-Gries frequent-items ("heavy hitters") sketch.
+
+The capability the other siblings lack: ENUMERATING the heavy keys. CMS
+answers point queries ("how often did THIS key occur?") but cannot list the
+top keys without a candidate set; Misra-Gries maintains at most k counters
+and guarantees, after any stream of N items:
+
+  * every key with true count > N/(k+1) is RETAINED (no heavy key is lost)
+  * every retained estimate is within [true - N/(k+1), true]  (never over)
+  * `decremented` tracks the total per-slot decrement D <= N/(k+1), giving
+    the instance-specific bound: true - D <= est <= true
+
+Merge (Agarwal et al., PODS'12 "Mergeable Summaries"): sum counters
+key-wise, then subtract the (k+1)-th largest count and drop non-positives —
+the bound D_merged <= D_a + D_b + N_ab/(k+1) degrades additively, so
+scan-local partials + associative merge (the UDAF shape shared by every
+sketch in this package) keep the guarantee at any parallelism.
+
+NOTE on determinism: the RETAINED SET of an MG sketch depends on ingest
+order/partitioning (unlike bloom/hll/theta, whose state is order-invariant).
+The guarantees above are what IS deterministic — gate queries pin those,
+not raw sketch bytes. In exact mode (fewer than k distinct keys ever seen,
+decremented == 0) counts are exact and order-independent.
+
+The pipeline question this serves: "which exact texts / URLs / boilerplate
+shingles dominate the corpus" — the discovery stage before exact_dup_groups
+or a targeted cap.
+
+No counterpart in the reference (membership-only); sketch-family extension.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+
+class MisraGries:
+    """At most k (key, count) counters over bytes keys; see module doc."""
+
+    def __init__(self, k: int = 256):
+        if not (1 <= k <= (1 << 22)):
+            raise ValueError(f"k must be in [1, 2^22], got {k}")
+        self.k = int(k)
+        self.counters: dict = {}
+        self.n = 0  # total items ingested (across merges)
+        self.decremented = 0  # total per-slot decrement: est >= true - this
+
+    @staticmethod
+    def _key_bytes(key) -> bytes:
+        if isinstance(key, bytes):
+            return key
+        if isinstance(key, bytearray):
+            return bytes(key)
+        if isinstance(key, str):
+            return key.encode("utf-8")
+        return str(key).encode("utf-8")
+
+    def add_batch(self, keys) -> int:
+        """Ingest a batch (pandas Series / ndarray / iterable of
+        bytes-or-str). Batch pre-aggregation makes the per-item cost one
+        dict update per DISTINCT key in the batch."""
+        if isinstance(keys, pd.Series):
+            counts = keys.value_counts(sort=False)
+            items = [(self._key_bytes(k), int(c)) for k, c in counts.items()]
+            n = int(counts.sum())
+        else:
+            arr = list(keys)
+            vals, cnts = np.unique(np.array([self._key_bytes(k) for k in arr], dtype=object), return_counts=True)
+            items = [(k, int(c)) for k, c in zip(vals, cnts)]
+            n = len(arr)
+        for kb, c in items:
+            self.counters[kb] = self.counters.get(kb, 0) + c
+        self.n += n
+        self._trim()
+        return n
+
+    def _trim(self) -> None:
+        """Subtract the (k+1)-th largest count from every counter and drop
+        non-positives — the batched form of MG's decrement step."""
+        if len(self.counters) <= self.k:
+            return
+        cnts = np.fromiter(self.counters.values(), dtype=np.int64)
+        # (k+1)-th largest = trim threshold; after subtracting it at most k
+        # counters stay positive
+        thr = int(np.partition(cnts, len(cnts) - (self.k + 1))[len(cnts) - (self.k + 1)])
+        self.decremented += thr
+        self.counters = {
+            kb: c - thr for kb, c in self.counters.items() if c - thr > 0
+        }
+
+    def estimate(self, key) -> int:
+        """Lower-bound estimate (0 for untracked keys); true count is within
+        [estimate, estimate + decremented]."""
+        return self.counters.get(self._key_bytes(key), 0)
+
+    def items(self):
+        """Retained (key, est) pairs, heaviest first, ties by key bytes —
+        a deterministic ordering of this sketch's state."""
+        return sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def error_bound(self) -> int:
+        """Max undercount of any estimate (the instance-specific D; always
+        <= n // (k + 1))."""
+        return self.decremented
+
+    def is_exact(self) -> bool:
+        return self.decremented == 0
+
+    def merge_in_place(self, other: "MisraGries") -> None:
+        if not isinstance(other, MisraGries) or self.k != other.k:
+            raise ValueError("mg merge requires identical k")
+        for kb, c in other.counters.items():
+            self.counters[kb] = self.counters.get(kb, 0) + c
+        self.n += other.n
+        self.decremented += other.decremented
+        self._trim()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.k)
+        out.counters = dict(self.counters)
+        out.n, out.decremented = self.n, self.decremented
+        out.merge_in_place(other)
+        return out
+
+    # -- serde -----------------------------------------------------------------
+    _MAGIC = b"MGS1"
+    _HDR = struct.Struct("<4siqqq")  # magic, k, n, decremented, n_counters
+
+    def to_bytes(self) -> bytes:
+        parts = [self._HDR.pack(self._MAGIC, self.k, self.n, self.decremented, len(self.counters))]
+        for kb, c in self.items():  # deterministic order on the wire
+            parts.append(struct.pack("<iq", len(kb), c))
+            parts.append(kb)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "MisraGries":
+        if len(data) < 4 or data[:4] != cls._MAGIC:
+            raise ValueError("bad mg bytes: wrong magic")
+        if len(data) < cls._HDR.size:
+            raise ValueError("bad mg bytes: truncated header")
+        _, k, n, dec, nc = cls._HDR.unpack_from(data, 0)
+        out = cls(k)
+        out.n, out.decremented = n, dec
+        off = cls._HDR.size
+        for _ in range(nc):
+            if off + 12 > len(data):
+                raise ValueError("bad mg bytes: truncated counters")
+            klen, c = struct.unpack_from("<iq", data, off)
+            off += 12
+            if klen < 0 or off + klen > len(data):
+                raise ValueError("bad mg bytes: truncated key")
+            out.counters[data[off : off + klen]] = c
+            off += klen
+        return out
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, MisraGries):
+            return NotImplemented
+        return (
+            (self.k, self.n, self.decremented) == (other.k, other.n, other.decremented)
+            and self.counters == other.counters
+        )
+
+    __hash__ = None

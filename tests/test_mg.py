@@ -1,0 +1,129 @@
+"""Misra-Gries frequent-items sketch: retention/undercount guarantees,
+merge bound additivity, exact mode, serde, and the Spark partial/final
+build + heavy-hitter projection."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.sketches import MisraGries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+def _skewed_stream(rng, n_tail):
+    """5 heavy keys (1000 each) + n_tail singleton keys, shuffled."""
+    items = [b"heavy%d" % (i % 5) for i in range(5000)]
+    items += [b"tail%d" % i for i in range(n_tail)]
+    rng.shuffle(items)
+    return items
+
+
+def test_mg_guarantees_on_skewed_stream():
+    rng = np.random.default_rng(0)
+    items = _skewed_stream(rng, 20000)
+    mg = MisraGries(k=32)
+    for i in range(0, len(items), 1000):
+        mg.add_batch(items[i : i + 1000])
+    n = len(items)
+    assert mg.n == n
+    assert mg.error_bound() <= n // (32 + 1)
+    assert len(mg.counters) <= 32
+    for i in range(5):  # every heavy key retained, est within [true-D, true]
+        est = mg.estimate(b"heavy%d" % i)
+        assert 1000 - mg.error_bound() <= est <= 1000
+    assert mg.estimate(b"never-seen") == 0
+
+
+def test_mg_exact_mode_below_k():
+    mg = MisraGries(k=64)
+    mg.add_batch([b"a"] * 10 + [b"b"] * 3 + [b"c"])
+    assert mg.is_exact() and mg.error_bound() == 0
+    assert mg.estimate(b"a") == 10 and mg.estimate(b"c") == 1
+    assert mg.items()[0] == (b"a", 10)
+
+
+def test_mg_merge_keeps_guarantees_and_bound_additivity():
+    rng = np.random.default_rng(1)
+    items = _skewed_stream(rng, 30000)
+    parts = []
+    for i in range(4):
+        mg = MisraGries(k=32)
+        mg.add_batch(items[i::4])
+        parts.append(mg)
+    merged = parts[0].merge(parts[1]).merge(parts[2]).merge(parts[3])
+    n = len(items)
+    assert merged.n == n
+    assert merged.error_bound() <= sum(p.error_bound() for p in parts) + n // 33
+    for i in range(5):
+        est = merged.estimate(b"heavy%d" % i)
+        assert 1000 - merged.error_bound() <= est <= 1000
+    with pytest.raises(ValueError, match="merge"):
+        parts[0].merge(MisraGries(k=16))
+
+
+def test_mg_uniform_stream_can_legally_empty_the_sketch():
+    # 20 equal-count keys into k=8: every count equals the trim threshold,
+    # so nothing is guaranteed heavy and MG may retain NOTHING — the
+    # guarantee (retain every key with true > N/(k+1)) is vacuous here
+    mg = MisraGries(k=8)
+    mg.add_batch([b"x%d" % (i % 20) for i in range(1000)])
+    assert len(mg.counters) <= 8
+    assert mg.error_bound() <= 1000 // 9
+    rt = MisraGries.from_bytes(mg.to_bytes())
+    assert rt == mg
+
+
+def test_mg_serde_roundtrip_and_garbage():
+    mg = MisraGries(k=8)
+    mg.add_batch([b"heavy"] * 500 + [b"x%d" % i for i in range(100)])
+    assert mg.counters  # skewed: the heavy key must survive
+    rt = MisraGries.from_bytes(mg.to_bytes())
+    assert rt == mg and rt.items() == mg.items()
+    assert MisraGries.from_bytes(MisraGries(k=8).to_bytes()).n == 0
+    with pytest.raises(ValueError, match="magic"):
+        MisraGries.from_bytes(b"XXXX" + mg.to_bytes()[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        MisraGries.from_bytes(mg.to_bytes()[:-3])
+
+
+def test_spark_mg_build_exact_mode_matches_group_counts(spark, docs):
+    from cuckoofilter4j_spark.operators import build_sketch, mg_heavy_hitters
+
+    keyed = docs.select(F.col("lang").alias("key"))
+    sk = build_sketch(keyed.repartition(8), "key", "mg", None, k=1024)
+    hh = mg_heavy_hitters(sk, []).select(
+        F.decode("key", "UTF-8").alias("lang"), "est", "exact"
+    )
+    got = {r["lang"]: (r["est"], r["exact"]) for r in hh.collect()}
+    true = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) == set(true)
+    for lg, n in true.items():
+        assert got[lg] == (n, True)  # below k: exact counts, any partitioning
+
+
+def test_spark_mg_skewed_retention_and_min_est(spark, docs):
+    from cuckoofilter4j_spark.operators import build_sketch, mg_heavy_hitters, sha256_key
+
+    corpus = docs.select(F.col("lang").alias("key")).unionByName(
+        docs.select(F.hex(sha256_key("text")).alias("key"))
+    )
+    sk = build_sketch(corpus.repartition(8), "key", "mg", None, k=24)
+    hh = mg_heavy_hitters(sk, [], min_est=1).select(
+        F.decode("key", "UTF-8").alias("key"), "est", "error_bound", "n"
+    )
+    rows = {r["key"]: r for r in hh.collect()}
+    n_total = corpus.count()
+    true = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lg, n in true.items():  # all langs exceed N/(k+1): must be retained
+        assert n > n_total // 25
+        r = rows[lg]
+        assert n - r["error_bound"] <= r["est"] <= n
+        assert r["n"] == n_total
