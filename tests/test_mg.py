@@ -15,7 +15,11 @@ SF_DIR = "/root/testdata/sf0.001"
 def docs(spark):
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
     df.count()
-    return df
+    yield df
+    # a lingering cache of this path makes Spark's CacheManager substitute
+    # InMemoryRelation into OTHER modules' fresh reads of the same parquet,
+    # breaking their plan-shape assertions (no parquet scan left to inspect)
+    df.unpersist()
 
 
 def _skewed_stream(rng, n_tail):

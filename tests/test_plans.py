@@ -4,6 +4,7 @@ A correct answer with a bad plan fails at scale — these assert that the
 sketch build prunes columns at the parquet scan, probes add no shuffle,
 filters push down, and dedup uses the minimum number of exchanges."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from cuckoofilter4j_spark.functions import exact_dedup
@@ -20,6 +21,15 @@ from cuckoofilter4j_spark.plans import (
 )
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_ambient_caches(spark):
+    """Plan-shape assertions inspect parquet Scan nodes; a cached read of
+    the same path left behind by ANY other module would be substituted in
+    by the CacheManager (InMemoryTableScan, no Scan parquet block)."""
+    spark.catalog.clearCache()
+    yield
 
 
 def test_build_prunes_scan_to_needed_columns(spark):
