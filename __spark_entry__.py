@@ -427,6 +427,67 @@ def q_ckf_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_sketch_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resumable build for the GENERIC sketch family (north
+    rule: 'resumable from checkpoint with per-partition lineage + metrics'
+    for the HLL/CMS/... library, not just the cuckoo filter). Build per-lang
+    HLL partials in 8 key-hash units, lose two, resume — the resumed merge
+    must be BYTE-IDENTICAL to a direct single-shot build (register-max is
+    split-invariant), and the estimate lands within 5 sigma of the exact
+    distinct count the oracle recomputes."""
+    import shutil
+    import tempfile
+
+    from cuckoofilter4j_spark.operators import (
+        build_sketch,
+        checkpointed_sketch_build,
+    )
+    from cuckoofilter4j_spark.sketches import HyperLogLog
+
+    keyed = _docs_keyed(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="sk_ckpt_")
+    ckpt2 = tempfile.mkdtemp(prefix="sk_ckpt2_")
+    try:
+        checkpointed_sketch_build(
+            keyed, ckpt, "key", "hll", ["lang"], seed=SEED, num_units=8,
+            precision=12,
+        ).count()
+        spark.read.parquet(ckpt).filter(
+            ~F.col("__ckf_unit").isin([1, 6])
+        ).write.mode("overwrite").parquet(ckpt2)
+        resumed = checkpointed_sketch_build(
+            keyed, ckpt2, "key", "hll", ["lang"], seed=SEED, num_units=8,
+            precision=12,
+        )
+        direct = build_sketch(keyed, "key", "hll", ["lang"], seed=SEED, precision=12)
+        res = {r["lang"]: bytes(r["sketch"]) for r in resumed.collect()}
+        dir_ = {r["lang"]: bytes(r["sketch"]) for r in direct.collect()}
+        exact = {
+            r["lang"]: r["n"]
+            for r in keyed.groupBy("lang")
+            .agg(F.countDistinct("key").alias("n"))
+            .collect()
+        }
+        rows = [
+            (
+                lang,
+                int(n),
+                res.get(lang) == dir_.get(lang),
+                abs(HyperLogLog.from_bytes(res[lang]).estimate() - n)
+                <= max(n * 5 * 1.04 / (2**6), 3.0),
+            )
+            for lang, n in sorted(exact.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "lang string, n_exact long, resumed_equals_direct boolean, "
+            "est_within_bound boolean",
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(ckpt2, ignore_errors=True)
+
+
 def q_ckf_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialization round-trip (TestCuckooFilter.java:433-457 analog): the
     probe path itself deserializes via from_bytes(to_bytes(...)) — assert a
@@ -1556,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_merge_invariance": q_ckf_merge_invariance,
         "ckf_pruned_join": q_ckf_pruned_join,
         "ckf_checkpoint_resume": q_ckf_checkpoint_resume,
+        "sketch_checkpoint_resume": q_sketch_checkpoint_resume,
         "ckf_serde_roundtrip": q_ckf_serde_roundtrip,
         "text_stats": q_text_stats,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -1771,6 +1833,13 @@ def oracle_sql() -> dict[str, str]:
         "ckf_events_stream_keys": "SELECT event_type, count(*) AS n_events, count(*) AS n_found FROM events GROUP BY event_type",
         "ckf_merge_invariance": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
         "ckf_checkpoint_resume": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
+        # byte-identity and the 5-sigma flag are the sketch's deterministic
+        # guarantees; the exact distinct count is recomputed outright
+        "sketch_checkpoint_resume": """
+            SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+                   TRUE AS resumed_equals_direct, TRUE AS est_within_bound
+            FROM documents GROUP BY lang
+        """,
         "ckf_serde_roundtrip": "SELECT lang, TRUE AS roundtrip_ok FROM (SELECT DISTINCT lang FROM documents)",
         "text_stats": _TEXT_STATS_SQL,
         "text_bpe_tokens": f"""

@@ -105,6 +105,68 @@ def checkpointed_build(
     return merge_sketches(all_parts.drop(UNIT_COL), gcols)
 
 
+def checkpointed_sketch_build(
+    df: DataFrame,
+    checkpoint_dir: str,
+    key_col: str,
+    kind: str,
+    group_cols: Optional[Sequence[str]] = None,
+    seed: int = 42,
+    num_units: int = 64,
+    epoch: int = 0,
+    **params,
+) -> DataFrame:
+    """Resumable build for ANY sketch kind in the family (bloom / hll /
+    cms / kll / tdigest / theta / mg) — the same unit-hash + anti-join
+    resume protocol as the cuckoo `checkpointed_build`, generalized over
+    `operators.build_sketch`.
+
+    Per-unit partial rows (with `rows_in` lineage and the (unit, epoch)
+    stamp) append to parquet as soon as they are built; re-running after a
+    crash recomputes only units missing from the checkpoint. For the
+    order-invariant kinds (bloom OR, hll register-max, cms cell-sum, theta
+    k-min) the final merged sketch is BYTE-IDENTICAL to a direct
+    single-shot build; for the order-sensitive kinds (kll / tdigest / mg)
+    any retained duplicate of a unit is a valid partial and the published
+    error bounds hold regardless of which copy survives (their per-unit
+    rebuilds need not be byte-identical, so `dropDuplicates` keeps an
+    arbitrary — valid — one).
+    """
+    from cuckoofilter4j_spark.operators.sketch_build import (
+        _FACTORIES,
+        build_sketch,
+        merge_sketch_rows,
+    )
+
+    if kind not in _FACTORIES:
+        raise ValueError(f"kind must be one of {sorted(_FACTORIES)}, got {kind!r}")
+    spark = df.sparkSession
+    gcols = list(group_cols) if group_cols else []
+    keyed = df.select(*gcols, F.col(key_col)).withColumn(
+        UNIT_COL, unit_column(key_col, num_units)
+    )
+    done = completed_units(spark, checkpoint_dir, epoch)
+    todo = keyed.join(F.broadcast(done), UNIT_COL, "left_anti")
+    n_todo = todo.select(UNIT_COL).distinct().count()
+    if n_todo:
+        partials = build_sketch(
+            todo,
+            key_col,
+            kind,
+            gcols + [UNIT_COL],
+            seed=seed,
+            **params,
+        ).withColumn(EPOCH_COL, F.lit(int(epoch)))
+        partials.write.mode("append").parquet(checkpoint_dir)
+    all_parts = (
+        spark.read.parquet(checkpoint_dir)
+        .filter(F.col(EPOCH_COL) == epoch)
+        .dropDuplicates(gcols + [UNIT_COL])
+        .drop(EPOCH_COL)
+    )
+    return merge_sketch_rows(all_parts.drop(UNIT_COL), gcols)
+
+
 def checkpoint_lineage(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     """Per-unit lineage/metrics view of a checkpoint (north-rule metrics)."""
     done = spark.read.parquet(checkpoint_dir)

@@ -1,0 +1,123 @@
+"""Checkpoint-resumable builds for the generic sketch family: resume
+recomputes only lost units, order-invariant kinds come back byte-identical
+to a direct build, order-sensitive kinds keep their published bounds."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.operators import (
+    build_sketch,
+    checkpoint_lineage,
+    checkpointed_sketch_build,
+    sha256_key,
+)
+from cuckoofilter4j_spark.sketches import HyperLogLog, KllSketch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _lose_units(spark, ckpt, units):
+    kept = spark.read.parquet(ckpt).filter(~F.col("__ckf_unit").isin(units))
+    ckpt2 = tempfile.mkdtemp(prefix="skckpt2_")
+    kept.write.mode("overwrite").parquet(ckpt2)
+    return ckpt2
+
+
+def test_hll_resume_byte_identical_to_direct(spark, docs):
+    keyed = docs.select("lang", sha256_key("text").alias("key"))
+    ckpt = tempfile.mkdtemp(prefix="skckpt_")
+    dirs = [ckpt]
+    try:
+        checkpointed_sketch_build(
+            keyed, ckpt, "key", "hll", ["lang"], num_units=8, precision=12
+        ).count()
+        lineage = checkpoint_lineage(spark, ckpt)
+        assert lineage.select("__ckf_unit").distinct().count() == 8
+        assert lineage.filter(F.col("rows_in") <= 0).count() == 0
+
+        ckpt2 = _lose_units(spark, ckpt, [0, 5])
+        dirs.append(ckpt2)
+        assert (
+            spark.read.parquet(ckpt2).select("__ckf_unit").distinct().count() == 6
+        )
+        resumed = checkpointed_sketch_build(
+            keyed, ckpt2, "key", "hll", ["lang"], num_units=8, precision=12
+        )
+        direct = build_sketch(keyed, "key", "hll", ["lang"], precision=12)
+        res = {r["lang"]: bytes(r["sketch"]) for r in resumed.collect()}
+        dir_ = {r["lang"]: bytes(r["sketch"]) for r in direct.collect()}
+        # register-max merge is split-invariant: byte-identical final state
+        assert res == dir_
+        # and only the two lost units were rebuilt on resume
+        rebuilt = (
+            spark.read.parquet(ckpt2).select("__ckf_unit").distinct().count()
+        )
+        assert rebuilt == 8
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kll_resume_keeps_quantile_bound(spark, docs):
+    vals = docs.select("lang", F.length("text").cast("double").alias("v"))
+    ckpt = tempfile.mkdtemp(prefix="skckpt_")
+    dirs = [ckpt]
+    try:
+        checkpointed_sketch_build(
+            vals, ckpt, "v", "kll", ["lang"], num_units=8, k=200
+        ).count()
+        ckpt2 = _lose_units(spark, ckpt, [2])
+        dirs.append(ckpt2)
+        resumed = checkpointed_sketch_build(
+            vals, ckpt2, "v", "kll", ["lang"], num_units=8, k=200
+        )
+        rows = {r["lang"]: r for r in resumed.collect()}
+        pdf = vals.toPandas()
+        for lang, grp in pdf.groupby("lang"):
+            sk = KllSketch.from_bytes(bytes(rows[lang]["sketch"]))
+            assert rows[lang]["rows_in"] == len(grp)
+            xs = grp["v"].sort_values().to_numpy()
+            for q in (0.25, 0.5, 0.75):
+                est = sk.quantile(q)
+                # KLL rank guarantee: est's true rank within eps*n of q*n
+                rank = (xs <= est).sum()
+                assert abs(rank - q * len(xs)) <= max(
+                    sk.rank_error() * len(xs), 1.0
+                ), (lang, q)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_duplicate_unit_rows_dedupe(spark, docs):
+    keyed = docs.select(sha256_key("text").alias("key"))
+    ckpt = tempfile.mkdtemp(prefix="skckpt_")
+    try:
+        out1 = checkpointed_sketch_build(
+            keyed, ckpt, "key", "hll", num_units=4, precision=12
+        )
+        b1 = bytes(out1.first()["sketch"])
+        # crash-between-write-and-commit: duplicate every unit row
+        spark.read.parquet(ckpt).write.mode("append").parquet(ckpt)
+        out2 = checkpointed_sketch_build(
+            keyed, ckpt, "key", "hll", num_units=4, precision=12
+        )
+        assert bytes(out2.first()["sketch"]) == b1
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_unknown_kind_rejected(spark, docs):
+    with pytest.raises(ValueError, match="kind"):
+        checkpointed_sketch_build(docs, "/tmp/x", "text", "nope", num_units=2)
