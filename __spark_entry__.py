@@ -1429,6 +1429,52 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fd_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions matrix sketch (sketches/fd.py, Liberty KDD'13):
+    a certified ell x d summary of the corpus covariance built scan-local
+    over the embeddings table. Pins the deterministic guarantees — PSD
+    undercount, spectral error <= tracked shrinkage <= (|A|_F^2-|B|_F^2)/
+    ell — plus two exact values the oracle recomputes outright: the vector
+    count and the corpus Frobenius mass as an order-invariant integer
+    (per-row left-fold of squared doubles, rounded to micros, summed as
+    BIGINT — the same engine-exact trick as the winnowing oracles)."""
+    import numpy as np
+
+    from cuckoofilter4j_spark.operators import build_sketch
+    from cuckoofilter4j_spark.sketches import FrequentDirections
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    norm2 = F.aggregate(sq, F.lit(0.0), lambda a, b: a + b)
+    fro2_micro = int(
+        emb.select(
+            F.sum(F.round(norm2 * 1000000.0, 0).cast("long")).alias("s")
+        ).first()["s"]
+    )
+    row = build_sketch(emb, "embedding", "fd", None, ell=32).first()
+    fd = FrequentDirections.from_bytes(bytes(row["sketch"]))
+    A = np.asarray(
+        emb.select("embedding").toPandas()["embedding"].tolist(), dtype=np.float64
+    )
+    diff = A.T @ A - fd.cov()
+    eig = np.linalg.eigvalsh(diff)
+    spectral = float(max(eig.max(), 0.0))
+    out = (
+        int(fd.n),
+        fro2_micro,
+        bool(eig.min() >= -1e-6 * max(eig.max(), 1.0)),
+        bool(spectral <= fd.shrink_total * (1 + 1e-9) + 1e-9),
+        bool(fd.shrink_total <= fd.worst_case_bound() * (1 + 1e-9) + 1e-9),
+        bool(abs(fd.fro2 * 1e6 - fro2_micro) <= max(1e-3 * fro2_micro, 1e3)),
+    )
+    return spark.createDataFrame(
+        [out],
+        "n_vectors long, fro2_micro long, psd_ok boolean, "
+        "err_le_shrink boolean, shrink_le_worst_case boolean, "
+        "fro_tracked_ok boolean",
+    )
+
+
 def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV distinct sketch with set operations (sketches/theta.py) —
     the corpus-overlap question HLL cannot answer: corpus A = all document
@@ -1658,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
         "theta_overlap": q_theta_overlap,
         "mg_heavy_hitters": q_mg_heavy_hitters,
+        "fd_covariance": q_fd_covariance,
         "stream_dedup": q_stream_dedup,
         "media_decode": q_media_decode,
         "audio_features": q_audio_features,
@@ -2123,6 +2170,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    TRUE AS retained, TRUE AS within_bound
             FROM documents GROUP BY lang
+        """,
+        # exact values: vector count + order-invariant integer Frobenius
+        # mass (identical per-row left fold, micro-rounded, BIGINT-summed);
+        # the guarantee flags are FD's deterministic certificates
+        "fd_covariance": """
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(SUM(CAST(round(list_reduce(
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b) * 1000000) AS BIGINT)) AS BIGINT)
+                       AS fro2_micro,
+                   TRUE AS psd_ok, TRUE AS err_le_shrink,
+                   TRUE AS shrink_le_worst_case, TRUE AS fro_tracked_ok
+            FROM embeddings
         """,
         # exact set-op rows: the k=16384 theta pair is unsaturated at every
         # test SF, so est_* are exact distinct counts — mirrored here with

@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 from cuckoofilter4j_spark.sketches import (
     BloomFilter,
     CountMinSketch,
+    FrequentDirections,
     HyperLogLog,
     KllSketch,
     MisraGries,
@@ -52,6 +53,8 @@ _FACTORIES = {
     "theta": lambda params, seed: ThetaSketch(int(params.get("k", 4096)), seed),
     # misra-gries is hash-free (stores raw keys); seed intentionally unused
     "mg": lambda params, seed: MisraGries(int(params.get("k", 256))),
+    # frequent-directions is fully deterministic; key_col is a VECTOR column
+    "fd": lambda params, seed: FrequentDirections(int(params.get("ell", 64))),
 }
 
 _DECODERS = {
@@ -62,6 +65,7 @@ _DECODERS = {
     "tdigest": TDigest.from_bytes,
     "theta": ThetaSketch.from_bytes,
     "mg": MisraGries.from_bytes,
+    "fd": FrequentDirections.from_bytes,
 }
 
 
@@ -70,6 +74,8 @@ def _ingest(kind: str, sk, series: pd.Series) -> None:
         sk.put_batch(series)
     elif kind in ("hll", "cms", "theta", "mg"):
         sk.add_batch(series)
+    elif kind == "fd":  # vector column: (m, d) matrix per batch
+        sk.update_batch(np.asarray(series.tolist(), dtype=np.float64))
     else:  # kll / tdigest: numeric values
         sk.update_batch(series.to_numpy(dtype=np.float64))
 

@@ -5,6 +5,7 @@ word-matrix hashing, plus Spark builders with the partial/final (UDAF) shape.
 
 from cuckoofilter4j_spark.sketches.bloom import BloomFilter
 from cuckoofilter4j_spark.sketches.cms import CountMinSketch
+from cuckoofilter4j_spark.sketches.fd import FrequentDirections
 from cuckoofilter4j_spark.sketches.hll import HyperLogLog
 from cuckoofilter4j_spark.sketches.kll import KllSketch
 from cuckoofilter4j_spark.sketches.mg import MisraGries
@@ -14,6 +15,7 @@ from cuckoofilter4j_spark.sketches.theta import ThetaSketch
 __all__ = [
     "BloomFilter",
     "CountMinSketch",
+    "FrequentDirections",
     "HyperLogLog",
     "KllSketch",
     "MisraGries",

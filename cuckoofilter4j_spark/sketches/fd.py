@@ -1,0 +1,213 @@
+"""Mergeable Frequent Directions matrix sketch (Liberty, KDD'13).
+
+The linear-algebra member of the sketch family: a deterministic ell x d
+row sketch B of a tall matrix A (the corpus embedding matrix) such that
+
+    0  <=  A^T A - B^T B   (PSD: the sketch only ever UNDER-counts energy)
+    ||A^T A - B^T B||_2  <=  Delta  <=  (||A||_F^2 - ||B||_F^2) / ell
+
+where Delta is the total spectral mass shrunk across compactions (tracked
+exactly in `shrink_total`). That makes B a certified summary of the
+corpus covariance / principal subspace at any scale: top singular vectors
+of B approximate the corpus PCA directions with additive error Delta.
+
+Algorithm: buffer up to 2*ell rows; on overflow take the thin SVD, shrink
+singular values by delta = sigma_ell^2 (so sigma'_i = sqrt(max(sigma_i^2
+- delta, 0))), keep the <= ell-1 surviving rows sqrt(s'_i) * v_i. Merge
+(Ghashami et al., "Frequent Directions: Simple and Deterministic Matrix
+Sketching", SIAM J. Comput. 2016 — FD summaries are fully mergeable)
+re-ingests the other sketch's rows and adds the Delta trackers; the
+combined bound still telescopes, so scan-local partials + associative
+merge (the UDAF shape shared by every sketch in this package) keep the
+guarantee at any parallelism.
+
+Exact mode: while no compaction has happened anywhere (shrink_total == 0)
+B holds the raw ingested rows and B^T B IS A^T A.
+
+The pipeline questions this serves: corpus covariance / PCA energy
+spectrum without materializing the d x d Gram over 10^12 rows, drift of
+the principal subspace between corpus snapshots, and a certified low-rank
+projection ahead of ANN indexing.
+
+No counterpart in the reference (membership-only); sketch-family
+extension.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class FrequentDirections:
+    """ell x d deterministic covariance sketch over float vectors."""
+
+    def __init__(self, ell: int = 64, d: int | None = None):
+        if not (2 <= ell <= 4096):
+            raise ValueError(f"ell must be in [2, 4096], got {ell}")
+        self.ell = int(ell)
+        self.d = None if d is None else int(d)
+        self.buf: np.ndarray | None = None  # (2*ell, d) once d is known
+        self.n_buf = 0  # occupied buffer rows
+        self.n = 0  # total vectors ingested (across merges)
+        self.shrink_total = 0.0  # Delta: exact total spectral shrinkage
+        self.fro2 = 0.0  # ||A||_F^2 of everything ingested
+
+    def _init_d(self, d: int) -> None:
+        if self.d is None:
+            self.d = int(d)
+        elif self.d != d:
+            raise ValueError(f"dimension mismatch: sketch d={self.d}, rows d={d}")
+        if self.buf is None:
+            self.buf = np.zeros((2 * self.ell, self.d), dtype=np.float64)
+
+    def update_batch(self, mat) -> int:
+        """Ingest an (m, d) batch of rows (any float dtype; upcast to f64)."""
+        X = np.ascontiguousarray(np.asarray(mat, dtype=np.float64))
+        if X.ndim != 2:
+            raise ValueError(f"expected (m, d) matrix, got shape {X.shape}")
+        m = X.shape[0]
+        if m == 0:
+            return 0
+        self._init_d(X.shape[1])
+        self.fro2 += float(np.einsum("ij,ij->", X, X))
+        pos = 0
+        cap = self.buf.shape[0]
+        while pos < m:
+            take = min(cap - self.n_buf, m - pos)
+            self.buf[self.n_buf : self.n_buf + take] = X[pos : pos + take]
+            self.n_buf += take
+            pos += take
+            if self.n_buf == cap:
+                self._compact()
+        self.n += m
+        return m
+
+    def _compact(self) -> None:
+        """SVD-shrink the full buffer down to <= ell-1 rows."""
+        _, s, Vt = np.linalg.svd(self.buf[: self.n_buf], full_matrices=False)
+        if len(s) < self.ell:  # buffer rank below ell: nothing to shrink
+            self.buf[: len(s)] = s[:, None] * Vt
+            self.buf[len(s) : self.n_buf] = 0.0
+            self.n_buf = len(s)
+            return
+        delta = float(s[self.ell - 1] ** 2)
+        s2 = np.maximum(s**2 - delta, 0.0)
+        keep = np.flatnonzero(s2 > 0.0)
+        self.shrink_total += delta
+        k = len(keep)
+        self.buf[:k] = np.sqrt(s2[keep])[:, None] * Vt[keep]
+        self.buf[k : self.n_buf] = 0.0
+        self.n_buf = k
+
+    def cov(self) -> np.ndarray:
+        """B^T B — the certified covariance estimate (d x d)."""
+        if self.buf is None:
+            raise ValueError("empty sketch has no dimension yet")
+        B = self.buf[: self.n_buf]
+        return B.T @ B
+
+    def rows(self) -> np.ndarray:
+        """Current sketch rows B (n_buf x d view copy)."""
+        if self.buf is None:
+            return np.zeros((0, 0), dtype=np.float64)
+        return self.buf[: self.n_buf].copy()
+
+    def error_bound(self) -> float:
+        """Instance-specific certified bound: ||A^T A - B^T B||_2 <= this."""
+        return self.shrink_total
+
+    def worst_case_bound(self) -> float:
+        """A-priori bound (||A||_F^2 - ||B||_F^2) / ell >= shrink_total."""
+        if self.buf is None:
+            return 0.0
+        b2 = float(np.einsum("ij,ij->", self.buf[: self.n_buf], self.buf[: self.n_buf]))
+        return max(self.fro2 - b2, 0.0) / self.ell
+
+    def is_exact(self) -> bool:
+        return self.shrink_total == 0.0
+
+    def merge_in_place(self, other: "FrequentDirections") -> None:
+        if not isinstance(other, FrequentDirections) or self.ell != other.ell:
+            raise ValueError("fd merge requires identical ell")
+        if other.d is not None:
+            if other.n_buf:
+                # other's rows are themselves a matrix whose Gram is its
+                # covariance estimate — re-ingesting them telescopes the bound
+                X = other.buf[: other.n_buf]
+                self._init_d(other.d)
+                pos, cap, m = 0, self.buf.shape[0], X.shape[0]
+                while pos < m:
+                    take = min(cap - self.n_buf, m - pos)
+                    self.buf[self.n_buf : self.n_buf + take] = X[pos : pos + take]
+                    self.n_buf += take
+                    pos += take
+                    if self.n_buf == cap:
+                        self._compact()
+            elif self.d is None:
+                self._init_d(other.d)
+        self.n += other.n
+        self.shrink_total += other.shrink_total
+        self.fro2 += other.fro2
+
+    def merge(self, other: "FrequentDirections") -> "FrequentDirections":
+        out = FrequentDirections(self.ell, self.d)
+        if self.buf is not None:
+            out.buf = self.buf.copy()
+        out.n_buf, out.n = self.n_buf, self.n
+        out.shrink_total, out.fro2 = self.shrink_total, self.fro2
+        out.merge_in_place(other)
+        return out
+
+    # -- serde -----------------------------------------------------------------
+    _MAGIC = b"FDS1"
+    _HDR = struct.Struct("<4siiiqdd")  # magic, ell, d, n_buf, n, shrink, fro2
+
+    def to_bytes(self) -> bytes:
+        d = -1 if self.d is None else self.d
+        head = self._HDR.pack(
+            self._MAGIC, self.ell, d, self.n_buf, self.n, self.shrink_total, self.fro2
+        )
+        if self.buf is None or self.n_buf == 0:
+            return head
+        return head + np.ascontiguousarray(self.buf[: self.n_buf]).tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "FrequentDirections":
+        if len(data) < 4 or data[:4] != cls._MAGIC:
+            raise ValueError("bad fd bytes: wrong magic")
+        if len(data) < cls._HDR.size:
+            raise ValueError("bad fd bytes: truncated header")
+        _, ell, d, n_buf, n, shrink, fro2 = cls._HDR.unpack_from(data, 0)
+        out = cls(ell, None if d < 0 else d)
+        if d >= 0:
+            out._init_d(d)
+        out.n, out.shrink_total, out.fro2 = n, shrink, fro2
+        if n_buf:
+            need = cls._HDR.size + 8 * n_buf * d
+            if d < 0 or len(data) < need:
+                raise ValueError("bad fd bytes: truncated rows")
+            rows = np.frombuffer(
+                data, dtype=np.float64, count=n_buf * d, offset=cls._HDR.size
+            ).reshape(n_buf, d)
+            out.buf[:n_buf] = rows
+            out.n_buf = n_buf
+        return out
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, FrequentDirections):
+            return NotImplemented
+        if (self.ell, self.d, self.n_buf, self.n) != (
+            other.ell, other.d, other.n_buf, other.n
+        ):
+            return False
+        if (self.shrink_total, self.fro2) != (other.shrink_total, other.fro2):
+            return False
+        if self.n_buf == 0:
+            return True
+        return bool(
+            np.array_equal(self.buf[: self.n_buf], other.buf[: other.n_buf])
+        )
+
+    __hash__ = None

@@ -1,0 +1,125 @@
+"""Frequent Directions matrix sketch: PSD/spectral/worst-case guarantees,
+exact mode, merge telescoping, serde, and the Spark build over the
+embeddings table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.sketches import FrequentDirections
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _guarantees(A, fd, tol=1e-9):
+    diff = A.T @ A - fd.cov()
+    eig = np.linalg.eigvalsh(diff)
+    assert eig.min() >= -1e-6 * max(eig.max(), 1.0)  # PSD (undercount only)
+    spectral = max(eig.max(), 0.0)
+    assert spectral <= fd.shrink_total * (1 + tol) + 1e-9
+    assert fd.shrink_total <= fd.worst_case_bound() * (1 + tol) + 1e-9
+
+
+def test_fd_guarantees_random_matrix():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((4000, 48))
+    fd = FrequentDirections(ell=24)
+    for i in range(0, len(A), 257):  # ragged batches
+        fd.update_batch(A[i : i + 257])
+    assert fd.n == 4000 and not fd.is_exact()
+    assert abs(fd.fro2 - (A**2).sum()) <= 1e-6 * (A**2).sum()
+    _guarantees(A, fd)
+
+
+def test_fd_exact_mode_below_capacity():
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((40, 16))
+    fd = FrequentDirections(ell=32)  # 2*ell = 64 > 40: no compaction
+    fd.update_batch(A)
+    assert fd.is_exact() and fd.shrink_total == 0.0
+    assert np.allclose(fd.cov(), A.T @ A, rtol=1e-12, atol=1e-9)
+
+
+def test_fd_low_dim_stays_exact():
+    # d <= ell: rank never exceeds ell, sketch is exact forever
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((5000, 8))
+    fd = FrequentDirections(ell=16)
+    fd.update_batch(A)
+    assert fd.is_exact()
+    assert np.allclose(fd.cov(), A.T @ A, rtol=1e-9, atol=1e-6)
+
+
+def test_fd_merge_telescopes_and_validates():
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((6000, 32))
+    parts = []
+    for i in range(4):
+        p = FrequentDirections(ell=16)
+        p.update_batch(A[i::4])
+        parts.append(p)
+    m = parts[0].merge(parts[1]).merge(parts[2]).merge(parts[3])
+    assert m.n == 6000
+    _guarantees(A, m)
+    with pytest.raises(ValueError, match="ell"):
+        parts[0].merge(FrequentDirections(ell=8))
+    bad = FrequentDirections(ell=16)
+    bad.update_batch(rng.standard_normal((4, 7)))
+    with pytest.raises(ValueError, match="dimension"):
+        parts[0].merge(bad)
+    with pytest.raises(ValueError, match="matrix"):
+        parts[0].update_batch(np.zeros(5))
+
+
+def test_fd_serde_roundtrip_and_garbage():
+    rng = np.random.default_rng(4)
+    fd = FrequentDirections(ell=8)
+    fd.update_batch(rng.standard_normal((100, 12)))
+    rt = FrequentDirections.from_bytes(fd.to_bytes())
+    assert rt == fd
+    assert np.array_equal(rt.cov(), fd.cov())
+    empty = FrequentDirections.from_bytes(FrequentDirections(ell=8).to_bytes())
+    assert empty.n == 0 and empty.d is None
+    with pytest.raises(ValueError, match="magic"):
+        FrequentDirections.from_bytes(b"XXXX" + fd.to_bytes()[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        FrequentDirections.from_bytes(fd.to_bytes()[:-5])
+
+
+def test_fd_empty_batch_noop():
+    fd = FrequentDirections(ell=8)
+    assert fd.update_batch(np.zeros((0, 16))) == 0
+    assert fd.n == 0
+
+
+def test_spark_fd_build_over_embeddings(spark):
+    from cuckoofilter4j_spark.operators import build_sketch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    row = build_sketch(emb.repartition(8), "embedding", "fd", None, ell=16).first()
+    fd = FrequentDirections.from_bytes(bytes(row["sketch"]))
+    A = np.asarray(
+        emb.select("embedding").toPandas()["embedding"].tolist(), dtype=np.float64
+    )
+    assert fd.n == len(A) == row["rows_in"]
+    _guarantees(A, fd)
+    # guarantee must hold under a different partitioning too (bytes may
+    # differ — the BOUND is what is deterministic)
+    row2 = build_sketch(emb.repartition(3), "embedding", "fd", None, ell=16).first()
+    _guarantees(A, FrequentDirections.from_bytes(bytes(row2["sketch"])))
+
+
+def test_spark_fd_grouped_by_label(spark):
+    from cuckoofilter4j_spark.operators import build_sketch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = build_sketch(emb, "embedding", "fd", ["label"], ell=16).collect()
+    pdf = emb.select("label", "embedding").toPandas()
+    assert len(rows) == pdf["label"].nunique()
+    for r in rows:
+        grp = np.asarray(
+            pdf[pdf["label"] == r["label"]]["embedding"].tolist(), dtype=np.float64
+        )
+        fd = FrequentDirections.from_bytes(bytes(r["sketch"]))
+        assert fd.n == len(grp)
+        _guarantees(grp, fd)
