@@ -1634,6 +1634,48 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL variants over doc_id: four spellings per group of
+    four ids — uppercase host + trailing slash / www + tracking + unsorted
+    params / default port + fragment / http with default port 80 — chosen
+    so canonicalization merges exactly the variants that name the same
+    resource (m=1 and m=2 collide; m=0 has no query, m=3 a different
+    scheme)."""
+    k = F.floor(F.col("doc_id") / 4).cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://Example.COM/p/"), k, F.lit("/a/")))
+        .when(m == 1, F.concat(F.lit("https://www.example.com/p/"), k, F.lit("/a?utm_source=feed&z=9&a=1")))
+        .when(m == 2, F.concat(F.lit("https://example.com:443/p/"), k, F.lit("/a?a=1&z=9#sec")))
+        .otherwise(F.concat(F.lit("http://example.com:80/p/"), k, F.lit("/a?z=9&a=1&fbclid=abc")))
+    )
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py): one pure-Catalyst
+    projection (scheme/host lowercase, default-port and fragment drop,
+    www-strip, trailing-slash and empty-path normalization, tracking-param
+    strip + byte-sort of the rest). Every canonical string is pinned
+    byte-for-byte against an independent DuckDB implementation of the same
+    RFC-3986-subset rules."""
+    from cuckoofilter4j_spark.functions import canonicalize_url
+
+    return _url_fixture(spark, sf_dir).select(
+        "doc_id", "url", canonicalize_url("url").alias("url_canon")
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup (functions/urls.py url_dedup): keep min doc_id per
+    canonical URL — the crawl-refetch collapse that runs BEFORE content
+    dedup in a web pipeline. Same one-shuffle min_by shape as exact_dedup."""
+    from cuckoofilter4j_spark.functions import url_dedup
+
+    out = url_dedup(_url_fixture(spark, sf_dir), "url", "doc_id")
+    return out.select("url_canon", F.col("doc_id").alias("keeper_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-lang cuckoo sketches over sf0.001 documents with full
     lineage/metrics projection (north rule: load-factor/FPP metrics)."""
@@ -1682,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "gopher_quality": q_gopher_quality,
         "pii_scrub": q_pii_scrub,
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
@@ -1783,6 +1827,65 @@ _N_BPE = f"len(regexp_extract_all(text, '{_BPE_PAT_SQL}'))"
 # PII oracle: the SAME pattern strings as functions/pii.py (Java-regex ∩
 # RE2 subset; no quote in any pattern so no SQL escaping needed), same
 # injected fixture, same canonical-order redaction chain, md5-pinned
+# Independent DuckDB implementation of canonicalize_url's rules (RE2 side;
+# the Spark side is Java regex — patterns live in the common subset). The
+# fixture mirrors _url_fixture: integer-divide groups of four doc_ids into
+# four spellings of (mostly) the same resource.
+_URL_FIXTURE_SQL = (
+    "SELECT doc_id, CASE doc_id % 4 "
+    "WHEN 0 THEN 'https://Example.COM/p/' || CAST(doc_id // 4 AS VARCHAR) || '/a/' "
+    "WHEN 1 THEN 'https://www.example.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '/a?utm_source=feed&z=9&a=1' "
+    "WHEN 2 THEN 'https://example.com:443/p/' || CAST(doc_id // 4 AS VARCHAR) || '/a?a=1&z=9#sec' "
+    "ELSE 'http://example.com:80/p/' || CAST(doc_id // 4 AS VARCHAR) || '/a?z=9&a=1&fbclid=abc' "
+    "END AS url FROM documents"
+)
+
+_URL_CANON_SQL = r"""
+WITH u0 AS ({fixture}),
+c AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM u0),
+p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+         nofrag
+  FROM c
+),
+q AS (
+  SELECT doc_id, url, scheme, nofrag,
+         regexp_extract(rest, '^([^/?]*)', 1) AS auth,
+         regexp_replace(rest, '^[^/?]*', '') AS path_q
+  FROM p
+),
+r AS (
+  SELECT *,
+         regexp_replace(lower(regexp_replace(auth, ':[0-9]+$', '')), '^www\.', '') AS host,
+         regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+         regexp_extract(path_q, '^([^?]*)', 1) AS rawpath,
+         regexp_replace(regexp_replace(path_q, '^[^?]*', ''), '^\?', '') AS qs
+  FROM q
+),
+s AS (
+  SELECT *,
+         CASE WHEN rawpath = '' THEN '/' ELSE regexp_replace(rawpath, '(.)/$', '\1') END AS path,
+         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END AS port_part,
+         list_sort(list_filter(str_split(qs, '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)='))) AS params
+  FROM r
+),
+canon AS (
+  SELECT doc_id, url,
+         CASE WHEN scheme = '' THEN trim(nofrag)
+              ELSE scheme || '://' || host || port_part || path ||
+                   CASE WHEN len(params) > 0
+                        THEN '?' || array_to_string(params, '&') ELSE '' END
+         END AS url_canon
+  FROM s
+)
+""".replace("{fixture}", _URL_FIXTURE_SQL)
+
+
 def _pii_sql() -> str:
     from cuckoofilter4j_spark.functions.pii import PII_PATTERNS
 
@@ -1978,6 +2081,10 @@ def oracle_sql() -> dict[str, str]:
         # 4-line fixture; integer-exact counts make the double divisions
         # bit-identical across engines
         "pii_scrub": _pii_sql(),
+        "url_canonicalize": _URL_CANON_SQL
+        + "SELECT doc_id, url, url_canon FROM canon",
+        "url_dedup": _URL_CANON_SQL
+        + "SELECT url_canon, min(doc_id) AS keeper_id FROM canon GROUP BY url_canon",
         "gopher_quality": r"""
             WITH base AS (
               SELECT doc_id,

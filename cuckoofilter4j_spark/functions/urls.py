@@ -1,0 +1,139 @@
+"""URL canonicalization and URL-keyed deduplication.
+
+The standard first pass of a web-crawl training pipeline (CommonCrawl /
+C4 / RefinedWeb style): the same page is fetched under many spellings —
+host case, `www.` prefix, default ports, trailing slashes, fragment
+anchors, tracking query parameters, query-parameter order — and URL-level
+dedup before content-level dedup removes the bulk of refetch duplicates
+for the cost of one projection + one hash aggregation.
+
+Reference scope note: the reference library (CuckooFilter4J) has no URL
+handling; this module is part of the training-data-pipeline extension
+surface (SURVEY §2 extensions). It composes with the cuckoo filter
+naturally: a filter built over canonical URLs is the classic "have we
+crawled this?" membership sketch.
+
+100 TB design: `canonicalize_url` is a single pure-Catalyst projection
+(regexp + higher-order array functions, whole-stage codegen, zero
+Python, zero shuffle); `url_dedup` is the same one-shuffle `min_by`
+shape as `exact_dedup` — map-side partial aggregation collapses
+mega-duplicated URLs (the "front page fetched hourly for a year"
+pathology) to one row per map partition before the exchange.
+
+Every regex used here is written in the Java-regex ∩ RE2 common subset
+so a DuckDB oracle can apply the byte-identical pattern strings (same
+discipline as functions/pii.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["canonicalize_url", "url_dedup", "TRACKING_PARAM_RE"]
+
+# Query parameters that identify a *visit*, not a *resource*. Anchored
+# key-match (the '=' keeps 'utm_x' from matching a value containing it).
+# Java ∩ RE2 subset: no lookaround, no backreferences.
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)="
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def canonicalize_url(
+    col: Column | str,
+    *,
+    strip_www: bool = True,
+    strip_tracking: bool = True,
+) -> Column:
+    """Canonical form of an absolute http(s)-style URL, as one Catalyst
+    expression tree (codegen'd; no UDF).
+
+    Normalizations applied, in order:
+      1. trim surrounding whitespace; drop the ``#fragment``
+      2. lowercase the scheme and the host (the path/query stay
+         case-sensitive — RFC 3986 §6.2.2.1 only licenses scheme+host)
+      3. drop an explicit default port (``:80`` for http, ``:443`` for
+         https); keep any other port
+      4. optionally drop a leading ``www.`` host label
+      5. empty path becomes ``/``; a single trailing slash on a non-root
+         path is dropped (``/a/`` → ``/a``)
+      6. query: split on ``&``, drop empty params, optionally drop
+         tracking params (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``,
+         ``mc_eid``, ``igshid``), byte-sort the rest, rejoin; the ``?``
+         disappears if nothing survives
+
+    Percent-decoding is deliberately NOT applied: decoding changes which
+    bytes are delimiters and is unsafe without full RFC 3986 splitting;
+    canonicalization must never merge two genuinely different resources.
+
+    Rows that do not look like absolute URLs (no ``scheme://``) pass
+    through with only trim + fragment-drop, so the column is total.
+    """
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, "#.*$", "")
+
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    authority = F.regexp_extract(rest, "^([^/?]*)", 1)
+    path_q = F.regexp_replace(rest, "^[^/?]*", "")
+
+    host = F.lower(F.regexp_replace(authority, ":[0-9]+$", ""))
+    if strip_www:
+        host = F.regexp_replace(host, "^www\\.", "")
+    port = F.regexp_extract(authority, ":([0-9]+)$", 1)
+    default_port = (
+        ((scheme == F.lit("http")) & (port == F.lit("80")))
+        | ((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    port_part = F.when(
+        (port == F.lit("")) | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    path = F.regexp_extract(path_q, "^([^?]*)", 1)
+    path = F.when(path == F.lit(""), F.lit("/")).otherwise(
+        F.regexp_replace(path, "(.)/$", "$1")
+    )
+
+    qs = F.regexp_replace(F.regexp_replace(path_q, "^[^?]*", ""), "^\\?", "")
+    keep = lambda p: p != F.lit("")  # noqa: E731
+    if strip_tracking:
+        _keep_nonempty = keep
+        keep = lambda p: _keep_nonempty(p) & ~p.rlike(TRACKING_PARAM_RE)  # noqa: E731
+    params = F.array_sort(F.filter(F.split(qs, "&"), keep))
+    query_part = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+
+    canon = F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    # Non-URL input (no scheme): total function, minimal normalization.
+    return F.when(scheme == F.lit(""), u).otherwise(canon)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    *,
+    strip_www: bool = True,
+    strip_tracking: bool = True,
+) -> DataFrame:
+    """Keep exactly one row (min id) per canonical URL.
+
+    Same one-shuffle `min_by` shape as `exact_dedup` (see that docstring
+    for why this beats a window rank on mega-duplicated keys). The output
+    carries all input columns plus `url_canon`.
+    """
+    cols = df.columns
+    keyed = df.withColumn(
+        "url_canon",
+        canonicalize_url(
+            url_col, strip_www=strip_www, strip_tracking=strip_tracking
+        ),
+    )
+    agg = keyed.groupBy("url_canon").agg(
+        F.min_by(F.struct(*cols), F.col(id_col)).alias("__row")
+    )
+    return agg.select(
+        *[F.col(f"__row.{c}").alias(c) for c in cols], "url_canon"
+    )

@@ -1,0 +1,107 @@
+"""URL canonicalization + url_dedup (functions/urls.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import canonicalize_url, url_dedup
+
+
+def _canon(spark, urls, **kw):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select("url", canonicalize_url("url", **kw).alias("c")).collect()
+    return {r["url"]: r["c"] for r in rows}
+
+
+CASES = [
+    # (input, expected canonical with defaults)
+    ("https://Example.COM/Path", "https://example.com/Path"),
+    ("  https://example.com/a  ", "https://example.com/a"),
+    ("https://example.com/a#frag", "https://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com:80/a", "https://example.com:80/a"),  # non-default kept
+    ("https://www.example.com/a", "https://example.com/a"),
+    ("https://wwwx.example.com/a", "https://wwwx.example.com/a"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/", "https://example.com/"),
+    ("https://example.com/a/", "https://example.com/a"),
+    ("https://example.com/a?z=9&a=1", "https://example.com/a?a=1&z=9"),
+    ("https://example.com/a?utm_source=x&b=2", "https://example.com/a?b=2"),
+    ("https://example.com/a?utm_source=x", "https://example.com/a"),
+    ("https://example.com/a?fbclid=1&gclid=2&msclkid=3", "https://example.com/a"),
+    ("https://example.com/a?&b=2&", "https://example.com/a?b=2"),
+    # value containing 'utm_' is NOT a tracking key (anchored key match)
+    ("https://example.com/a?q=utm_source", "https://example.com/a?q=utm_source"),
+    # path/query case preserved; only scheme+host lowercased
+    ("HTTPS://EX.COM/A?B=C", "https://ex.com/A?B=C"),
+    # not-a-URL rows pass through (trim + fragment drop only)
+    ("not a url", "not a url"),
+    ("", ""),
+]
+
+
+def test_canonical_cases(spark):
+    got = _canon(spark, [u for u, _ in CASES])
+    for u, want in CASES:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_null_total(spark):
+    df = spark.createDataFrame([(None,)], "url string")
+    assert df.select(canonicalize_url("url").alias("c")).first()["c"] is None
+
+
+def test_options(spark):
+    u = "https://www.example.com/a?utm_source=x&b=2"
+    assert _canon(spark, [u], strip_www=False)[u] == "https://www.example.com/a?b=2"
+    assert (
+        _canon(spark, [u], strip_tracking=False)[u]
+        == "https://example.com/a?b=2&utm_source=x"
+    )
+
+
+def test_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for every case."""
+    urls = [u for u, _ in CASES]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url("url").alias("c1"))
+    twice = once.select(
+        "c1", canonicalize_url("c1").alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c1"] == r["c2"], r
+
+
+def test_url_dedup_keeps_min_id(spark):
+    rows = [
+        (1, "https://Example.com/p/1/"),
+        (2, "https://www.example.com/p/1?utm_source=f"),
+        (3, "https://example.com:443/p/1#x"),
+        (4, "https://example.com/p/2"),
+        (5, "https://example.com/p/2?a=1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = url_dedup(df, "url", "id").collect()
+    kept = {r["url_canon"]: r["id"] for r in out}
+    assert kept == {
+        "https://example.com/p/1": 1,
+        "https://example.com/p/2": 4,
+        "https://example.com/p/2?a=1": 5,
+    }
+    # all original columns survive
+    assert {r["url"] for r in out} == {rows[0][1], rows[3][1], rows[4][1]}
+
+
+def test_plan_is_pure_catalyst(spark):
+    """No Python evaluation and no shuffle in the canonicalization
+    projection itself."""
+    df = spark.createDataFrame([("https://a.example/x?b=1&a=2",)], "url string")
+    plan = (
+        df.select(canonicalize_url("url").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
