@@ -1634,6 +1634,30 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding dedup (similarity.py
+    semdedup): spherical k-means scopes the pairwise pass, exact cosine
+    decides, connected components + keeper-min resolve. On this fixture
+    (originals ∪ positively-scaled copies; power-of-two scaling keeps the
+    normalized vector bit-identical, and the ambient corpus tops out near
+    cosine 0.51) cluster recall is provably 1, so the kept set equals the
+    full-N^2 answer the DuckDB oracle computes outright: every >=0.9-cosine
+    edge + recursive-CTE transitive closure + min-id keeper."""
+    from cuckoofilter4j_spark.functions import semdedup
+
+    emb = _emb(spark, sf_dir)
+    scaled = emb.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    both = emb.unionByName(scaled)
+    kept = semdedup(both, "vec_id", "embedding", min_cosine=0.9, n_clusters=16, seed=SEED)
+    return kept.select("vec_id")
+
+
 def _url_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic URL variants over doc_id: four spellings per group of
     four ids — uppercase host + trailing slash / www + tracking + unsorted
@@ -1726,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
+        "semdedup_kept": q_semdedup,
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
@@ -2085,6 +2110,32 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, url, url_canon FROM canon",
         "url_dedup": _URL_CANON_SQL
         + "SELECT url_canon, min(doc_id) AS keeper_id FROM canon GROUP BY url_canon",
+        # full-N^2 recomputation: exact cosine edges + transitive closure
+        "semdedup_kept": """
+            WITH RECURSIVE corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000,
+                     list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+              FROM embeddings WHERE vec_id < 200
+            ),
+            edges AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+            ),
+            sym AS (SELECT ia AS src, ib AS dst FROM edges
+                    UNION SELECT ib, ia FROM edges),
+            reach AS (
+              SELECT vec_id AS a, vec_id AS b FROM corpus
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+            ),
+            roots AS (SELECT a AS id, min(b) AS root FROM reach GROUP BY a)
+            SELECT CAST(id AS BIGINT) AS vec_id FROM roots WHERE root = id
+        """,
         "gopher_quality": r"""
             WITH base AS (
               SELECT doc_id,

@@ -663,3 +663,117 @@ def ivf_probe(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.9,
+    n_clusters: int = 64,
+    seed: int = 42,
+    centroids: Optional[np.ndarray] = None,
+    block: int = 2048,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with spherical k-means,
+    then compare pairs ONLY within each cluster with exact cosine.
+
+    The clusters merely SCOPE the O(n^2) comparison — every emitted pair
+    carries its true cosine, so downstream keep/drop decisions are exact
+    for the pairs found; what clustering costs is recall on pairs that
+    straddle a cluster boundary (the published algorithm accepts the same
+    trade — near-identical vectors land in the same cluster except within
+    ~ulp of a Voronoi face).
+
+    100 TB shape: assignment is one broadcast-matmul scan (no shuffle);
+    the ONLY shuffle moves (id, vec) rows keyed by cluster id; each
+    cluster's pairwise pass is a blocked (block x n_c) matmul inside its
+    task, so total work is sum(n_c^2) << N^2 — pick `n_clusters` so the
+    expected cluster (N / n_clusters rows x dim floats) fits a task, and
+    cap pathological clusters upstream with the same hot-bucket
+    discipline as the LSH paths if the embedding space is degenerate.
+
+    Ids must be integral (emitted as bigint pairs, id_a < id_b).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_lists=n_clusters, seed=seed
+        )
+    assigned = assign_ivf_lists(
+        corpus.select(id_col, vec_col), centroids, vec_col, out_col="__sem_cluster"
+    )
+    schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+    thr = float(min_cosine)
+    blk = max(int(block), 1)
+
+    def cluster_pairs(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        pdf = pdf.sort_values(id_col, kind="stable")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n - 1, blk):
+            i1 = min(i0 + blk, n)
+            sims = mat[i0:i1] @ mat.T  # (blk, n)
+            # strict upper triangle in GLOBAL coordinates: j > i
+            rows, cols = np.nonzero(sims >= thr)
+            keep = cols > rows + i0
+            rows, cols = rows[keep], cols[keep]
+            out_a.append(ids[rows + i0])
+            out_b.append(ids[cols])
+            out_c.append(sims[rows, cols])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], np.float64),
+            }
+        )
+
+    return assigned.groupBy("__sem_cluster").applyInPandas(cluster_pairs, schema)
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.9,
+    n_clusters: int = 64,
+    seed: int = 42,
+    centroids: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """Keep one row (min id) per semantic-duplicate cluster plus every row
+    in no pair: semdedup_pairs -> connected components -> keeper filter
+    (the embedding-space sibling of dedup_corpus's text pipeline)."""
+    from cuckoofilter4j_spark.functions.cluster import dedup_by_pairs
+
+    pairs = semdedup_pairs(
+        corpus,
+        id_col,
+        vec_col,
+        min_cosine=min_cosine,
+        n_clusters=n_clusters,
+        seed=seed,
+        centroids=centroids,
+    )
+    return dedup_by_pairs(corpus, pairs, id_col)

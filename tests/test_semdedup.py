@@ -1,0 +1,101 @@
+"""SemDeDup-style cluster-scoped embedding dedup (functions/similarity.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import semdedup, semdedup_pairs
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+def _with_copies(emb, n=50, offset=10_000, scale=2.0):
+    scaled = emb.filter(F.col("vec_id") < n).select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(scale).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(scaled)
+
+
+def test_planted_pairs_found_exactly(spark, emb):
+    """Positive-scaled copies (exact same direction — normalization is
+    bit-exact for power-of-two scales) must pair with their originals at
+    cosine ~1; nothing else in this corpus reaches 0.9."""
+    both = _with_copies(emb, n=50)
+    pairs = semdedup_pairs(
+        both, "vec_id", "embedding", min_cosine=0.9, n_clusters=8, seed=7
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(i, i + 10_000) for i in range(50)}
+    assert all(r["cosine"] > 0.999999 for r in pairs)
+
+
+def test_kept_set_is_originals(spark, emb):
+    both = _with_copies(emb, n=50)
+    kept = semdedup(
+        both, "vec_id", "embedding", min_cosine=0.9, n_clusters=8, seed=7
+    )
+    ids = sorted(r["vec_id"] for r in kept.select("vec_id").collect())
+    assert ids == sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+
+
+def test_blocked_equals_unblocked(spark, emb):
+    """The blocked matmul is an implementation detail: block=3 (forcing
+    many partial blocks) and block=10^6 (single block) emit identical
+    pair sets with identical cosines."""
+    both = _with_copies(emb, n=20)
+    a = semdedup_pairs(
+        both, "vec_id", "embedding", min_cosine=0.9, n_clusters=4, seed=7, block=3
+    ).collect()
+    b = semdedup_pairs(
+        both, "vec_id", "embedding", min_cosine=0.9, n_clusters=4, seed=7,
+        block=1_000_000,
+    ).collect()
+    ka = {(r["id_a"], r["id_b"]): r["cosine"] for r in a}
+    kb = {(r["id_a"], r["id_b"]): r["cosine"] for r in b}
+    assert ka.keys() == kb.keys()
+    # different BLAS block shapes may differ in the last ulp, never more
+    for k in ka:
+        assert ka[k] == pytest.approx(kb[k], abs=1e-12)
+
+
+def test_no_pairs_below_threshold(spark, emb):
+    """On the raw corpus (max ambient cosine ~0.51 at this SF) a 0.9
+    threshold yields zero pairs regardless of clustering."""
+    pairs = semdedup_pairs(
+        emb, "vec_id", "embedding", min_cosine=0.9, n_clusters=4, seed=7
+    )
+    assert pairs.count() == 0
+
+
+def test_transitive_cluster_keeps_min(spark, emb):
+    """Two copies of the same original form a 3-clique; exactly the min id
+    survives."""
+    both = _with_copies(_with_copies(emb, n=10, offset=10_000), n=10, offset=20_000)
+    kept = semdedup(
+        both, "vec_id", "embedding", min_cosine=0.9, n_clusters=4, seed=7
+    )
+    ids = set(r["vec_id"] for r in kept.select("vec_id").collect())
+    assert all(i in ids for i in range(10))
+    assert not any(i + 10_000 in ids or i + 20_000 in ids for i in range(10))
+
+
+def test_precomputed_centroids_skip_training(spark, emb):
+    rng = np.random.default_rng(0)
+    cent = rng.normal(size=(6, 64))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    both = _with_copies(emb, n=5)
+    pairs = semdedup_pairs(
+        both, "vec_id", "embedding", min_cosine=0.9, centroids=cent
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (i, i + 10_000) for i in range(5)
+    }
