@@ -1634,6 +1634,28 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.py normalize_text — the
+    library's designed Arrow-batched Pandas-UDF exception; Catalyst has no
+    normalization builtin). Fixture decomposes every 'e' into
+    'e'+COMBINING ACUTE in BOTH engines; the query pins the codepoint
+    count before/after and the normalized text byte-for-byte via md5
+    against DuckDB's utf8proc nfc_normalize (Unicode's stability policy
+    makes the two implementations agree on assigned codepoints)."""
+    from cuckoofilter4j_spark.functions import normalize_text
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", "e", "e\u0301").alias("t")
+    )
+    n = normalize_text("t", "NFC")
+    return d.select(
+        "doc_id",
+        F.length("t").alias("n_chars_raw"),
+        F.length(n).alias("n_chars_nfc"),
+        F.md5(n).alias("nfc_md5"),
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cluster-scoped embedding dedup (similarity.py
     semdedup): spherical k-means scopes the pairwise pass, exact cosine
@@ -1751,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "semdedup_kept": q_semdedup,
+        "unicode_nfc": q_unicode_nfc,
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
@@ -2110,6 +2133,18 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, url, url_canon FROM canon",
         "url_dedup": _URL_CANON_SQL
         + "SELECT url_canon, min(doc_id) AS keeper_id FROM canon GROUP BY url_canon",
+        "unicode_nfc": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(text, 'e', 'e' || chr(769), 'g') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   length(t) AS n_chars_raw,
+                   length(nfc_normalize(t)) AS n_chars_nfc,
+                   md5(nfc_normalize(t)) AS nfc_md5
+            FROM d
+        """,
         # full-N^2 recomputation: exact cosine edges + transitive closure
         "semdedup_kept": """
             WITH RECURSIVE corpus AS (

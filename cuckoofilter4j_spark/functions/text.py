@@ -396,3 +396,43 @@ def gopher_quality_filter(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumns({"__g": F.struct(*flags)}).filter(
         F.col("__g.gopher_ok")
     ).drop("__g")
+
+
+_UNICODE_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def normalize_text(col, form: str = "NFC") -> Column:
+    """Unicode normalization of a string column.
+
+    Catalyst has no normalization builtin, so this is the library's
+    designed Pandas-UDF exception: one Arrow-batched vectorized UDF
+    (pandas ``Series.str.normalize``), never a row-at-a-time Python UDF.
+    Mixed-script web text MUST be normalized before hashing-based dedup or
+    n-gram contamination — 'café' composed and decomposed are different
+    byte strings but the same text, and every sha/MinHash/shingle pipeline
+    upstream of this call would treat them as distinct documents.
+
+    `form` is one of NFC/NFD/NFKC/NFKD (NFC is the web canonical form and
+    the one DuckDB can cross-check; the K forms additionally fold
+    compatibility characters such as ligatures and fullwidth digits).
+    Nulls pass through. Output is deterministic: Unicode's normalization
+    stability policy pins the result for all assigned codepoints.
+
+    100 TB shape: scan-local projection — no shuffle, no driver data; the
+    Arrow boundary is the only cost (pair this column with the rest of a
+    projection so the corpus crosses it once).
+    """
+    if form not in _UNICODE_FORMS:
+        raise ValueError(f"form must be one of {_UNICODE_FORMS}, got {form!r}")
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_fn(s):
+        return s.str.normalize(form)
+
+    # module-level `from __future__ import annotations` stringifies hints,
+    # which pandas_udf's signature inference cannot resolve — attach real
+    # type objects instead
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+    return _norm(F.col(col) if isinstance(col, str) else col)

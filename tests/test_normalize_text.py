@@ -1,0 +1,65 @@
+"""Unicode normalization (functions/text.py normalize_text)."""
+
+import unicodedata
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import normalize_text
+
+CASES = [
+    "café",          # decomposed acute -> composed under NFC
+    "café",           # already composed
+    "ﬁle",            # fi ligature: kept by NFC, folded by NFKC
+    "１２three",   # fullwidth digits: folded by NFKC
+    "ḍ̇",        # d-dot-above + dot-below: reordering case
+    "각",  # hangul jamo -> syllable under NFC
+    "plain ascii",
+    "",
+]
+
+
+@pytest.mark.parametrize("form", ["NFC", "NFD", "NFKC", "NFKD"])
+def test_matches_unicodedata(spark, form):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CASES)], "i long, t string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_text("t", form).alias("n")).collect()
+    }
+    for i, t in enumerate(CASES):
+        assert got[i] == unicodedata.normalize(form, t), (form, t)
+
+
+def test_null_passthrough(spark):
+    df = spark.createDataFrame([(None,)], "t string")
+    assert df.select(normalize_text("t").alias("n")).first()["n"] is None
+
+
+def test_idempotent(spark):
+    df = spark.createDataFrame([(t,) for t in CASES], "t string")
+    rows = (
+        df.select(normalize_text("t").alias("n1"))
+        .select("n1", normalize_text("n1").alias("n2"))
+        .collect()
+    )
+    for r in rows:
+        assert r["n1"] == r["n2"]
+
+
+def test_bad_form_rejected(spark):
+    with pytest.raises(ValueError):
+        normalize_text("t", "NFX")
+
+
+def test_arrow_batched_not_row_udf(spark):
+    """The one designed Python crossing: ArrowEvalPython (vectorized), never
+    BatchEvalPython (row-at-a-time)."""
+    df = spark.createDataFrame([("x",)], "t string")
+    plan = (
+        df.select(normalize_text("t").alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
