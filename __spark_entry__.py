@@ -1634,6 +1634,36 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedupe_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line removal (functions/text.py
+    dedupe_lines): boilerplate collapse keeping first-occurrence order,
+    pure Catalyst (split + array_distinct + rejoin). Fixture rebuilds each
+    doc as a 5-line page with a repeated first line and a doubled footer;
+    the cleaned text is pinned byte-for-byte (md5) against a DuckDB
+    min-ordinal + ordered-string_agg recomputation, plus line counts
+    before/after."""
+    from cuckoofilter4j_spark.functions import dedupe_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.substring("text", 41, 40),
+            F.substring("text", 1, 40),
+            F.lit("end"),
+            F.lit("end"),
+        ).alias("page"),
+    )
+    d = d.withColumn("clean", dedupe_lines("page"))
+    return d.select(
+        "doc_id",
+        F.size(F.split("page", "\n")).alias("n_lines_raw"),
+        F.size(F.split("clean", "\n")).alias("n_lines_clean"),
+        F.md5("clean").alias("clean_md5"),
+    )
+
+
 def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (functions/text.py normalize_text — the
     library's designed Arrow-batched Pandas-UDF exception; Catalyst has no
@@ -1774,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "semdedup_kept": q_semdedup,
         "unicode_nfc": q_unicode_nfc,
+        "dedupe_lines": q_dedupe_lines,
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
@@ -2133,6 +2164,31 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, url, url_canon FROM canon",
         "url_dedup": _URL_CANON_SQL
         + "SELECT url_canon, min(doc_id) AS keeper_id FROM canon GROUP BY url_canon",
+        "dedupe_lines": """
+            WITH p AS (
+              SELECT doc_id,
+                     substr(text, 1, 40) || chr(10) || substr(text, 41, 40)
+                     || chr(10) || substr(text, 1, 40) || chr(10) || 'end'
+                     || chr(10) || 'end' AS page
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     unnest(str_split(page, chr(10))) AS line,
+                     unnest(range(1, len(str_split(page, chr(10))) + 1)) AS ord
+              FROM p
+            ),
+            f AS (SELECT doc_id, line, min(ord) AS fo FROM e GROUP BY doc_id, line),
+            c AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY fo) AS clean
+              FROM f GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   len(str_split(p.page, chr(10))) AS n_lines_raw,
+                   len(str_split(c.clean, chr(10))) AS n_lines_clean,
+                   md5(c.clean) AS clean_md5
+            FROM p JOIN c USING (doc_id)
+        """,
         "unicode_nfc": """
             WITH d AS (
               SELECT doc_id,

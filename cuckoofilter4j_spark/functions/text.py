@@ -436,3 +436,19 @@ def normalize_text(col, form: str = "NFC") -> Column:
     _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _norm = pandas_udf(_norm_fn, "string")
     return _norm(F.col(col) if isinstance(col, str) else col)
+
+
+def dedupe_lines(col, sep: str = "\n") -> Column:
+    """Remove duplicate lines (or paragraphs — pass ``sep="\\n\\n"``)
+    WITHIN a document, keeping the first occurrence of each in order: the
+    boilerplate-collapse pass (repeated nav bars, cookie banners, footer
+    blocks) that runs before corpus-level dedup in a web pipeline.
+
+    Pure Catalyst: split on the literal separator (``\\Q…\\E``-quoted so
+    regex metacharacters in `sep` stay literal), `array_distinct` (which
+    preserves first-occurrence order), rejoin. Scan-local projection —
+    no shuffle, no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, "\\Q" + sep + "\\E")
+    return F.array_join(F.array_distinct(parts), sep)

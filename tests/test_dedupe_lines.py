@@ -1,0 +1,46 @@
+"""Within-document duplicate-line removal (functions/text.py dedupe_lines)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import dedupe_lines
+
+
+def _run(spark, texts, **kw):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    rows = df.select("i", dedupe_lines("t", **kw).alias("c")).collect()
+    return [r["c"] for r in sorted(rows, key=lambda r: r["i"])]
+
+
+def test_first_occurrence_order(spark):
+    assert _run(spark, ["b\na\nb\nc\na"]) == ["b\na\nc"]
+
+
+def test_no_dups_unchanged(spark):
+    assert _run(spark, ["x\ny\nz", "single"]) == ["x\ny\nz", "single"]
+
+
+def test_empty_lines_collapse_to_one(spark):
+    # consecutive separators produce empty lines; the first is kept
+    assert _run(spark, ["a\n\nb\n\nc"]) == ["a\n\nb\nc"]
+
+
+def test_paragraph_separator(spark):
+    t = "para one\n\npara two\n\npara one"
+    assert _run(spark, [t], sep="\n\n") == ["para one\n\npara two"]
+
+
+def test_regex_metachar_separator_is_literal(spark):
+    # '|' would match everywhere as a regex; \Q..\E quoting keeps it literal
+    assert _run(spark, ["a|b|a|c"], sep="|") == ["a|b|c"]
+
+
+def test_plan_pure_catalyst(spark):
+    df = spark.createDataFrame([("a\nb",)], "t string")
+    plan = (
+        df.select(dedupe_lines("t").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "Exchange" not in plan
