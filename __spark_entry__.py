@@ -1634,6 +1634,24 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (functions/packing.py): per-language bins of
+    512 whitespace tokens, docs in ascending id order — the training-batch
+    assembly pass. The DuckDB oracle replays the greedy automaton
+    transition-for-transition as a recursive CTE (row_number chain per
+    lang), so every (bin_id, bin_offset, oversize) is value-pinned."""
+    from cuckoofilter4j_spark.functions import pack_sequences
+    from cuckoofilter4j_spark.functions import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(d, "doc_id", "n_tokens", 512, group_cols=["lang"])
+    return packed.select(
+        "lang", "doc_id", "n_tokens", "bin_id", "bin_offset", "oversize"
+    )
+
+
 def q_dedupe_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document duplicate-line removal (functions/text.py
     dedupe_lines): boilerplate collapse keeping first-occurrence order,
@@ -1805,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_kept": q_semdedup,
         "unicode_nfc": q_unicode_nfc,
         "dedupe_lines": q_dedupe_lines,
+        "pack_sequences": q_pack_sequences,
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
@@ -2164,6 +2183,27 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, url, url_canon FROM canon",
         "url_dedup": _URL_CANON_SQL
         + "SELECT url_canon, min(doc_id) AS keeper_id FROM canon GROUP BY url_canon",
+        "pack_sequences": r"""
+            WITH RECURSIVE d AS (
+              SELECT lang, doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ln,
+                     row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            st AS (
+              SELECT lang, doc_id, ln, rn, CAST(0 AS BIGINT) AS bin, ln AS cum
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.lang, d.doc_id, d.ln, d.rn,
+                     CASE WHEN st.cum + d.ln > 512 THEN st.bin + 1 ELSE st.bin END,
+                     CASE WHEN st.cum + d.ln > 512 THEN d.ln ELSE st.cum + d.ln END
+              FROM st JOIN d ON d.lang = st.lang AND d.rn = st.rn + 1
+            )
+            SELECT lang, doc_id, CAST(ln AS INT) AS n_tokens,
+                   bin AS bin_id, cum - ln AS bin_offset,
+                   ln > 512 AS oversize
+            FROM st
+        """,
         "dedupe_lines": """
             WITH p AS (
               SELECT doc_id,

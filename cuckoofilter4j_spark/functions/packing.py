@@ -1,0 +1,146 @@
+"""Sequence packing: greedy token-budget bin assignment for training-data
+assembly.
+
+LLM training consumes fixed-size context windows; feeding one short
+document per window wastes most of the batch. The standard fix packs
+documents back-to-back into bins of `capacity` tokens (separated by EOS
+at tokenization time — out of scope here) and the packing pass itself is
+a pure metadata computation: every document gets a (bin_id, bin_offset).
+
+Packing is inherently SEQUENTIAL — bin state depends on every earlier
+document — so the distributed shape makes the *group* the unit of
+parallelism: documents are packed independently within each group
+(a language, a source shard, or a synthetic hash shard via
+`with_pack_shard`), in ascending id order, one `applyInPandas` task per
+group. That is also how production pipelines do it: global packing order
+is worthless (the bins are shuffled for training anyway); deterministic
+per-shard packing is what matters, and this one is a pure function of
+(group rows, id order, capacity) — re-runs and backfills reproduce it.
+
+Greedy first-fit-in-order semantics (matches the DuckDB recursive-CTE
+oracle transition-for-transition):
+
+- docs ordered by ascending id within the group
+- running fill `cum`; a doc with `cum + len > capacity` opens a new bin
+- a doc longer than `capacity` occupies a bin alone (flagged `oversize`)
+
+100 TB shape: one shuffle keyed by the group columns; each task holds
+only its group's (id, len) pairs — lengths, not text, if the caller
+projects first (recommended: pack on a two-column frame and join the
+assignment back).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["pack_sequences", "with_pack_shard", "pack_bin_stats"]
+
+
+def with_pack_shard(
+    df: DataFrame, id_col: str, n_shards: int, out_col: str = "pack_shard"
+) -> DataFrame:
+    """Deterministic synthetic pack groups: pack_shard = xxhash64(id) mod
+    n_shards — partitioning-independent, append-stable (new ids land in
+    stable shards), and sized so one shard's metadata fits a task."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return df.withColumn(
+        out_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    capacity: int,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Assign (bin_id, bin_offset, oversize) to every row by greedy
+    in-order packing within each group (see module doc for semantics).
+
+    `len_col` is the token length of the row (compute it with
+    `token_count`/`bpe_token_count` upstream). `bin_id` counts from 0 per
+    group; `bin_offset` is the token offset of the row inside its bin.
+    """
+    import pandas as pd
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    groups: List[str] = list(group_cols) if group_cols else []
+    cap = int(capacity)
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("bin_id", LongType(), False),
+            StructField("bin_offset", LongType(), False),
+            StructField("oversize", BooleanType(), False),
+        ]
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        lens = pdf[len_col].astype("int64")
+        bins, offs = [], []
+        bin_id, cum = 0, 0
+        first = True
+        for ln in lens:
+            ln = int(ln)
+            if first:
+                cum = ln
+                first = False
+            elif cum + ln > cap:
+                bin_id += 1
+                cum = ln
+            else:
+                cum += ln
+            bins.append(bin_id)
+            offs.append(cum - ln)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_offset"] = pd.Series(offs, dtype="int64")
+        pdf["oversize"] = (lens > cap).to_numpy()
+        return pdf
+
+    if groups:
+        return df.groupBy(*groups).applyInPandas(pack, schema)
+    # single global group: explicit, and documented as the non-scale path
+    return pack_sequences(
+        df.withColumn("__g", F.lit(0)), id_col, len_col, cap, ["__g"]
+    ).drop("__g")
+
+
+def pack_bin_stats(
+    packed: DataFrame,
+    len_col: str,
+    capacity: int,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Per-bin fill statistics: n_docs, fill tokens, fill_frac, waste —
+    the packing-efficiency report (one tiny groupBy over the metadata)."""
+    groups = list(group_cols) if group_cols else []
+    return (
+        packed.groupBy(*groups, "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(len_col).alias("fill_tokens"),
+        )
+        .withColumn(
+            "fill_frac",
+            F.round(F.col("fill_tokens") / F.lit(int(capacity)), 6),
+        )
+        .withColumn(
+            "waste_tokens",
+            F.greatest(F.lit(int(capacity)) - F.col("fill_tokens"), F.lit(0)),
+        )
+    )

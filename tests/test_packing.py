@@ -1,0 +1,105 @@
+"""Greedy sequence packing (functions/packing.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import (
+    pack_bin_stats,
+    pack_sequences,
+    with_pack_shard,
+)
+
+
+def _pack(spark, rows, capacity, groups=None):
+    df = spark.createDataFrame(rows, "g string, id long, ln long")
+    out = pack_sequences(df, "id", "ln", capacity, group_cols=groups)
+    return {
+        (r["g"], r["id"]): (r["bin_id"], r["bin_offset"], r["oversize"])
+        for r in out.collect()
+    }
+
+
+def test_greedy_reference(spark):
+    rows = [("a", 1, 30), ("a", 2, 40), ("a", 3, 40), ("a", 4, 100), ("a", 5, 10)]
+    got = _pack(spark, rows, 100, groups=["g"])
+    # 30+40=70 fits; +40 would be 110 -> bin 1; 40+100>100 -> bin 2; +10>?? 100+10>100 -> bin 3
+    assert got == {
+        ("a", 1): (0, 0, False),
+        ("a", 2): (0, 30, False),
+        ("a", 3): (1, 0, False),
+        ("a", 4): (2, 0, False),
+        ("a", 5): (3, 0, False),
+    }
+
+
+def test_oversize_doc_gets_own_bin(spark):
+    rows = [("a", 1, 150), ("a", 2, 20), ("a", 3, 150)]
+    got = _pack(spark, rows, 100, groups=["g"])
+    assert got[("a", 1)] == (0, 0, True)
+    assert got[("a", 2)] == (1, 0, False)
+    assert got[("a", 3)] == (2, 0, True)
+
+
+def test_groups_pack_independently(spark):
+    rows = [("a", 1, 60), ("b", 2, 60), ("a", 3, 60), ("b", 4, 60)]
+    got = _pack(spark, rows, 100, groups=["g"])
+    assert got[("a", 1)][0] == 0 and got[("a", 3)][0] == 1
+    assert got[("b", 2)][0] == 0 and got[("b", 4)][0] == 1
+
+
+def test_order_is_by_id_not_input_order(spark):
+    rows = [("a", 3, 60), ("a", 1, 60), ("a", 2, 60)]
+    got = _pack(spark, rows, 120, groups=["g"])
+    # id order 1,2,3: 60+60 fits, 3rd opens bin 1
+    assert got[("a", 1)] == (0, 0, False)
+    assert got[("a", 2)] == (0, 60, False)
+    assert got[("a", 3)] == (1, 0, False)
+
+
+def test_global_group_path(spark):
+    df = spark.createDataFrame([(1, 70), (2, 70)], "id long, ln long")
+    out = pack_sequences(df, "id", "ln", 100).collect()
+    assert {(r["id"], r["bin_id"]) for r in out} == {(1, 0), (2, 1)}
+    assert "__g" not in pack_sequences(df, "id", "ln", 100).columns
+
+
+def test_partitioning_invariance(spark):
+    rows = [("a", i, 10 + (i % 7)) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "g string, id long, ln long").repartition(1)
+    df8 = spark.createDataFrame(rows, "g string, id long, ln long").repartition(8)
+    r1 = sorted(
+        (r["id"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(df1, "id", "ln", 64, ["g"]).collect()
+    )
+    r8 = sorted(
+        (r["id"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(df8, "id", "ln", 64, ["g"]).collect()
+    )
+    assert r1 == r8
+
+
+def test_bin_stats(spark):
+    rows = [("a", 1, 30), ("a", 2, 40), ("a", 3, 40)]
+    df = spark.createDataFrame(rows, "g string, id long, ln long")
+    packed = pack_sequences(df, "id", "ln", 100, ["g"])
+    stats = {
+        r["bin_id"]: (r["n_docs"], r["fill_tokens"], r["waste_tokens"])
+        for r in pack_bin_stats(packed, "ln", 100, ["g"]).collect()
+    }
+    assert stats == {0: (2, 70, 30), 1: (1, 40, 60)}
+
+
+def test_pack_shard_deterministic_and_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    a = {r["id"]: r["pack_shard"] for r in with_pack_shard(df, "id", 8).collect()}
+    b = {r["id"]: r["pack_shard"] for r in with_pack_shard(df.repartition(5), "id", 8).collect()}
+    assert a == b
+    assert all(0 <= v < 8 for v in a.values())
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, 1)], "id long, ln long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, "id", "ln", 0)
+    with pytest.raises(ValueError):
+        with_pack_shard(df, "id", 0)
