@@ -1634,6 +1634,29 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (functions/scoring.py): top-3 terms per
+    document by smoothed TF-IDF (sklearn idf formula), score rounded to 6
+    decimals BEFORE ranking with term-ascending tie-breaks so the ranking
+    is engine-reproducible. Corpus shuffles once (tf counts); the
+    vocab-row document-frequency table broadcasts back."""
+    from cuckoofilter4j_spark.functions import tfidf_top_terms
+
+    out = tfidf_top_terms(_docs(spark, sf_dir), "text", "doc_id", k=3)
+    return out.select("doc_id", "term", "tf", "df_t", "score", "rank")
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM scoring (functions/scoring.py): mean
+    ln(count(term)/total) of each doc under the corpus's own unigram
+    distribution — the quality signal whose low tail is gibberish/OCR
+    noise. Value-pinned to 6 decimals against DuckDB's identical
+    formula."""
+    from cuckoofilter4j_spark.functions import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir), "text", "doc_id")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing (functions/packing.py): per-language bins of
     512 whitespace tokens, docs in ascending id order — the training-batch
@@ -1824,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": q_unicode_nfc,
         "dedupe_lines": q_dedupe_lines,
         "pack_sequences": q_pack_sequences,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "unigram_logprob": q_unigram_logprob,
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
@@ -2183,6 +2208,45 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, url, url_canon FROM canon",
         "url_dedup": _URL_CANON_SQL
         + "SELECT url_canon, min(doc_id) AS keeper_id FROM canon GROUP BY url_canon",
+        "tfidf_top_terms": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+            dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM t GROUP BY term),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dft.df_t,
+                     round(tf.tf * (ln((n.n + 1) / (dft.df_t + 1)) + 1), 6) AS score
+              FROM tf JOIN dft USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, tf, df_t, score, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "unigram_logprob": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+              FROM documents
+            ),
+            lm AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+            tot AS (SELECT COUNT(*) AS tot FROM t),
+            per AS (
+              SELECT t.doc_id, COUNT(*) AS n_terms,
+                     round(avg(ln(lm.c / tot.tot)), 6) AS mean_logprob
+              FROM t JOIN lm USING (term) CROSS JOIN tot
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, coalesce(per.n_terms, 0) AS n_terms, per.mean_logprob
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
         "pack_sequences": r"""
             WITH RECURSIVE d AS (
               SELECT lang, doc_id,

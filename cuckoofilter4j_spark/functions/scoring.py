@@ -1,0 +1,139 @@
+"""Corpus-statistics document scoring: TF-IDF keywords and unigram-LM
+quality scores.
+
+Two classic corpus-level passes a training-data pipeline runs after
+per-document stats (functions/text.py) and before filtering:
+
+- `tfidf_top_terms` — the top-k characteristic terms of every document
+  (keyword extraction / topic tagging / near-dup triage by keyword
+  overlap).
+- `unigram_logprob` — CCNet-style language-model scoring (Wenzek et al.
+  2020 score against an LM; here the LM is the corpus's own unigram
+  distribution, which keeps the operator closed-form and SQL-checkable):
+  documents whose words are globally rare score low — gibberish, OCR
+  noise, wrong-language fragments — and a percentile cut on the score is
+  the quality filter.
+
+Both are pure DataFrame compositions — explode + aggregate + join +
+window — with every arithmetic step expressible verbatim in ANSI SQL, so
+the oracles check values, not just shapes.
+
+100 TB design: the exploded (doc, term) relation is the big intermediate
+— one shuffle to count term frequencies (map-side partial combine does
+the heavy lifting: per-task hash agg collapses repeated terms before the
+exchange). The term-level statistics table (document frequencies /
+unigram counts) is |vocab| rows — tiny next to the corpus — and is
+BROADCAST back for the per-document join, so the corpus itself shuffles
+exactly once. Tokenization is the same lowercase [a-z]+ extraction the
+rest of the text module uses (swap in `bpe_tokens` upstream if you need
+tokenizer-faithful units).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["doc_terms", "tfidf_top_terms", "unigram_logprob"]
+
+
+def doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exploded (id, term) relation: lowercase [a-z]+ word runs, one row
+    per occurrence."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    broadcast_df_table: bool = True,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF.
+
+    score = tf * (ln((N + 1) / (df_t + 1)) + 1)   (sklearn's smooth_idf)
+
+    rounded to 6 decimals BEFORE ranking, ties broken by term ascending —
+    so the ranking is reproducible across engines and runs. Returns
+    (id, term, tf, df_t, score, rank), rank 1..k.
+
+    `broadcast_df_table` broadcasts the |vocab|-row document-frequency
+    table into the per-document join (the 100 TB default); disable it only
+    if the vocabulary genuinely cannot fit an executor.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = doc_terms(df, text_col, id_col)
+    n_docs = df.count()
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_t = terms.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df_t")
+    )
+    if broadcast_df_table:
+        df_t = F.broadcast(df_t)
+    scored = tf.join(df_t, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df_t",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df_t") + 1)) + 1),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Mean unigram log-probability of each document under the corpus's
+    own unigram distribution: mean_t ln(count(t) / total_tokens).
+
+    Low scorers are documents made of globally-rare words — gibberish,
+    OCR noise, boilerplate in the wrong language — the CCNet-style
+    quality signal. Every corpus word has count >= 1, so the score is
+    total (no OOV smoothing needed for self-scoring; score a DIFFERENT
+    corpus by computing the LM on the reference corpus and add-one
+    smoothing upstream). Returns (id, n_terms, mean_logprob) with the
+    score rounded to 6 decimals; docs with no [a-z]+ runs get NULL.
+
+    The unigram table is |vocab| rows and broadcasts (`broadcast_lm`);
+    the corpus shuffles once for the per-(doc, term) counts.
+    """
+    terms = doc_terms(df, text_col, id_col)
+    lm = terms.groupBy("term").agg(F.count("*").alias("c"))
+    total = terms.count()
+    if broadcast_lm:
+        lm = F.broadcast(lm)
+    per_doc = (
+        terms.join(lm, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(
+                F.avg(F.log(F.col("c") / F.lit(float(total)))), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    # docs with zero word runs fall out of the explode — restore as NULL
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+        "mean_logprob",
+    )

@@ -1,0 +1,93 @@
+"""TF-IDF keywords + unigram-LM scoring (functions/scoring.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import (
+    doc_terms,
+    tfidf_top_terms,
+    unigram_logprob,
+)
+
+DOCS = [
+    (1, "apple apple banana common"),
+    (2, "banana cherry common common"),
+    (3, "zebra common"),
+    (4, ""),  # no word runs
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "id long, t string")
+
+
+def test_doc_terms_explodes_occurrences(spark, docs):
+    rows = doc_terms(docs, "t", "id").collect()
+    assert sum(1 for r in rows if r["id"] == 1 and r["term"] == "apple") == 2
+    assert not any(r["id"] == 4 for r in rows)
+
+
+def test_tfidf_reference_values(spark, docs):
+    out = tfidf_top_terms(docs, "t", "id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append((r["rank"], r["term"], r["score"]))
+    n = 4
+
+    def score(tf, df_t):
+        return round(tf * (math.log((n + 1) / (df_t + 1)) + 1), 6)
+
+    # doc 1: apple tf=2 df=1 -> 2*(ln(5/2)+1); banana tf=1 df=2; common tf=1 df=3
+    assert sorted(by_doc[1]) == [
+        (1, "apple", score(2, 1)),
+        (2, "banana", score(1, 2)),
+    ]
+    # doc 3: zebra (df=1) outranks common (df=3)
+    assert sorted(by_doc[3]) == [
+        (1, "zebra", score(1, 1)),
+        (2, "common", score(1, 3)),
+    ]
+    # empty doc contributes no rows
+    assert 4 not in by_doc
+
+
+def test_tfidf_tie_break_by_term(spark):
+    df = spark.createDataFrame([(1, "beta alpha")], "id long, t string")
+    out = tfidf_top_terms(df, "t", "id", k=2).collect()
+    assert [(r["rank"], r["term"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
+
+
+def test_unigram_logprob_reference(spark, docs):
+    out = {r["id"]: r for r in unigram_logprob(docs, "t", "id").collect()}
+    # corpus: apple 2, banana 2, cherry 1, common 4, zebra 1 -> total 10
+    total = 10.0
+    exp1 = round(
+        (2 * math.log(2 / total) + math.log(2 / total) + math.log(4 / total)) / 4, 6
+    )
+    assert out[1]["n_terms"] == 4
+    assert out[1]["mean_logprob"] == pytest.approx(exp1, abs=2e-6)
+    # rare-word doc scores lower than common-word doc
+    assert out[3]["mean_logprob"] < out[2]["mean_logprob"]
+    # empty doc: present, NULL score
+    assert out[4]["n_terms"] == 0 and out[4]["mean_logprob"] is None
+
+
+def test_lm_table_is_broadcast(spark, docs):
+    plan = (
+        unigram_logprob(docs, "t", "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_validation(spark, docs):
+    with pytest.raises(ValueError):
+        tfidf_top_terms(docs, "t", "id", k=0)
