@@ -1634,6 +1634,32 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout round-trip (sources/layout.py): write the
+    documents table partitioned by lang with a bounded per-directory file
+    count, read it back with a partition filter (directory prune — the
+    100 TB layout contract; PartitionFilters pinned in pytest), and
+    return the pruned rows for exact comparison against the flat table."""
+    import shutil
+    import tempfile
+
+    from cuckoofilter4j_spark.sources import read_partitioned, write_partitioned
+
+    docs = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ckf_layout_q_")
+    try:
+        write_partitioned(docs, base, ["lang"], files_per_partition=2)
+        back = (
+            read_partitioned(spark, base)
+            .filter(F.col("lang").isin("en", "fr"))
+            .select("doc_id", "lang", "n_chars")
+        )
+        rows = back.collect()
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (functions/scoring.py): top-3 terms per
     document by smoothed TF-IDF (sklearn idf formula), score rounded to 6
@@ -1847,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": q_unicode_nfc,
         "dedupe_lines": q_dedupe_lines,
         "pack_sequences": q_pack_sequences,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
         "dedup_corpus": q_dedup_corpus,
@@ -2208,6 +2235,10 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, url, url_canon FROM canon",
         "url_dedup": _URL_CANON_SQL
         + "SELECT url_canon, min(doc_id) AS keeper_id FROM canon GROUP BY url_canon",
+        "partitioned_roundtrip": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang IN ('en', 'fr')
+        """,
         "tfidf_top_terms": """
             WITH t AS (
               SELECT doc_id,

@@ -9,6 +9,11 @@ from cuckoofilter4j_spark.sources.ivf_store import (
     load_ivf_meta,
     save_ivf_index,
 )
+from cuckoofilter4j_spark.sources.layout import (
+    compact_partition,
+    read_partitioned,
+    write_partitioned,
+)
 from cuckoofilter4j_spark.sources.sketch_store import load_sketches, save_sketches, store_meta
 from cuckoofilter4j_spark.sources.source_files import absent_source_files, source_files
 
@@ -35,8 +40,11 @@ __all__ = [
     "TPCH_TABLES",
     "absent_source_files",
     "append_ivf_index",
+    "compact_partition",
     "ivf_staleness",
     "ivf_topk_from_store",
+    "read_partitioned",
+    "write_partitioned",
     "rebuild_ivf_lists",
     "load_ivf_index",
     "load_ivf_meta",

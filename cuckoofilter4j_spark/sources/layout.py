@@ -1,0 +1,111 @@
+"""Partitioned parquet layout: hive-style partitioned writes, pruned
+reads, and small-file compaction.
+
+At 100 TB the table LAYOUT is a first-class operator: a corpus written
+as `path/lang=en/source=web/part-*.parquet` turns every query that
+filters on the partition columns into a directory-listing prune —
+Spark's `PartitionFilters` remove whole directories before a single
+byte of parquet is opened (distinct from parquet row-group
+`PushedFilters`, which still opens files). The two chronic failure
+modes this module addresses:
+
+- **over-partitioning / small files**: one output file per task per
+  partition value; a 2000-task job writing 100 languages emits 200k
+  tiny files. `write_partitioned(files_per_partition=...)` repartitions
+  by the partition columns (plus a salt) first, so each directory gets
+  a bounded file count.
+- **accumulated small files**: streaming/incremental appends leave
+  file litter; `compact_partition` rewrites one partition directory to
+  a target file count without touching its siblings.
+
+Reference scope: the reference library has no storage layer; this module
+is part of the pipeline extension surface and follows the same
+conventions as sources/ivf_store.py (which is itself a list-partitioned
+layout specialized for ANN).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["write_partitioned", "read_partitioned", "compact_partition"]
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+    files_per_partition: Optional[int] = None,
+) -> None:
+    """Write `df` as a hive-partitioned parquet table.
+
+    With `files_per_partition=n`, rows are repartitioned on
+    (partition_cols, salt) with n salt values first, so every partition
+    directory gets AT MOST n data files regardless of upstream task
+    count — the write-side fix for the small-files problem. Without it,
+    the upstream partitioning is preserved (fastest when the producer
+    already clustered by the partition columns).
+    """
+    cols: List[str] = list(partition_cols)
+    if not cols:
+        raise ValueError("partition_cols must be non-empty")
+    out = df
+    if files_per_partition is not None:
+        if files_per_partition < 1:
+            raise ValueError(
+                f"files_per_partition must be >= 1, got {files_per_partition}"
+            )
+        salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(),
+                      F.lit(files_per_partition))
+        out = (
+            df.withColumn("__salt", salt)
+            .repartition(*[F.col(c) for c in cols], F.col("__salt"))
+            .drop("__salt")
+        )
+    out.write.partitionBy(*cols).mode(mode).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a hive-partitioned table; filters on partition columns prune
+    directories (verify with .explain(): PartitionFilters)."""
+    return spark.read.parquet(path)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_values: dict,
+    target_files: int = 1,
+) -> int:
+    """Rewrite ONE partition directory to `target_files` parquet files,
+    leaving sibling partitions untouched (the incremental-append
+    janitor). Returns the row count of the compacted partition.
+
+    Implementation: read only that directory (basePath keeps the
+    partition columns in the schema), rewrite to a temp sibling, swap.
+    The swap is not atomic for concurrent readers — run it in the same
+    maintenance window as any other layout rewrite.
+    """
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
+    if not partition_values:
+        raise ValueError("partition_values must be non-empty")
+    sub = "/".join(f"{k}={v}" for k, v in partition_values.items())
+    part_path = f"{path.rstrip('/')}/{sub}"
+    part = (
+        spark.read.option("basePath", path).parquet(part_path)
+        .drop(*partition_values.keys())
+    )
+    n = part.count()
+    tmp_path = f"{path.rstrip('/')}/__compact_tmp__/{sub}"
+    part.repartition(target_files).write.mode("overwrite").parquet(tmp_path)
+
+    from cuckoofilter4j_spark.sources.fs import delete_path, rename_path
+
+    delete_path(spark, part_path)
+    rename_path(spark, tmp_path, part_path)
+    delete_path(spark, f"{path.rstrip('/')}/__compact_tmp__")
+    return n

@@ -1,0 +1,100 @@
+"""Partitioned parquet layout (sources/layout.py)."""
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.sources import (
+    compact_partition,
+    read_partitioned,
+    write_partitioned,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ckf_layout_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _data_files(path):
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.basename(f).startswith("part-")
+    ]
+
+
+def test_hive_layout_and_roundtrip(spark, tmpdir):
+    docs = spark.read.parquet(DOCS)
+    write_partitioned(docs, tmpdir, ["lang"])
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    dirs = {os.path.basename(p) for p in glob.glob(os.path.join(tmpdir, "lang=*"))}
+    assert dirs == {f"lang={l}" for l in langs}
+    back = read_partitioned(spark, tmpdir)
+    assert back.count() == docs.count()
+    a = sorted(tuple(r) for r in docs.select("doc_id", "lang", "n_chars").collect())
+    b = sorted(tuple(r) for r in back.select("doc_id", "lang", "n_chars").collect())
+    assert a == b
+
+
+def test_partition_pruning_in_plan(spark, tmpdir):
+    docs = spark.read.parquet(DOCS)
+    write_partitioned(docs, tmpdir, ["lang"])
+    back = read_partitioned(spark, tmpdir).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    # the partition predicate must NOT appear as a post-scan Filter
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_files_per_partition_bounds_file_count(spark, tmpdir):
+    docs = spark.read.parquet(DOCS).repartition(16)
+    write_partitioned(docs, tmpdir, ["lang"], files_per_partition=2)
+    for d in glob.glob(os.path.join(tmpdir, "lang=*")):
+        n = len(_data_files(d))
+        assert 1 <= n <= 2, (d, n)
+    back = read_partitioned(spark, tmpdir)
+    assert back.count() == docs.count()
+
+
+def test_compact_partition(spark, tmpdir):
+    docs = spark.read.parquet(DOCS).repartition(8)
+    write_partitioned(docs, tmpdir, ["lang"])
+    en_dir = os.path.join(tmpdir, "lang=en")
+    assert len(_data_files(en_dir)) > 1
+    n_before = spark.read.parquet(DOCS).filter(F.col("lang") == "en").count()
+    other_before = sorted(
+        tuple(r)
+        for r in read_partitioned(spark, tmpdir)
+        .filter(F.col("lang") != "en")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    n = compact_partition(spark, tmpdir, {"lang": "en"}, target_files=1)
+    assert n == n_before
+    assert len(_data_files(en_dir)) == 1
+    back = read_partitioned(spark, tmpdir)
+    assert back.filter(F.col("lang") == "en").count() == n_before
+    other_after = sorted(
+        tuple(r)
+        for r in back.filter(F.col("lang") != "en").select("doc_id", "lang").collect()
+    )
+    assert other_after == other_before
+
+
+def test_validation(spark, tmpdir):
+    docs = spark.read.parquet(DOCS)
+    with pytest.raises(ValueError):
+        write_partitioned(docs, tmpdir, [])
+    with pytest.raises(ValueError):
+        write_partitioned(docs, tmpdir, ["lang"], files_per_partition=0)
+    with pytest.raises(ValueError):
+        compact_partition(spark, tmpdir, {}, target_files=1)
