@@ -1660,6 +1660,101 @@ def q_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_dedupe_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-wide duplicate-line removal (functions/dedup.py
+    dedupe_lines_corpus): C4/RefinedWeb-style boilerplate pass — a line
+    occurring >= 2 times across the whole corpus is dropped everywhere
+    except its globally-first (doc_id, position) occurrence; blank lines
+    are structural and exempt. Fixture rebuilds each doc as a 4-line page
+    with a per-lang header and a global footer, so boilerplate crosses
+    documents. Cleaned text pinned byte-for-byte (md5) vs a DuckDB
+    window + ordered-string_agg recomputation."""
+    from cuckoofilter4j_spark.functions import dedupe_lines_corpus
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("= site header "), F.col("lang"), F.lit(" =")),
+            F.substring("text", 1, 40),
+            F.lit("(c) corpus footer"),
+            F.substring("text", 41, 40),
+        ).alias("page"),
+    )
+    out = dedupe_lines_corpus(d, "page", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_lines_removed",
+        F.md5("page").alias("clean_md5"),
+        F.size(F.split("page", "\n")).alias("n_lines_clean"),
+    )
+
+
+def q_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped corpus selection (functions/sampling.py
+    select_by_budget): keep the highest-quality documents until a 12k
+    token budget is spent — a distributed prefix sum (range partition →
+    per-partition totals → driver prefix → offset window), never a
+    single-partition global window. Kept set + exact running totals
+    pinned against the DuckDB cumulative-window equivalent."""
+    from cuckoofilter4j_spark.functions import (
+        quality_score,
+        select_by_budget,
+        token_count,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        quality_score("text").alias("score"),
+        token_count("text").alias("n_tokens"),
+    )
+    kept = select_by_budget(
+        d, "score", "n_tokens", budget=12000, id_col="doc_id", num_partitions=8
+    )
+    return kept.select("doc_id", "score", "n_tokens", "cum_cost")
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join (sources/layout.py write_bucketed /
+    read_bucketed): write two tables hash-bucketed on doc_id into a
+    temp-location database, join them through the catalog (the layout
+    that makes fact-to-fact joins shuffle-free at 100 TB — the
+    zero-Exchange sort-merge plan is pinned in pytest), and return the
+    joined rows for exact comparison against the flat-table join."""
+    import shutil
+    import tempfile
+
+    from cuckoofilter4j_spark.sources import (
+        database_at,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="ckf_bucket_q_")
+    db = "ckf_gate_buckets"
+    try:
+        database_at(spark, db, loc)
+        write_bucketed(
+            docs.select("doc_id", "lang"), f"{db}.gate_docs", ["doc_id"], 4,
+            sort_cols=["doc_id"],
+        )
+        write_bucketed(
+            docs.select("doc_id", F.length("text").alias("n_text_chars")),
+            f"{db}.gate_stats", ["doc_id"], 4, sort_cols=["doc_id"],
+        )
+        joined = (
+            read_bucketed(spark, f"{db}.gate_docs")
+            .join(read_bucketed(spark, f"{db}.gate_stats"), "doc_id")
+            .where(F.col("n_text_chars") > 0)
+        )
+        rows = joined.collect()
+        return spark.createDataFrame(rows, joined.schema)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (functions/scoring.py): top-3 terms per
     document by smoothed TF-IDF (sklearn idf formula), score rounded to 6
@@ -1874,6 +1969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_lines": q_dedupe_lines,
         "pack_sequences": q_pack_sequences,
         "partitioned_roundtrip": q_partitioned_roundtrip,
+        "bucketed_join": q_bucketed_join,
+        "dedupe_lines_corpus": q_dedupe_lines_corpus,
+        "select_budget": q_select_budget,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
         "dedup_corpus": q_dedup_corpus,
@@ -2238,6 +2336,67 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_roundtrip": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE lang IN ('en', 'fr')
+        """,
+        "bucketed_join": """
+            SELECT doc_id, lang, length(text) AS n_text_chars
+            FROM documents WHERE length(text) > 0
+        """,
+        "dedupe_lines_corpus": """
+            WITH p AS (
+              SELECT doc_id,
+                     '= site header ' || lang || ' =' || chr(10)
+                     || substr(text, 1, 40) || chr(10)
+                     || '(c) corpus footer' || chr(10)
+                     || substr(text, 41, 40) AS page
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     unnest(str_split(page, chr(10))) AS line,
+                     unnest(range(1, len(str_split(page, chr(10))) + 1)) AS ord
+              FROM p
+            ),
+            s AS (
+              SELECT doc_id, line, ord,
+                     count(*) OVER (PARTITION BY line) AS cnt,
+                     row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn
+              FROM e WHERE length(line) >= 1
+            ),
+            kept AS (
+              SELECT doc_id, line, ord FROM s WHERE cnt < 2 OR rn = 1
+              UNION ALL
+              SELECT doc_id, line, ord FROM e WHERE length(line) < 1
+            ),
+            r AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY ord) AS clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   len(str_split(p.page, chr(10))) - coalesce(r.n_kept, 0)
+                     AS n_lines_removed,
+                   md5(coalesce(r.clean, '')) AS clean_md5,
+                   len(str_split(coalesce(r.clean, ''), chr(10))) AS n_lines_clean
+            FROM p LEFT JOIN r ON p.doc_id = r.doc_id
+        """,
+        "select_budget": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     round(least(length(text) / 500.0, 1.0) * 0.4
+                           + greatest(1.0 - ({_PUNCT} / greatest(length(text), 1)) * 5,
+                                      0.0) * 0.3
+                           + least({_N_TOKENS} / 80.0, 1.0) * 0.3, 6) AS score,
+                     {_N_TOKENS} AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, score, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
+              FROM t
+            )
+            SELECT doc_id, score, n_tokens, cum_cost FROM c WHERE cum_cost <= 12000
         """,
         "tfidf_top_terms": """
             WITH t AS (

@@ -695,3 +695,86 @@ def dedup_corpus(
         F.col("id").alias(id_col)
     )
     return survivors.join(dropped, on=id_col, how="left_anti")
+
+
+def dedupe_lines_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+    keep: str = "first",
+    min_count: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """CORPUS-wide duplicate-line removal (the C4 / RefinedWeb boilerplate
+    pass): a line that occurs in >= `min_count` documents-positions across
+    the whole corpus is removed from every document — except, with
+    `keep="first"`, from the globally first occurrence (minimal
+    (id, position)); `keep="none"` drops every occurrence (boilerplate
+    kill). Lines shorter than `min_line_chars` (default: blank lines) are
+    structural, never counted or removed. Complements `dedupe_lines`,
+    which is the WITHIN-document pass (scan-local, no shuffle).
+
+    Returns `df` with `text_col` rebuilt from the kept lines in original
+    order (null text stays null; a fully-boilerplate doc becomes "") plus
+    an exact `n_lines_removed` column.
+
+    100 TB shape: posexplode is scan-local; per-line stats are ONE hash
+    aggregation with map-side partials (a 10^8-copy hot line collapses to
+    one row per map task BEFORE the shuffle — the reason this is a
+    groupBy+join, not a window over partitionBy(line), which would funnel
+    every copy of the hot key into a single task); the stats join is an
+    equi-join on the line with AQE skew-split; the rebuild is one groupBy
+    on the doc id carrying (pos, line) only, then an id-equi-join back to
+    the full rows so wide columns never transit the explode.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    sep_rx = "\\Q" + sep + "\\E"
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("__pos", "__line"),
+    )
+    dup_stats = (
+        lines.filter(F.length("__line") >= min_line_chars)
+        .groupBy("__line")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias(
+                "__first"
+            ),
+        )
+        .filter(F.col("__cnt") >= min_count)
+    )
+    joined = lines.join(dup_stats, on="__line", how="left")
+    keep_cond = F.col("__cnt").isNull()  # short, unique, or sub-threshold
+    if keep == "first":
+        keep_cond = keep_cond | (
+            (F.col(f"__first.i") == F.col(id_col))
+            & (F.col("__first.p") == F.col("__pos"))
+        )
+    kept = joined.filter(keep_cond)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("__clean"),
+        F.count("*").alias("__n_kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), sep_rx))
+    out = df.join(rebuilt, on=id_col, how="left")
+    cleaned = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.coalesce("__clean", F.lit("")))
+    removed = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        n_lines - F.coalesce("__n_kept", F.lit(0))
+    )
+    return out.select(
+        *[cleaned.alias(c) if c == text_col else F.col(c) for c in df.columns],
+        removed.cast("int").alias("n_lines_removed"),
+    )

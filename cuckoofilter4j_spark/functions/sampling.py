@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Mapping, Optional, Sequence, Union
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # unit separator: a concat_ws delimiter that survives both Spark and DuckDB
 # and is vanishingly unlikely inside real key columns
@@ -198,3 +198,86 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def select_by_budget(
+    df: DataFrame,
+    order_col: Union[str, Column],
+    cost_col: Union[str, Column],
+    budget: int,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+    num_partitions: Optional[int] = None,
+    cum_col: str = "cum_cost",
+) -> DataFrame:
+    """Budget-capped corpus selection: order rows by (`order_col`,
+    tie-break `id_col` asc) and keep the maximal prefix whose cumulative
+    `cost_col` stays <= `budget` (inclusive: a row is kept iff the running
+    total THROUGH that row fits). The canonical use: "take the
+    highest-quality documents until the token budget is spent". Returns
+    the kept rows of `df` plus the exact running total in `cum_col`.
+
+    Deterministic and engine-exact: the ordering is total (id tie-break)
+    and `cost_col` is accumulated as Spark long, so the kept set equals
+    `sum(cost) OVER (ORDER BY ...) <= budget` in any SQL engine —
+    pass an integer cost (e.g. a token count), not a float, or
+    accumulation order changes the sums.
+
+    100 TB shape: the naive form — one window over a global ORDER BY —
+    funnels the corpus into a single task. This instead does a
+    distributed prefix sum: (1) `repartitionByRange` on the sort key
+    (Spark's sampled range partitioner — the same machinery as a global
+    sort, so partitions are balanced and ORDERED between each other);
+    (2) per-partition cost totals — P rows — collected to the driver and
+    prefix-summed there; (3) a per-partition window cumsum offset by the
+    partition's prefix via a broadcast map literal. Every stage is
+    bounded by partition size; nothing global ever sits in one task.
+    Early-out: partitions whose prefix already exceeds the budget are
+    skipped entirely by a partition-level filter BEFORE the window.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    cc = F.col(cost_col) if isinstance(cost_col, str) else cost_col
+    sort_keys = [oc.asc() if ascending else oc.desc(), F.col(id_col).asc()]
+    n_parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranged = (
+        df.repartitionByRange(int(n_parts), *sort_keys)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # cache: the range exchange feeds both the totals pass and the window
+    # (on a real cluster prefer persist(DISK_ONLY) — localCheckpoint blocks
+    # die with their executor; correctness survives either way because the
+    # range partitioner's sampling seed is fixed, so a recompute reproduces
+    # the same boundaries)
+    ranged = ranged.localCheckpoint(eager=False)
+    totals = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(cc.cast("long")).alias("t"))
+        .collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    if not prefix:
+        return df.filter(F.lit(False)).withColumn(cum_col, F.lit(0).cast("long"))
+    pairs = []
+    for pid, off in prefix.items():
+        pairs += [F.lit(pid), F.lit(off)]
+    offset = F.element_at(F.create_map(*pairs), F.col("__pid"))
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_keys)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    live = [pid for pid, off in prefix.items() if off <= budget]
+    return (
+        ranged.filter(F.col("__pid").isin(live))
+        .withColumn(cum_col, (offset + F.sum(cc.cast("long")).over(w)).cast("long"))
+        .filter(F.col(cum_col) <= F.lit(budget))
+        .drop("__pid")
+    )

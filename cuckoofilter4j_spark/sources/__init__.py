@@ -11,6 +11,9 @@ from cuckoofilter4j_spark.sources.ivf_store import (
 )
 from cuckoofilter4j_spark.sources.layout import (
     compact_partition,
+    database_at,
+    read_bucketed,
+    write_bucketed,
     read_partitioned,
     write_partitioned,
 )
@@ -41,6 +44,9 @@ __all__ = [
     "absent_source_files",
     "append_ivf_index",
     "compact_partition",
+    "database_at",
+    "read_bucketed",
+    "write_bucketed",
     "ivf_staleness",
     "ivf_topk_from_store",
     "read_partitioned",

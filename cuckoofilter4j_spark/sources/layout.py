@@ -109,3 +109,48 @@ def compact_partition(
     rename_path(spark, tmp_path, part_path)
     delete_path(spark, f"{path.rstrip('/')}/__compact_tmp__")
     return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` as a BUCKETED parquet table (`table` may be
+    `database.name`): rows are hash-clustered into `num_buckets` files per
+    partition on `bucket_cols`, recorded in the catalog. Two tables
+    bucketed the same way join / aggregate on the bucket columns with NO
+    shuffle on either side — at 100 TB this turns the nightly
+    fact-to-fact join from the cluster's largest exchange into a local
+    zip of pre-clustered files. (`sort_cols` additionally sorts within
+    buckets, upgrading sort-merge joins to streamed merges.) Requires a
+    catalog table (bucketing metadata has no path-only form); pair with
+    `database_at` to pin the storage location."""
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed catalog table. The bucketing metadata makes joins /
+    groupBys on the bucket columns shuffle-free when
+    `spark.sql.sources.bucketing.enabled` is true (default); verify with
+    .explain(): no Exchange above either scan."""
+    return spark.table(table)
+
+
+def database_at(spark: SparkSession, name: str, location: str) -> str:
+    """Create (if absent) a database whose tables live under `location`,
+    so bucketed tables can be placed explicitly instead of under the
+    session-global warehouse dir. Returns `name` for chaining."""
+    loc = location.replace("'", "''")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name} LOCATION '{loc}'")
+    return name

@@ -1,0 +1,249 @@
+"""Corpus-wide line dedup (functions/dedup.dedupe_lines_corpus), budget
+selection (functions/sampling.select_by_budget), and bucketed-table layout
+(sources/layout.write_bucketed)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from cuckoofilter4j_spark.functions import dedupe_lines_corpus, select_by_budget
+from cuckoofilter4j_spark.sources import database_at, read_bucketed, write_bucketed
+
+
+# ---------------------------------------------------------------------------
+# dedupe_lines_corpus
+# ---------------------------------------------------------------------------
+
+def _corpus(spark):
+    rows = [
+        Row(doc_id=1, text="HEADER\nalpha one\nFOOTER", lang="en"),
+        Row(doc_id=2, text="HEADER\nbeta two\nFOOTER", lang="en"),
+        Row(doc_id=3, text="HEADER\ngamma three\n\nFOOTER", lang="fr"),
+        Row(doc_id=4, text="unique only\n\n\ndelta four", lang="fr"),
+        Row(doc_id=5, text=None, lang="de"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_keep_first_semantics(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dedupe_lines_corpus(_corpus(spark), "text", "doc_id").collect()
+    }
+    # doc 1 is the global first occurrence of HEADER and FOOTER: keeps both
+    assert out[1]["text"] == "HEADER\nalpha one\nFOOTER"
+    assert out[1]["n_lines_removed"] == 0
+    # docs 2,3 lose both boilerplate lines
+    assert out[2]["text"] == "beta two"
+    assert out[2]["n_lines_removed"] == 2
+    # blank line in doc 3 is structural (len < min_line_chars): kept
+    assert out[3]["text"] == "gamma three\n"
+    assert out[3]["n_lines_removed"] == 2
+    # doc 4 untouched (unique lines + blanks)
+    assert out[4]["text"] == "unique only\n\n\ndelta four"
+    assert out[4]["n_lines_removed"] == 0
+    # null text stays null, zero removed
+    assert out[5]["text"] is None and out[5]["n_lines_removed"] == 0
+
+
+def test_keep_none_kills_all_occurrences(spark):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedupe_lines_corpus(
+            _corpus(spark), "text", "doc_id", keep="none"
+        ).collect()
+    }
+    assert out[1] == "alpha one"
+    assert out[2] == "beta two"
+
+
+def test_fully_boilerplate_doc_becomes_empty(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="X\nY"), Row(doc_id=2, text="X\nY")]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedupe_lines_corpus(df, "text", "doc_id", keep="none").collect()
+    }
+    assert out[1]["text"] == "" and out[1]["n_lines_removed"] == 2
+    assert out[2]["text"] == "" and out[2]["n_lines_removed"] == 2
+
+
+def test_min_count_threshold(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="dup line\nu%d" % i) for i in range(1, 4)]
+    )
+    # min_count=4 > 3 occurrences: nothing removed
+    out = dedupe_lines_corpus(df, "text", "doc_id", min_count=4).collect()
+    assert all(r["n_lines_removed"] == 0 for r in out)
+
+
+def test_partitioning_invariance(spark):
+    df = _corpus(spark)
+    a = sorted(
+        (r["doc_id"], r["text"], r["n_lines_removed"])
+        for r in dedupe_lines_corpus(df, "text", "doc_id").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text"], r["n_lines_removed"])
+        for r in dedupe_lines_corpus(df.repartition(7), "text", "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_validation_lines_corpus(spark):
+    df = _corpus(spark)
+    with pytest.raises(ValueError):
+        dedupe_lines_corpus(df, "text", "doc_id", keep="bogus")
+    with pytest.raises(ValueError):
+        dedupe_lines_corpus(df, "text", "doc_id", min_count=1)
+
+
+# ---------------------------------------------------------------------------
+# select_by_budget
+# ---------------------------------------------------------------------------
+
+def _scored(spark, n=500):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # deterministic pseudo-score with ties across ids
+        (F.pmod(F.col("id") * 37, F.lit(97)) / 97.0).alias("score"),
+        (F.pmod(F.col("id") * 13, F.lit(50)) + 1).alias("n_tokens"),
+    )
+
+
+def test_budget_matches_single_partition_window(spark):
+    df = _scored(spark)
+    budget = 3000
+    got = select_by_budget(df, "score", "n_tokens", budget, id_col="doc_id")
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = (
+        df.withColumn("cum_cost", F.sum(F.col("n_tokens").cast("long")).over(w))
+        .filter(F.col("cum_cost") <= budget)
+    )
+    a = sorted(tuple(r) for r in got.select("doc_id", "cum_cost").collect())
+    b = sorted(tuple(r) for r in ref.select("doc_id", "cum_cost").collect())
+    assert a == b and len(a) > 0
+
+
+def test_budget_inclusive_boundary(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, score=float(10 - i), n_tokens=10) for i in range(5)]
+    )
+    kept = select_by_budget(df, "score", "n_tokens", 30, id_col="doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 2]
+    assert max(r["cum_cost"] for r in kept) == 30
+    # budget smaller than the first row: nothing kept
+    assert select_by_budget(df, "score", "n_tokens", 9, id_col="doc_id").count() == 0
+
+
+def test_budget_partitioning_invariance(spark):
+    df = _scored(spark, 300)
+    a = sorted(
+        tuple(r)
+        for r in select_by_budget(df, "score", "n_tokens", 2000)
+        .select("doc_id", "cum_cost")
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in select_by_budget(
+            df.repartition(11), "score", "n_tokens", 2000, num_partitions=5
+        )
+        .select("doc_id", "cum_cost")
+        .collect()
+    )
+    assert a == b
+
+
+def test_budget_no_single_partition_exchange(spark):
+    got = select_by_budget(_scored(spark), "score", "n_tokens", 3000)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_budget_validation(spark):
+    with pytest.raises(ValueError):
+        select_by_budget(_scored(spark), "score", "n_tokens", -1)
+
+
+def test_budget_empty_input(spark):
+    df = _scored(spark).filter(F.lit(False))
+    assert select_by_budget(df, "score", "n_tokens", 100).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bucketed layout
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def bucket_db(spark):
+    loc = tempfile.mkdtemp(prefix="ckf_bucket_db_")
+    name = "ckf_test_buckets"
+    database_at(spark, name, loc)
+    yield name
+    spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_bucketed_join_no_shuffle(spark, bucket_db):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = docs.select("doc_id", F.length("text").alias("n"))
+    write_bucketed(docs.select("doc_id", "lang"), f"{bucket_db}.docs", ["doc_id"], 4,
+                   sort_cols=["doc_id"])
+    write_bucketed(stats, f"{bucket_db}.stats", ["doc_id"], 4, sort_cols=["doc_id"])
+    a = read_bucketed(spark, f"{bucket_db}.docs")
+    b = read_bucketed(spark, f"{bucket_db}.stats")
+    joined = a.join(b, "doc_id").where(F.col("n") > 0)
+    # at test scale the planner prefers broadcast (which is also shuffle-free
+    # but proves nothing about bucketing) — force the sort-merge path the
+    # bucketed layout exists for, then require zero Exchange of ANY kind
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    # result parity with the plain (shuffled) join
+    exp = sorted(
+        tuple(r)
+        for r in docs.select("doc_id", "lang")
+        .join(stats, "doc_id")
+        .where(F.col("n") > 0)
+        .collect()
+    )
+    got = sorted(tuple(r) for r in joined.select("doc_id", "lang", "n").collect())
+    assert got == exp
+
+
+def test_bucketed_file_count(spark, bucket_db):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    write_bucketed(docs.select("doc_id", "lang"), f"{bucket_db}.fc", ["doc_id"], 4)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {bucket_db}.fc")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    path = loc.replace("file:", "")
+    files = [f for f in os.listdir(path) if f.startswith("part-")]
+    # bucket file names carry the bucket id; distinct buckets <= 4
+    assert len({f.split("_")[-1].split(".")[0] for f in files}) <= 4
+    assert read_bucketed(spark, f"{bucket_db}.fc").count() == docs.count()
+
+
+def test_bucketed_validation(spark, bucket_db):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError):
+        write_bucketed(docs, f"{bucket_db}.bad", ["doc_id"], 0)
+    with pytest.raises(ValueError):
+        write_bucketed(docs, f"{bucket_db}.bad", [], 4)
