@@ -1283,6 +1283,213 @@ def q_ckf_events_stream_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-time operators: sessionization / as-of join / tumbling rollups
+# ---------------------------------------------------------------------------
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h gap) + per-session rollup over events.
+    One shuffle total: the groupBy(user, session_seq) reuses the window's
+    hash partitioning on user_id (pinned in tests/test_events.py).  All
+    arithmetic is int64 microseconds, so the oracle is engine-exact."""
+    from cuckoofilter4j_spark.functions.events import micros_col, session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    st = session_stats(
+        ev, ts_col="ts", key_cols=["user_id"], gap_seconds=21600,
+        order_cols=["event_id"],
+    )
+    return st.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        micros_col(st, "session_start").alias("start_us"),
+        "duration_us",
+    )
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward, inclusive) join: every event enriched with the most
+    recent at-or-before dimension row for its user.  The dimension table is
+    derived deterministically from the events table itself (every 7th event
+    is a 'tier change').  Single shuffle, union+window — no range-join
+    cartesian (pinned in tests/test_events.py); DuckDB's native ASOF JOIN is
+    the oracle."""
+    from cuckoofilter4j_spark.functions.events import asof_join, micros_col
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    dim = ev.filter(F.col("event_id") % 7 == 0).select(
+        "user_id",
+        "ts",
+        (F.col("event_id") % 5).cast("int").alias("tier"),
+        F.col("event_id").alias("dim_event_id"),
+    )
+    out = asof_join(ev, dim, on=["user_id"], left_ts="ts", right_ts="ts")
+    # unmatched events keep NULL payloads (left-outer contract); coalesce to
+    # -1 sentinels so the value compare never sorts int against NULL
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("tier"), F.lit(-1)).alias("tier"),
+        F.coalesce(F.col("dim_event_id"), F.lit(-1)).alias("dim_event_id"),
+        F.coalesce(micros_col(out, "matched_ts"), F.lit(-1)).alias("matched_us"),
+    )
+
+
+def q_tumbling_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned 1-day tumbling rollup per event_type: BIGINT window
+    start + count + order-invariant micro-unit value sum (map-side partials,
+    one shuffle)."""
+    from cuckoofilter4j_spark.functions.events import tumbling_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tumbling_rollup(
+        ev, ts_col="ts", window_seconds=86400, group_cols=["event_type"],
+        value_col="value",
+    )
+
+
+def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window rollup: the events table is replayed as a
+    3-file stream (maxFilesPerTrigger=1, availableNow) through the
+    watermark-capable streaming twin of tumbling_rollup; the final
+    complete-mode memory-sink table must equal the batch rollup exactly.
+    The append-mode watermark semantics (bounded state, late-data drop,
+    one-batch watermark lag) are pinned separately in tests/test_events.py."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from cuckoofilter4j_spark.streaming.windows import windowed_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="ckf_swr_")
+    try:
+        for i in range(3):
+            (ev.filter(F.col("event_id") % 3 == i)
+               .coalesce(1).write.parquet(f"{base}/src/f={i}"))
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src/f=*")
+        )
+        agg = windowed_rollup(
+            stream, ts_col="ts", window_seconds=86400,
+            group_cols=["event_type"], value_col="value",
+        )
+        name = f"swr_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name)
+        # decouple from the memory sink + tmp dir (same discipline as
+        # q_stream_dedup): a driver-collected literal frame cannot recompute
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch x window composition: distinct users per 1-day tumbling
+    window via per-window HLL sketches (ONE aggregation, scan-local
+    partials — the bounded-state alternative to per-window countDistinct
+    at stream scale), each estimate within the published 5-sigma bound of
+    the exact per-window distinct count."""
+    from cuckoofilter4j_spark.functions.events import micros_col
+    from cuckoofilter4j_spark.operators import build_sketch, hll_estimates
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day_us = 86400 * 1_000_000
+    keyed = ev.select(
+        ((micros_col(ev, "ts") / F.lit(day_us)).cast("bigint") * 86400).alias(
+            "window_start_s"
+        ),
+        sha256_key(F.col("user_id").cast("string")).alias("key"),
+    )
+    sk = build_sketch(keyed, "key", "hll", ["window_start_s"], precision=12,
+                      seed=SEED)
+    est = hll_estimates(sk, ["window_start_s"])
+    exact = keyed.groupBy("window_start_s").agg(
+        F.countDistinct("key").alias("__exact")
+    )
+    return est.join(exact, "window_start_s").select(
+        "window_start_s",
+        (
+            F.abs(F.col("estimate") - F.col("__exact"))
+            <= F.greatest(F.col("__exact") * 5 * 1.04 / (2 ** 6), F.lit(3.0))
+        ).alias("within_bound"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 documents per lang by n_chars — run through the SCALE
+    path (method='partial': scan-local per-partition top-k bounds a hot
+    group's window input to k x P rows), which is row-identical to the
+    window path under the (n_chars, doc_id) total order."""
+    from cuckoofilter4j_spark.functions.ranking import topk_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = topk_per_group(
+        docs, ["lang"], "n_chars", k=5, tiebreak_cols=["doc_id"],
+        method="partial",
+    )
+    return out.select("lang", "doc_id", "n_chars", "rank")
+
+
+def q_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang CDF normalization of n_chars (cume_dist semantics), exact
+    window path; the shuffle-free KLL-sketch path is bound-checked against
+    this in q_percentile_sketch_bound and tests/test_ranking.py."""
+    from cuckoofilter4j_spark.functions.ranking import percentile_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return percentile_rank(docs, "n_chars", ["lang"], method="exact").select(
+        "doc_id", "lang", F.round("pct", 6).alias("pct")
+    )
+
+
+def q_percentile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch scale path vs the exact path, per document: the KLL CDF
+    estimate must sit within the sketch's published normalized rank-error
+    bound (3/k conservative) of the exact cume_dist — a deterministic
+    guarantee (seeded sketch), so every flag is TRUE."""
+    from cuckoofilter4j_spark.functions.ranking import percentile_rank
+    from cuckoofilter4j_spark.sketches.kll import KllSketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    exact = percentile_rank(docs, "n_chars", ["lang"], method="exact").select(
+        "doc_id", F.col("pct").alias("pct_exact")
+    )
+    approx = percentile_rank(
+        docs, "n_chars", ["lang"], method="sketch", k=200
+    ).select("doc_id", F.col("pct").alias("pct_sketch"))
+    bound = KllSketch(k=200).rank_error()
+    return exact.join(approx, "doc_id").select(
+        "doc_id",
+        (F.abs(F.col("pct_exact") - F.col("pct_sketch")) <= F.lit(bound)).alias(
+            "within_bound"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sibling mergeable sketches (north rule family: Bloom / HLL / CMS / KLL)
 # ---------------------------------------------------------------------------
 
@@ -1940,6 +2147,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_xxhash_build": q_ckf_xxhash_build,
         "ckf_catalyst_fingerprints": q_ckf_catalyst_fingerprints,
         "ckf_events_stream_keys": q_ckf_events_stream_keys,
+        "sessionize_events": q_sessionize_events,
+        "asof_join_events": q_asof_join_events,
+        "tumbling_rollup_events": q_tumbling_rollup_events,
+        "stream_window_rollup": q_stream_window_rollup,
+        "window_distinct_users": q_window_distinct_users,
+        "topk_per_group": q_topk_per_group,
+        "percentile_rank": q_percentile_rank,
+        "percentile_sketch_bound": q_percentile_sketch_bound,
         "ckf_merge_invariance": q_ckf_merge_invariance,
         "ckf_pruned_join": q_ckf_pruned_join,
         "ckf_checkpoint_resume": q_ckf_checkpoint_resume,
@@ -2229,6 +2444,88 @@ def oracle_sql() -> dict[str, str]:
         "ckf_xxhash_build": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
         "ckf_catalyst_fingerprints": "SELECT CAST(count(*) AS BIGINT) AS n_probed, CAST(count(*) AS BIGINT) AS n_found FROM documents",
         "ckf_events_stream_keys": "SELECT event_type, count(*) AS n_events, count(*) AS n_found FROM events GROUP BY event_type",
+        # 6 h gap sessionization: identical integer-microsecond window logic
+        "sessionize_events": """
+            WITH lagged AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ), flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM lagged
+            ), sess AS (
+              SELECT user_id, ts,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+                   CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+                       AS duration_us
+            FROM sess GROUP BY user_id, session_seq
+        """,
+        # per-window HLL estimates: deterministic seeded sketch, bound holds
+        "window_distinct_users": """
+            SELECT CAST((epoch_us(ts) // 86400000000) * 86400 AS BIGINT)
+                       AS window_start_s,
+                   TRUE AS within_bound
+            FROM events GROUP BY 1
+        """,
+        # the partial (scan-local pre-top-k) path is row-identical to plain
+        # row_number under the (n_chars desc, doc_id) total order
+        "topk_per_group": """
+            SELECT lang, doc_id, n_chars, rank FROM (
+              SELECT lang, doc_id, n_chars,
+                     CAST(row_number() OVER (PARTITION BY lang
+                                             ORDER BY n_chars DESC, doc_id ASC)
+                          AS INT) AS rank
+              FROM documents
+            ) WHERE rank <= 5
+        """,
+        # cume_dist: identical integer inputs -> identical double divisions
+        "percentile_rank": """
+            SELECT doc_id, lang,
+                   round(cume_dist() OVER (PARTITION BY lang
+                                           ORDER BY n_chars ASC), 6) AS pct
+            FROM documents
+        """,
+        # deterministic KLL guarantee: every doc's sketch CDF estimate is
+        # within the published rank-error bound of the exact cume_dist
+        "percentile_sketch_bound": """
+            SELECT doc_id, TRUE AS within_bound FROM documents
+        """,
+        # DuckDB's native ASOF JOIN is the oracle for the union+window form
+        "asof_join_events": """
+            WITH dim AS (
+              SELECT user_id, ts, CAST(event_id % 5 AS INT) AS tier,
+                     event_id AS dim_event_id
+              FROM events WHERE event_id % 7 = 0
+            )
+            SELECT e.event_id, e.user_id,
+                   COALESCE(d.tier, -1) AS tier,
+                   COALESCE(d.dim_event_id, -1) AS dim_event_id,
+                   CAST(COALESCE(epoch_us(d.ts), -1) AS BIGINT) AS matched_us
+            FROM events e ASOF LEFT JOIN dim d
+              ON e.user_id = d.user_id AND e.ts >= d.ts
+        """,
+        # epoch-aligned 1-day windows: floor(epoch_us/day)*day mirrors
+        # F.window's start arithmetic exactly (integer micros)
+        "tumbling_rollup_events": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                       AS value_micro,
+                   CAST((epoch_us(ts) // 86400000000) * 86400 AS BIGINT)
+                       AS window_start_s
+            FROM events
+            GROUP BY event_type, epoch_us(ts) // 86400000000
+        """,
         "ckf_merge_invariance": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
         "ckf_checkpoint_resume": "SELECT lang, count(*) AS n_probed, TRUE AS all_found FROM documents GROUP BY lang",
         # byte-identity and the 5-sigma flag are the sketch's deterministic
@@ -2789,4 +3086,6 @@ def oracle_sql() -> dict[str, str]:
         FROM range(64)
     """
     out["ann_topk_vectorized"] = out["ann_topk"]  # identical result contract
+    # the streaming complete-mode rollup's final table IS the batch rollup
+    out["stream_window_rollup"] = out["tumbling_rollup_events"]
     return out

@@ -544,6 +544,59 @@ def headline_queries(spark) -> dict:
     return state
 
 
+def event_ops_bench(spark, reps: int = 2) -> dict:
+    """Non-headline section: event-time operator wall times at SF_DIR
+    (sessionization+rollup, as-of join, tumbling rollup).  Separate from the
+    headline suite so BENCH round-over-round headline totals stay
+    comparable; same best-of-interleaved-reps drift defense."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.functions.events import (
+        asof_join,
+        session_stats,
+        tumbling_rollup,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").cache()
+    n = ev.count()
+
+    def b_sessionize(_):
+        _materialize(
+            session_stats(ev, ts_col="ts", key_cols=["user_id"],
+                          gap_seconds=21600, order_cols=["event_id"])
+        )
+
+    def b_asof(_):
+        dim = ev.filter(F.col("event_id") % 7 == 0).select(
+            "user_id", "ts", (F.col("event_id") % 5).cast("int").alias("tier")
+        )
+        _materialize(
+            asof_join(ev.select("event_id", "user_id", "ts"), dim,
+                      on=["user_id"])
+        )
+
+    def b_tumbling(_):
+        _materialize(
+            tumbling_rollup(ev, ts_col="ts", window_seconds=86400,
+                            group_cols=["event_type"], value_col="value")
+        )
+
+    qs = {"sessionize_stats": b_sessionize, "asof_join": b_asof,
+          "tumbling_rollup": b_tumbling}
+    timings: dict = {}
+    for _rep in range(max(1, reps)):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            fn(spark)
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    ev.unpersist()
+    return {"rows": n, "timings_sec": timings,
+            "rows_per_sec": {k: round(n / v, 1) if v else None
+                             for k, v in timings.items()}}
+
+
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--insert-throughput":
         cores, rows = int(sys.argv[2]), int(sys.argv[3])
@@ -560,6 +613,7 @@ def main():
     spark = _session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     state = headline_queries(spark)
+    event_ops = event_ops_bench(spark)
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         ensure_staged(spark, SCALE_ROWS)  # stage at full width, not in a child
         if SCALE_METHOD == "bucketed":
@@ -581,6 +635,7 @@ def main():
             "observed_fpp": round(float(state["observed_fpp"]), 6),
             "configured_fpp": FPP,
         },
+        "event_ops": event_ops,
     }
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):

@@ -1,0 +1,274 @@
+"""Event-time operators: gap sessionization, as-of join, tumbling rollups.
+
+The reference library (CuckooFilter4J) is a membership sketch; a pipeline
+that maintains sketches over an event stream also needs the standard
+event-time reshaping operators around it — sessionization (gap-based
+session assignment), as-of joins (enrich each event with the most recent
+dimension state), and tumbling-window rollups.  These are implemented
+Spark-first:
+
+- ``sessionize`` / ``session_stats``: ONE shuffle on the session key.  The
+  lag + running-sum windows share a single Exchange+Sort, and the follow-up
+  ``groupBy(key, session_seq)`` introduces NO second shuffle because
+  ``HashPartitioning(key)`` already satisfies the clustered distribution of
+  any superset grouping ``(key, session_seq)`` — pinned in tests/test_events.py.
+- ``asof_join``: the classic union + last-non-null-over-window merge.  A
+  naive range join (``l.key = r.key AND r.ts <= l.ts`` + argmax) degenerates
+  into a per-key cartesian at scale; this form is a single shuffle + sort,
+  linear in rows, the same shape as a sort-merge join.  Payloads ride in a
+  struct so a dimension row whose payload columns are genuinely NULL still
+  matches (``last(_, ignorenulls)`` skips nulls — the struct wrapper is
+  non-null per dimension row even when its fields are null).
+- ``tumbling_rollup``: plain Catalyst groupBy over an epoch-aligned window;
+  the streaming variant (with watermarks) lives in
+  cuckoofilter4j_spark.streaming.windows.
+
+Scale caveat (documented, inherent): sessionize and asof_join are
+order-dependent per key, so one pathologically hot key funnels to one task.
+That is fundamental to the semantics (a session is a serial scan of one
+key's timeline); the mitigation at 100 TB is a coarser pre-partition
+(e.g. by (key, month)) when sessions are known not to span the boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import TimestampNTZType
+
+__all__ = [
+    "sessionize",
+    "session_stats",
+    "asof_join",
+    "tumbling_rollup",
+    "micros_col",
+]
+
+
+def _micros_fn(df: DataFrame, ts_col: str):
+    """A Column→Column converter to exact int64 epoch microseconds, matched
+    to ``ts_col``'s type.  ``unix_micros`` rejects TIMESTAMP_NTZ (what Spark 4
+    infers for plain parquet timestamps); for NTZ the naive value is treated
+    as UTC wall time via ``to_utc_timestamp(_, 'UTC')`` — identical micros
+    regardless of the session timezone, so SQL-oracle comparisons against
+    ``epoch_us`` are engine- and timezone-exact."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return lambda c: F.unix_micros(
+            F.to_utc_timestamp(F.col(c) if isinstance(c, str) else c, "UTC")
+        )
+    return lambda c: F.unix_micros(F.col(c) if isinstance(c, str) else c)
+
+
+def micros_col(df: DataFrame, ts_col: str) -> Column:
+    """``ts_col`` as exact int64 epoch microseconds (handles both TIMESTAMP
+    and TIMESTAMP_NTZ, timezone-independently)."""
+    return _micros_fn(df, ts_col)(ts_col)
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    gap_seconds: float = 1800.0,
+    order_cols: Sequence[str] = (),
+    seq_col: str = "session_seq",
+) -> DataFrame:
+    """Assign gap-based sessions per key: a new session starts when the gap
+    to the previous event exceeds ``gap_seconds``.
+
+    Adds ``seq_col`` (1-based session index per key, BIGINT).  Session
+    identity is ``(key_cols..., seq_col)`` — deterministic under any
+    partitioning as long as ``(ts_col, *order_cols)`` is a total order
+    within each key (pass a unique tiebreaker, e.g. the event id, when
+    timestamps can collide).
+
+    All arithmetic is integer microseconds, so results are engine-exact
+    against a SQL oracle.
+    """
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    gap_us = int(round(gap_seconds * 1_000_000))
+    ts_us = micros_col(df, ts_col)
+    lag_w = Window.partitionBy(*keys).orderBy(*order)
+    prev_us = F.lag(ts_us).over(lag_w)
+    new_session = (
+        F.when(prev_us.isNull() | ((ts_us - prev_us) > F.lit(gap_us)), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    run_w = lag_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(seq_col, F.sum(new_session).over(run_w))
+
+
+def session_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    gap_seconds: float = 1800.0,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-session aggregates: event count, start/end, duration.
+
+    One shuffle total: the ``groupBy(key, session_seq)`` reuses the window's
+    hash partitioning on ``key_cols`` (a hash partitioning on a subset of
+    the grouping keys satisfies the clustered distribution), so Catalyst
+    plans no second Exchange — pinned in tests.
+
+    ``duration_us`` is int64 microseconds (engine-exact).
+    """
+    keys = list(key_cols)
+    sess = sessionize(
+        df, ts_col=ts_col, key_cols=keys, gap_seconds=gap_seconds,
+        order_cols=order_cols,
+    )
+    micros = _micros_fn(df, ts_col)
+    return sess.groupBy(*keys, "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (micros(F.max(ts_col)) - micros(F.min(ts_col))).alias("duration_us"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_seconds: Optional[float] = None,
+    matched_ts_col: str = "matched_ts",
+) -> DataFrame:
+    """As-of (nearest-in-time) left join: each ``left`` row is enriched with
+    the payload of the single ``right`` row for the same ``on`` key whose
+    timestamp is the closest at-or-before it (``direction="backward"``) or
+    at-or-after it (``"forward"``).  Unmatched left rows keep NULL payloads
+    (left-outer semantics, row count preserved — exactly one output row per
+    left row, unlike a range join which can fan out).
+
+    Implementation: tag + union both sides, then one
+    ``last(payload, ignorenulls=True)`` running window per key — a single
+    shuffle + sort, linear in |left|+|right|, no per-key cartesian.  At
+    equal timestamps, ``allow_exact_matches`` controls whether the
+    dimension row is visible to the event row (pandas ``merge_asof``
+    naming).  ``tolerance_seconds`` nulls out matches further away than the
+    bound.  Right-side rows must be unique per ``(on..., right_ts)``; at
+    duplicate timestamps the winner would be partition-order dependent, so
+    dedupe first.
+
+    The right side's payload is every column not in ``on`` + ``right_ts``;
+    payload names must not collide with left columns.  The matched right
+    timestamp is exposed as ``matched_ts_col``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = list(on)
+    payload_cols = [c for c in right.columns if c not in keys + [right_ts]]
+    if not payload_cols:
+        raise ValueError("right side has no payload columns besides key + ts")
+    collisions = set(payload_cols) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right payload columns collide with left columns: {sorted(collisions)}; "
+            "rename before joining"
+        )
+    if matched_ts_col in left.columns:
+        raise ValueError(f"left already has a {matched_ts_col!r} column")
+    lt_type = left.schema[left_ts].dataType
+    rt_type = right.schema[right_ts].dataType
+    if lt_type != rt_type:
+        raise ValueError(
+            f"timestamp types differ: left {left_ts}={lt_type}, right "
+            f"{right_ts}={rt_type}; cast one side first (a silent NTZ/TZ "
+            "union coercion would shift instants by the session timezone)"
+        )
+
+    # Tie rank at equal timestamps: the side that must sort FIRST (toward
+    # unbounded-preceding) is the one the running last() may see.
+    #   backward + exact:  dim before event  -> dim 0, event 1
+    #   backward + strict: event before dim  -> dim 2, event 1
+    #   forward flips the time axis (orderBy desc), same tie logic applies.
+    dim_rank = 0 if allow_exact_matches else 2
+    payload = F.struct(
+        *[F.col(c) for c in payload_cols],
+        F.col(right_ts).alias("__matched_ts"),
+    )
+    rt = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        payload.alias("__payload"),
+        F.lit(dim_rank).alias("__rank"),
+    )
+    lt = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__rank"),
+    )
+    u = rt.unionByName(lt, allowMissingColumns=True)
+
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col("__rank").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+    u = u.filter(F.col("__rank") == 1)
+
+    if tolerance_seconds is not None:
+        tol_us = int(round(tolerance_seconds * 1_000_000))
+        micros = _micros_fn(left, left_ts)
+        dist = micros("__ts") - micros(F.col("__m.__matched_ts"))
+        if direction == "forward":
+            dist = -dist
+        u = u.withColumn(
+            "__m", F.when(dist <= F.lit(tol_us), F.col("__m"))
+        )
+
+    left_out = [c for c in left.columns]
+    return u.select(
+        *left_out,
+        *[F.col(f"__m.{c}").alias(c) for c in payload_cols],
+        F.col("__m.__matched_ts").alias(matched_ts_col),
+    )
+
+
+def tumbling_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_seconds: int = 86400,
+    group_cols: Sequence[str] = (),
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Epoch-aligned tumbling-window rollup (batch form).
+
+    Emits ``window_start_s`` (BIGINT unix seconds, epoch-aligned — identical
+    to ``floor(epoch(ts)/W)*W`` so a SQL oracle reproduces it exactly),
+    ``n_events``, and — when ``value_col`` is given — ``value_micro`` as a
+    BIGINT micro-unit sum (order-invariant integer accumulation, unlike a
+    double sum).  Plain hash aggregation: map-side partials, one shuffle.
+
+    The streaming twin (watermarked, bounded state) is
+    ``cuckoofilter4j_spark.streaming.windows.windowed_rollup``.
+    """
+    win = F.window(F.col(ts_col), f"{int(window_seconds)} seconds")
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 1_000_000).cast("bigint")).alias(
+                "value_micro"
+            )
+        )
+    micros = _micros_fn(df, ts_col)  # window.start keeps ts_col's type
+    return (
+        df.groupBy(win.alias("window"), *group_cols)
+        .agg(*aggs)
+        .withColumn(
+            "window_start_s",
+            # exact: window starts are whole multiples of 1e6 micros
+            (micros(F.col("window.start")) / F.lit(1_000_000)).cast("bigint"),
+        )
+        .drop("window")
+    )

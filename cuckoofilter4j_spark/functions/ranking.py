@@ -1,0 +1,168 @@
+"""Per-group ranking operators: top-k selection and percentile (CDF)
+normalization — with sketch-backed scale paths.
+
+- ``topk_per_group``: the exact top-k rows of every group.
+  * ``method="window"``: one ``row_number`` window — one shuffle, but a hot
+    group's ENTIRE row set funnels through one task's sort.
+  * ``method="partial"`` (the 100 TB shape): a scan-local per-partition
+    top-k first (mapInPandas, bounded running state of <= k rows per live
+    group per task), so the window sorts at most k x P rows per group
+    instead of all of them.  With a total order (pass tiebreak cols) the
+    two methods are row-identical — pinned in tests.
+
+- ``percentile_rank``: per-group CDF position of a value column
+  (``cume_dist`` semantics: fraction of the group's rows <= this value —
+  the standard score-normalization step before quality-threshold joins).
+  * ``method="exact"``: one ``cume_dist`` window (sort shuffle per group).
+  * ``method="sketch"`` (the 100 TB shape): per-group KLL sketches (one
+    aggregation, scan-local partials), broadcast to the executors, then a
+    scan-local vectorized rank lookup — NO sort shuffle of the data at
+    all.  |sketch_pct - exact_pct| <= the KLL rank-error bound, pinned in
+    tests against the exact window.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+__all__ = ["topk_per_group", "percentile_rank"]
+
+
+def _order_exprs(order_col, ascending, tiebreak_cols):
+    main = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    return [main] + [F.col(c).asc() for c in tiebreak_cols]
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak_cols: Sequence[str] = (),
+    method: str = "window",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact top-k rows per group, ranked 1..k by ``order_col`` (descending
+    by default), ties broken by ``tiebreak_cols``.
+
+    Determinism requires ``(order_col, *tiebreak_cols)`` to be a total
+    order within each group — pass a unique id as the final tiebreaker.
+
+    ``method="partial"`` prepends a scan-local per-partition top-k (each
+    task keeps a running <= k rows per live group), shrinking the window's
+    input for hot groups from |group| to <= k x num_partitions rows.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if method not in ("window", "partial"):
+        raise ValueError(f"method must be window|partial, got {method!r}")
+    gcols = list(group_cols)
+    tcols = list(tiebreak_cols)
+    src = df
+
+    if method == "partial":
+        schema = df.schema
+        sort_cols = [order_col] + tcols
+        sort_asc = [ascending] + [True] * len(tcols)
+        kk = int(k)
+
+        def local_topk(batches):
+            # running per-group top-k across this partition's batches:
+            # bounded state (<= k rows per live group), one concat+head per
+            # batch — never materializes the partition
+            import pandas as pd
+
+            state: Optional[pd.DataFrame] = None
+            for pdf in batches:
+                cur = pd.concat([state, pdf]) if state is not None else pdf
+                cur = cur.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
+                state = cur.groupby(gcols, sort=False, dropna=False).head(kk)
+            if state is not None and len(state):
+                yield state
+
+        src = df.mapInPandas(local_topk, schema)
+
+    w = Window.partitionBy(*gcols).orderBy(*_order_exprs(order_col, ascending, tcols))
+    out = src.withColumn(rank_col, F.row_number().over(w))
+    return out.filter(F.col(rank_col) <= k)
+
+
+def percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    method: str = "exact",
+    k: int = 200,
+    seed: int = 42,
+    out_col: str = "pct",
+) -> DataFrame:
+    """Per-group CDF position of ``value_col`` (``cume_dist`` semantics:
+    fraction of the group's rows with value <= this row's value).
+
+    ``method="exact"``: one cume_dist window (per-group sort shuffle) —
+    the oracle-exact path.  ``method="sketch"``: per-group KLL sketches
+    built with ONE aggregation (scan-local partials), broadcast, then a
+    scan-local vectorized rank lookup — no sort shuffle anywhere; error is
+    bounded by the sketch's normalized rank error (3/k conservative).
+    """
+    gcols = list(group_cols)
+    if method == "exact":
+        w = Window.partitionBy(*gcols).orderBy(F.col(value_col).asc())
+        return df.withColumn(out_col, F.cume_dist().over(w))
+    if method != "sketch":
+        raise ValueError(f"method must be exact|sketch, got {method!r}")
+
+    from cuckoofilter4j_spark.operators.sketch_build import build_sketch
+    from cuckoofilter4j_spark.sketches.kll import KllSketch
+
+    sk_rows = build_sketch(df, value_col, "kll", gcols, seed=seed, k=k).collect()
+    blobs = {tuple(r[c] for c in gcols): bytes(r["sketch"]) for r in sk_rows}
+    bc = df.sparkSession.sparkContext.broadcast(blobs)
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType(), True)])
+    vcol = value_col
+
+    def rank_map(batches):
+        sketches: dict = {}
+
+        def sk_for(key):
+            if key not in sketches:
+                blob = bc.value.get(key)
+                sketches[key] = KllSketch.from_bytes(blob) if blob is not None else None
+            return sketches[key]
+
+        for pdf in batches:
+            out = pdf.copy()
+            vals = pdf[vcol].to_numpy(dtype=np.float64, na_value=np.nan)
+            pct = np.full(len(pdf), np.nan)
+            if gcols:
+                codes, uniques = _group_codes(pdf, gcols)
+                for gi, key in enumerate(uniques):
+                    sk = sk_for(key)
+                    m = codes == gi
+                    if sk is not None and m.any():
+                        pct[m] = sk.rank_batch(vals[m])
+            else:
+                sk = sk_for(())
+                if sk is not None:
+                    pct = sk.rank_batch(vals)
+            pct[np.isnan(vals)] = np.nan
+            out[out_col] = pct
+            yield out
+
+    return df.mapInPandas(rank_map, schema)
+
+
+def _group_codes(pdf, gcols):
+    """Dictionary-encode the group columns of a pandas batch into one int
+    code per row; returns (codes, list-of-group-key-tuples)."""
+    import pandas as pd
+
+    keys = pd.MultiIndex.from_frame(pdf[gcols])
+    codes, uniques = pd.factorize(keys, sort=False)
+    return codes, [tuple(u) if isinstance(u, tuple) else (u,) for u in uniques]

@@ -93,6 +93,23 @@ class KllSketch:
         vals, wts = self._items_weights()
         return float(wts[vals <= value].sum()) / self.n
 
+    def rank_batch(self, values) -> np.ndarray:
+        """Vectorized ``rank`` over an array (one sort + searchsorted instead
+        of a weight scan per query).  Identical semantics: for each v, the
+        normalized weight of retained items <= v."""
+        v = np.asarray(values, dtype=np.float64).reshape(-1)
+        if self.n == 0:
+            return np.zeros(v.size, dtype=np.float64)
+        vals, wts = self._items_weights()
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        idx = np.searchsorted(vals, v, side="right")
+        out = np.zeros(v.size, dtype=np.float64)
+        nz = idx > 0
+        out[nz] = cum[idx[nz] - 1] / self.n
+        return out
+
     def quantile(self, q: float) -> float:
         if not (0.0 <= q <= 1.0):
             raise ValueError("q must be in [0, 1]")

@@ -5,5 +5,6 @@ from cuckoofilter4j_spark.streaming.incremental import (
     StreamingFilterMaintainer,
     streaming_dedup,
 )
+from cuckoofilter4j_spark.streaming.windows import windowed_rollup
 
-__all__ = ["StreamingFilterMaintainer", "streaming_dedup"]
+__all__ = ["StreamingFilterMaintainer", "streaming_dedup", "windowed_rollup"]

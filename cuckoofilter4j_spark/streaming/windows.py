@@ -1,0 +1,75 @@
+"""Watermarked tumbling-window rollups over a streaming DataFrame.
+
+The batch twin is ``cuckoofilter4j_spark.functions.events.tumbling_rollup``
+(same output columns, engine-exact BIGINT aggregates).  The streaming form
+adds the two things batch doesn't need:
+
+- a WATERMARK (``withWatermark``) so window state is bounded: a window's
+  state is dropped once the watermark (max observed event time − delay)
+  passes its end, and input rows older than the watermark are dropped as
+  late.  Without it, a forever-running stream accumulates one state row per
+  window per group, unbounded.
+- an output mode choice:
+  * ``append`` (default, production shape): a window is emitted exactly once,
+    when the watermark passes its end — the parquet-sink-compatible mode.
+    The final in-flight windows only flush after the watermark moves past
+    them, i.e. after LATER data arrives; a drained test stream must append a
+    far-future flush row (see tests/test_events.py) or accept that the last
+    windows stay in state.
+  * ``complete``: every trigger re-emits all windows (memory sink only —
+    state is never evicted, so only for small window counts).
+
+Watermark semantics pinned in tests: the watermark used while processing
+micro-batch N is computed from data seen through batch N−1 (Spark's
+documented one-batch lag), so flushing ALL windows of a drained file stream
+takes TWO trailing flush batches, and a row arriving after the watermark
+passed its window is dropped (late-data test).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from cuckoofilter4j_spark.functions.events import _micros_fn
+
+__all__ = ["windowed_rollup"]
+
+
+def windowed_rollup(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window_seconds: int = 86400,
+    group_cols: Sequence[str] = (),
+    value_col: Optional[str] = None,
+    watermark_delay_seconds: Optional[int] = None,
+) -> DataFrame:
+    """Streaming tumbling-window rollup; same columns as the batch
+    ``tumbling_rollup`` (``window_start_s``, ``n_events``[, ``value_micro``]).
+
+    ``watermark_delay_seconds`` bounds state (and defines lateness) —
+    required for ``append``-mode sinks; omit it only for ``complete``-mode
+    memory-sink use.
+    """
+    src = stream_df
+    if watermark_delay_seconds is not None:
+        src = src.withWatermark(ts_col, f"{int(watermark_delay_seconds)} seconds")
+    win = F.window(F.col(ts_col), f"{int(window_seconds)} seconds")
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 1_000_000).cast("bigint")).alias(
+                "value_micro"
+            )
+        )
+    micros = _micros_fn(stream_df, ts_col)  # window.start keeps ts_col's type
+    return (
+        src.groupBy(win.alias("window"), *group_cols)
+        .agg(*aggs)
+        .withColumn(
+            "window_start_s",
+            (micros(F.col("window.start")) / F.lit(1_000_000)).cast("bigint"),
+        )
+        .drop("window")
+    )

@@ -1,0 +1,345 @@
+"""Event-time operators: sessionize / session_stats / asof_join /
+tumbling_rollup (+ the streaming windowed_rollup twin).
+
+Correctness is pinned against in-test pure-Python references, partition
+invariance is exercised explicitly, and the scale-critical plan shapes
+(single shuffle for sessionize→stats; single shuffle, no range-join
+cartesian for asof_join) are asserted on the physical plan.
+"""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from cuckoofilter4j_spark.functions.events import (
+    asof_join,
+    session_stats,
+    sessionize,
+    tumbling_rollup,
+)
+from cuckoofilter4j_spark.plans.explain import plan_string, shuffle_count
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def _events_df(spark, rows):
+    """rows: list of (user, seconds_offset, event_id)."""
+    return spark.createDataFrame(
+        [Row(user_id=u, ts=_ts(s), event_id=e) for (u, s, e) in rows],
+        schema="user_id bigint, ts timestamp, event_id bigint",
+    )
+
+
+# ---------------------------------------------------------------- sessionize
+
+SESS_ROWS = [
+    # user 1: gaps 10, 4000, 5, 3601  (gap=3600 -> sessions 1,1,2,2,3)
+    (1, 0, 0),
+    (1, 10, 1),
+    (1, 4010, 2),
+    (1, 4015, 3),
+    (1, 7616, 4),
+    # user 2: single event
+    (2, 50, 5),
+    # user 3: exact-gap boundary: 3600 is NOT > 3600 -> same session
+    (3, 0, 6),
+    (3, 3600, 7),
+    (3, 7201, 8),  # 3601 > 3600 -> new session
+]
+
+SESS_EXPECT = {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 1, 6: 1, 7: 1, 8: 2}
+
+
+def test_sessionize_reference(spark):
+    df = _events_df(spark, SESS_ROWS)
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, gap_seconds=3600, order_cols=["event_id"]).collect()
+    }
+    assert got == SESS_EXPECT
+
+
+def test_sessionize_partition_invariant(spark):
+    df = _events_df(spark, SESS_ROWS)
+    a = sessionize(df.repartition(7), gap_seconds=3600, order_cols=["event_id"])
+    b = sessionize(df.coalesce(1), gap_seconds=3600, order_cols=["event_id"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sessionize_ts_ties_broken_by_order_cols(spark):
+    # two events at the identical timestamp: total order comes from event_id
+    rows = [(1, 0, 0), (1, 0, 1), (1, 9000, 2)]
+    df = _events_df(spark, rows)
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, gap_seconds=3600, order_cols=["event_id"]).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 2}
+
+
+def test_session_stats_values_and_single_shuffle(spark):
+    df = _events_df(spark, SESS_ROWS)
+    stats = session_stats(df, gap_seconds=3600, order_cols=["event_id"])
+    # plan pin BEFORE execution: post-collect explain prints the AQE final
+    # plan AND the initial plan, double-counting the single Exchange.
+    # one Exchange total: the groupBy(user, session_seq) rides the window's
+    # hash partitioning on user (subset-key clustering) — no second shuffle
+    assert shuffle_count(stats) == 1
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_us"])
+        for r in stats.collect()
+    }
+    assert got == {
+        (1, 1): (2, 10_000_000),
+        (1, 2): (2, 5_000_000),
+        (1, 3): (1, 0),
+        (2, 1): (1, 0),
+        (3, 1): (2, 3_600_000_000),
+        (3, 2): (1, 0),
+    }
+
+
+# ----------------------------------------------------------------- asof_join
+
+
+def _dim_df(spark, rows):
+    """rows: (user, seconds_offset, tier)."""
+    return spark.createDataFrame(
+        [Row(user_id=u, ts=_ts(s), tier=t) for (u, s, t) in rows],
+        schema="user_id bigint, ts timestamp, tier string",
+    )
+
+
+ASOF_EVENTS = [
+    (1, 100, 0),   # before any dim row -> null
+    (1, 200, 1),   # exactly at dim ts=200 -> 'silver' (inclusive)
+    (1, 250, 2),   # -> 'silver'
+    (1, 300, 3),   # exactly at dim ts=300 -> 'gold'
+    (1, 9999, 4),  # -> 'gold'
+    (2, 500, 5),   # user 2 has no dim rows -> null
+]
+
+ASOF_DIM = [(1, 200, "silver"), (1, 300, "gold"), (3, 100, "bronze")]
+
+
+def test_asof_backward_inclusive(spark):
+    out = asof_join(
+        _events_df(spark, ASOF_EVENTS), _dim_df(spark, ASOF_DIM), on=["user_id"]
+    )
+    got = {r["event_id"]: (r["tier"], r["matched_ts"]) for r in out.collect()}
+    assert got == {
+        0: (None, None),
+        1: ("silver", _ts(200)),
+        2: ("silver", _ts(200)),
+        3: ("gold", _ts(300)),
+        4: ("gold", _ts(300)),
+        5: (None, None),
+    }
+    assert out.count() == len(ASOF_EVENTS)  # exactly one row per left row
+
+
+def test_asof_backward_strict(spark):
+    out = asof_join(
+        _events_df(spark, ASOF_EVENTS),
+        _dim_df(spark, ASOF_DIM),
+        on=["user_id"],
+        allow_exact_matches=False,
+    )
+    got = {r["event_id"]: r["tier"] for r in out.collect()}
+    # at ts=200 the equal-ts dim row is invisible; at 300 we fall back to silver
+    assert got[1] is None and got[3] == "silver"
+
+
+def test_asof_forward(spark):
+    out = asof_join(
+        _events_df(spark, ASOF_EVENTS),
+        _dim_df(spark, ASOF_DIM),
+        on=["user_id"],
+        direction="forward",
+    )
+    got = {r["event_id"]: r["tier"] for r in out.collect()}
+    assert got == {
+        0: "silver",   # next dim at 200
+        1: "silver",   # inclusive at 200
+        2: "gold",     # next dim at 300
+        3: "gold",
+        4: None,       # nothing after 9999
+        5: None,
+    }
+
+
+def test_asof_tolerance(spark):
+    out = asof_join(
+        _events_df(spark, ASOF_EVENTS),
+        _dim_df(spark, ASOF_DIM),
+        on=["user_id"],
+        tolerance_seconds=100,
+    )
+    got = {r["event_id"]: r["tier"] for r in out.collect()}
+    # event 4 is 9699 s after the gold row -> nulled by the 100 s tolerance
+    assert got[4] is None and got[3] == "gold" and got[2] == "silver"
+
+
+def test_asof_null_payload_field_still_matches(spark):
+    # the most recent dim row has tier=NULL: it must still win (the struct
+    # wrapper is non-null), not be skipped for the older non-null row
+    dim = _dim_df(spark, [(1, 200, "silver")]).unionByName(
+        _events_df(spark, []).sparkSession.createDataFrame(
+            [Row(user_id=1, ts=_ts(300), tier=None)],
+            schema="user_id bigint, ts timestamp, tier string",
+        )
+    )
+    out = asof_join(_events_df(spark, [(1, 400, 0)]), dim, on=["user_id"])
+    r = out.collect()[0]
+    assert r["tier"] is None and r["matched_ts"] == _ts(300)
+
+
+def test_asof_plan_single_shuffle_no_cartesian(spark):
+    out = asof_join(
+        _events_df(spark, ASOF_EVENTS), _dim_df(spark, ASOF_DIM), on=["user_id"]
+    )
+    plan = plan_string(out, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # union + one window: exactly one Exchange on the key
+    assert shuffle_count(out) == 1
+
+
+def test_asof_partition_invariant(spark):
+    ev, dim = _events_df(spark, ASOF_EVENTS), _dim_df(spark, ASOF_DIM)
+    a = asof_join(ev.repartition(5), dim.repartition(3), on=["user_id"])
+    b = asof_join(ev.coalesce(1), dim.coalesce(1), on=["user_id"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_asof_collision_raises(spark):
+    ev = _events_df(spark, ASOF_EVENTS).withColumn("tier", F.lit("x"))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(ev, _dim_df(spark, ASOF_DIM), on=["user_id"])
+
+
+# ---------------------------------------------------------- tumbling rollup
+
+
+def test_tumbling_rollup_batch(spark):
+    rows = [(1, 10, 0), (1, 20, 1), (1, 90, 2), (2, 130, 3)]
+    df = _events_df(spark, rows).withColumn(
+        "value", F.col("event_id").cast("double") + 0.5
+    )
+    out = tumbling_rollup(df, window_seconds=60, value_col="value")
+    got = {r["window_start_s"]: (r["n_events"], r["value_micro"]) for r in out.collect()}
+    base = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == {
+        base: (2, 2_000_000),        # 0.5 + 1.5
+        base + 60: (1, 2_500_000),   # 2.5
+        base + 120: (1, 3_500_000),  # 3.5
+    }
+
+
+# ------------------------------------------------------- streaming rollups
+
+
+def _write_stream_files(spark, tmpdir, batches):
+    """Write each batch (list of rows) to its own file dir with strictly
+    increasing mtimes so FileStreamSource delivers them in order."""
+    src = os.path.join(tmpdir, "src")
+    for i, rows in enumerate(batches):
+        _events_df(spark, rows).withColumn(
+            "value", F.col("event_id").cast("double")
+        ).coalesce(1).write.parquet(os.path.join(src, f"f={i}"))
+    # strictly increasing mtimes, 10 s apart, in batch order
+    t = 1_700_000_000
+    for i in range(len(batches)):
+        d = os.path.join(src, f"f={i}")
+        for name in os.listdir(d):
+            if name.endswith(".parquet"):
+                os.utime(os.path.join(d, name), (t, t))
+        t += 10
+    return src
+
+
+def test_streaming_rollup_complete_equals_batch(spark, tmp_path):
+    from cuckoofilter4j_spark.streaming.windows import windowed_rollup
+
+    rows = [(1, s, i) for i, s in enumerate([10, 20, 3700, 7300, 7400])]
+    src = _write_stream_files(spark, str(tmp_path), [rows[:3], rows[3:]])
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f=*")
+    )
+    agg = windowed_rollup(stream, window_seconds=3600, value_col="value")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wr_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["window_start_s"]: (r["n_events"], r["value_micro"])
+        for r in spark.sql("select * from wr_complete").collect()
+    }
+    batch = tumbling_rollup(
+        _events_df(spark, rows).withColumn("value", F.col("event_id").cast("double")),
+        window_seconds=3600,
+        value_col="value",
+    )
+    want = {
+        r["window_start_s"]: (r["n_events"], r["value_micro"]) for r in batch.collect()
+    }
+    assert got == want and len(want) == 3
+
+
+def test_streaming_rollup_append_watermark_flush_and_late_drop(spark, tmp_path):
+    """Append mode: windows flush only after the watermark passes them (two
+    trailing flush batches needed — the watermark lags one batch), and a row
+    arriving after the watermark passed its window is DROPPED as late."""
+    from cuckoofilter4j_spark.streaming.windows import windowed_rollup
+
+    day = 86400
+    early = [(1, 10, 0), (1, 20, 1)]   # day-0 window
+    jump = [(9, 100 * day, 900)]       # advances max event time to +100d
+    spacer = [(9, 101 * day, 901)]     # batch whose PLUMBED watermark (+99d,
+    #                                    computed from the jump batch — the
+    #                                    watermark lags one batch) flushes day-0
+    late_arrival = [(1, 30, 2)]        # day-0 row arriving when the plumbed
+    #                                    watermark is already +100d -> dropped
+    tail = [(9, 200 * day, 902)]
+    src = _write_stream_files(
+        spark, str(tmp_path), [early, jump, spacer, late_arrival, tail]
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f=*")
+    )
+    agg = windowed_rollup(
+        stream, window_seconds=day, watermark_delay_seconds=day
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.read.parquet(out_dir).collect()
+    base = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    day0 = [r["n_events"] for r in rows if r["window_start_s"] == base]
+    # day-0 window flushed EXACTLY ONCE, with ONLY the two early rows: the
+    # late arrival reached the operator when the plumbed watermark (+100d)
+    # had long passed the window end, so it was dropped — not re-emitted,
+    # not merged
+    assert day0 == [2]
+    # the +200d window's end never passed the watermark: still in state
+    assert all(r["window_start_s"] != base + 200 * day for r in rows)

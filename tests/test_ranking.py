@@ -1,0 +1,143 @@
+"""topk_per_group (window vs scan-local partial parity) and percentile_rank
+(exact cume_dist vs KLL-sketch CDF within the published rank-error bound)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from cuckoofilter4j_spark.functions.ranking import percentile_rank, topk_per_group
+from cuckoofilter4j_spark.plans.explain import plan_string, shuffle_count
+from cuckoofilter4j_spark.sketches.kll import KllSketch
+
+
+def _scores_df(spark, n=500, groups=("a", "b", "c")):
+    # deterministic, collision-free scores: score = (id * 37) % 1009
+    rows = [
+        Row(id=i, grp=groups[i % len(groups)], score=float((i * 37) % 1009))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, schema="id bigint, grp string, score double")
+
+
+# ------------------------------------------------------------ topk_per_group
+
+
+def test_topk_window_reference(spark):
+    df = _scores_df(spark, 60)
+    out = topk_per_group(df, ["grp"], "score", k=3, tiebreak_cols=["id"])
+    got = {
+        (r["grp"], r["rank"]): (r["id"], r["score"]) for r in out.collect()
+    }
+    # pure-python reference
+    rows = df.collect()
+    for g in ("a", "b", "c"):
+        grp = sorted(
+            [(r["score"], r["id"]) for r in rows if r["grp"] == g],
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        for rank, (score, rid) in enumerate(grp, start=1):
+            assert got[(g, rank)] == (rid, score)
+    assert len(got) == 9
+
+
+def test_topk_partial_equals_window(spark):
+    df = _scores_df(spark, 500).repartition(7)
+    a = topk_per_group(df, ["grp"], "score", k=10, tiebreak_cols=["id"],
+                       method="window")
+    b = topk_per_group(df, ["grp"], "score", k=10, tiebreak_cols=["id"],
+                       method="partial")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_topk_partial_with_ties_total_order(spark):
+    # every score identical: ranking must be fully determined by the id
+    rows = [Row(id=i, grp="g", score=1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, score double")
+    out = topk_per_group(df.repartition(5), ["grp"], "score", k=4,
+                         tiebreak_cols=["id"], method="partial")
+    assert [r["id"] for r in out.orderBy("rank").collect()] == [0, 1, 2, 3]
+
+
+def test_topk_ascending(spark):
+    df = _scores_df(spark, 30)
+    out = topk_per_group(df, ["grp"], "score", k=1, ascending=True,
+                         tiebreak_cols=["id"])
+    rows = df.collect()
+    for r in out.collect():
+        lo = min(x["score"] for x in rows if x["grp"] == r["grp"])
+        assert r["score"] == lo
+
+
+def test_topk_group_smaller_than_k(spark):
+    rows = [Row(id=0, grp="tiny", score=5.0)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, score double")
+    out = topk_per_group(df, ["grp"], "score", k=10, tiebreak_cols=["id"])
+    assert out.count() == 1 and out.collect()[0]["rank"] == 1
+
+
+def test_topk_validation(spark):
+    df = _scores_df(spark, 10)
+    with pytest.raises(ValueError, match="k must be"):
+        topk_per_group(df, ["grp"], "score", k=0)
+    with pytest.raises(ValueError, match="method"):
+        topk_per_group(df, ["grp"], "score", k=1, method="nope")
+
+
+# ---------------------------------------------------------- percentile_rank
+
+
+def test_percentile_exact_matches_reference(spark):
+    df = _scores_df(spark, 90)
+    out = percentile_rank(df, "score", ["grp"], method="exact")
+    rows = df.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r["score"])
+    for r in out.collect():
+        vals = by_grp[r["grp"]]
+        want = sum(1 for v in vals if v <= r["score"]) / len(vals)
+        assert abs(r["pct"] - want) < 1e-12
+
+
+def test_percentile_sketch_within_bound(spark):
+    df = _scores_df(spark, 3000)
+    k = 200
+    exact = {
+        r["id"]: r["pct"]
+        for r in percentile_rank(df, "score", ["grp"], method="exact").collect()
+    }
+    sk = percentile_rank(df, "score", ["grp"], method="sketch", k=k).collect()
+    bound = KllSketch(k=k).rank_error()
+    worst = max(abs(r["pct"] - exact[r["id"]]) for r in sk)
+    assert worst <= bound, f"worst sketch error {worst} > bound {bound}"
+
+
+def test_percentile_sketch_no_sort_shuffle(spark):
+    # the scale path must not sort-shuffle the data: the scoring projection
+    # is mapInPandas directly over the scan (the only shuffle in the whole
+    # job is inside the separate tiny sketch aggregation, already collected)
+    df = _scores_df(spark, 200)
+    out = percentile_rank(df, "score", ["grp"], method="sketch")
+    assert shuffle_count(out) == 0
+    assert "Sort" not in plan_string(out, "simple")
+
+
+def test_percentile_sketch_global_group(spark):
+    df = _scores_df(spark, 1000)
+    out = percentile_rank(df, "score", method="sketch").collect()
+    vals = sorted(r["score"] for r in _scores_df(spark, 1000).collect())
+    n = len(vals)
+    bound = KllSketch(k=200).rank_error()
+    for r in out[:50]:
+        want = np.searchsorted(vals, r["score"], side="right") / n
+        assert abs(r["pct"] - want) <= bound
+
+
+def test_rank_batch_matches_scalar():
+    sk = KllSketch(k=64, seed=9)
+    vals = np.arange(10000, dtype=np.float64) % 977
+    sk.update_batch(vals)
+    probes = np.array([-1.0, 0.0, 100.5, 976.0, 2000.0])
+    got = sk.rank_batch(probes)
+    want = np.array([sk.rank(v) for v in probes])
+    assert np.allclose(got, want, atol=0)
