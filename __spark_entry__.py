@@ -1400,6 +1400,81 @@ def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows under Structured Streaming: the events table
+    replayed as a 3-file stream through a session_window aggregation
+    (gap 6 h + 1 us — matching the inclusive `> gap` boundary of the batch
+    sessionize path); the complete-mode final table must equal the exact
+    batch gap-sessionization, per session (engine-exact micros)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from cuckoofilter4j_spark.functions.events import micros_col
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="ckf_ssw_")
+    try:
+        for i in range(3):
+            (ev.filter(F.col("event_id") % 3 == i)
+               .coalesce(1).write.parquet(f"{base}/src/f={i}"))
+        stream = (
+            spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src/f=*")
+        )
+        gap_us = 21600 * 1_000_000
+        agg = stream.groupBy(
+            "user_id", F.session_window("ts", f"{gap_us + 1} microseconds")
+        ).agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        name = f"ssw_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name)
+        out = out.select(
+            "user_id",
+            micros_col(out, "session_start").alias("start_us"),
+            "n_events",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over (user_id, event_id) low bytes —
+    the multi-column data-skipping layout key (write_zordered range-
+    partitions + sorts on it; a box predicate then skips whole files,
+    pinned in tests/test_zorder.py). Engine-exact bit arithmetic."""
+    from cuckoofilter4j_spark.sources.layout import zorder_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        zorder_key([F.col("user_id") % 256, F.col("event_id") % 256], bits=8)
+        .alias("zkey"),
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (chunk=64, overlap=48): byte-exact
+    chunk text against the DuckDB list-slice oracle; scan-local explode,
+    zero shuffle (pinned in tests/test_chunking.py)."""
+    from cuckoofilter4j_spark.functions.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=64, overlap=48)
+
+
 def q_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch x window composition: distinct users per 1-day tumbling
     window via per-window HLL sketches (ONE aggregation, scan-local
@@ -2151,6 +2226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "tumbling_rollup_events": q_tumbling_rollup_events,
         "stream_window_rollup": q_stream_window_rollup,
+        "stream_sessionize": q_stream_sessionize,
+        "zorder_key": q_zorder_key,
+        "chunk_documents": q_chunk_documents,
         "window_distinct_users": q_window_distinct_users,
         "topk_per_group": q_topk_per_group,
         "percentile_rank": q_percentile_rank,
@@ -2469,6 +2547,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
                        AS duration_us
             FROM sess GROUP BY user_id, session_seq
+        """,
+        # streaming session_window (gap 6h + 1us) == batch gap sessions:
+        # same gap logic as sessionize_events, aggregated per session
+        "stream_sessionize": """
+            WITH lagged AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ), flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM lagged
+            ), sess AS (
+              SELECT user_id, ts,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, session_seq
+        """,
+        # identical shift/mask interleave: column ci bit b -> position 2b+ci
+        "zorder_key": """
+            SELECT event_id,
+                   CAST(SUM((((user_id % 256) >> b) & 1)
+                              * (CAST(1 AS BIGINT) << (2 * b))
+                          + (((event_id % 256) >> b) & 1)
+                              * (CAST(1 AS BIGINT) << (2 * b + 1)))
+                        AS BIGINT) AS zkey
+            FROM events, (SELECT unnest(generate_series(0, 7)) AS b) g
+            GROUP BY event_id, user_id
+        """,
+        # chunk math mirrored exactly: stride 16, 1-based inclusive
+        # list_slice == Spark slice(start, length); chunk text byte-exact
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents WHERE text IS NOT NULL
+            ), meta AS (
+              SELECT doc_id, t, len(t) AS n,
+                     CASE WHEN len(t) = 0 THEN 0
+                          WHEN len(t) <= 64 THEN 1
+                          ELSE 1 + CAST(floor((len(t) - 64 + 15) / 16.0)
+                                        AS INT) END AS n_chunks
+              FROM toks
+            )
+            SELECT m.doc_id, CAST(g.i AS INT) AS chunk_id,
+                   CAST(least(64, m.n - g.i * 16) AS INT) AS n_tokens,
+                   array_to_string(list_slice(m.t, g.i * 16 + 1,
+                                              g.i * 16 + 64), ' ')
+                       AS chunk_text
+            FROM meta m,
+                 (SELECT unnest(generate_series(0, m.n_chunks - 1)) AS i) g
         """,
         # per-window HLL estimates: deterministic seeded sketch, bound holds
         "window_distinct_users": """

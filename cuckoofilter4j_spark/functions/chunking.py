@@ -1,0 +1,91 @@
+"""Sliding-window document chunking for context-window-bounded training.
+
+Splits each document into overlapping whitespace-token chunks of at most
+``chunk_tokens`` tokens with ``overlap`` tokens of context carried between
+consecutive chunks — the standard pre-tokenization segmentation step before
+packing (see functions/packing.py) at LLM-corpus scale.
+
+Shape: pure Catalyst, scan-local, ZERO shuffle.  The token array is
+computed once per document (bound as a lambda variable — Catalyst
+substitutes rather than CSEs column expressions, see functions/text._bind),
+the per-chunk structs are built INSIDE the projection, and only then
+exploded — so the exploded rows carry chunk-sized text, never the full
+token array per chunk row.
+
+Chunk math (deterministic): stride = chunk_tokens - overlap; doc with n
+tokens yields ceil((n - chunk_tokens) / stride) + 1 chunks (1 if
+n <= chunk_tokens, 0 if the doc has no tokens — NULL/empty docs vanish).
+Chunk i covers tokens [i*stride, min(i*stride + chunk_tokens, n)).
+Chunk text is the space-join of its tokens (whitespace-canonicalized), so
+results are byte-exact against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cuckoofilter4j_spark.functions.text import words
+
+__all__ = ["chunk_documents"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Explode each document into overlapping token chunks:
+    ``(id_col, chunk_id, n_tokens, chunk_text)``.
+
+    ``overlap`` must be < ``chunk_tokens``; docs without tokens produce no
+    rows.  One projection + one explode, no shuffle (plan-pinned in
+    tests/test_chunking.py).
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    toks = F.coalesce(words(F.col(text_col)), F.array())
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    n = F.size(F.col("__toks"))
+    n_chunks = (
+        F.when(n <= F.lit(0), F.lit(0))
+        .when(n <= F.lit(chunk_tokens), F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.floor(
+                (n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)
+            ).cast("int")
+        )
+    )
+
+    t = F.col("__toks")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.least(F.lit(chunk_tokens), n - i * F.lit(stride))
+            .cast("int")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(t, (i * F.lit(stride) + 1).cast("int"), chunk_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    # sequence(0, -1) is the DESCENDING [0, -1], not empty (pinned lesson,
+    # see NOTES_ROUND5) — zero-chunk docs are dropped by the filter instead
+    out = base.select(
+        F.col(id_col),
+        F.explode(F.when(n_chunks > 0, chunks)).alias("__c"),
+    )
+    return out.select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+    )

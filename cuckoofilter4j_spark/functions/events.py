@@ -106,17 +106,51 @@ def session_stats(
     key_cols: Sequence[str] = ("user_id",),
     gap_seconds: float = 1800.0,
     order_cols: Sequence[str] = (),
+    method: str = "window",
 ) -> DataFrame:
     """Per-session aggregates: event count, start/end, duration.
 
-    One shuffle total: the ``groupBy(key, session_seq)`` reuses the window's
-    hash partitioning on ``key_cols`` (a hash partitioning on a subset of
-    the grouping keys satisfies the clustered distribution), so Catalyst
-    plans no second Exchange — pinned in tests.
+    ``method="window"`` (default): sessionize + groupBy — ONE shuffle total
+    (the ``groupBy(key, session_seq)`` reuses the window's hash
+    partitioning on ``key_cols``: a hash partitioning on a subset of the
+    grouping keys satisfies the clustered distribution, so Catalyst plans
+    no second Exchange — pinned in tests).
+
+    ``method="native"``: Spark's built-in ``session_window`` aggregation —
+    the form that also runs under Structured Streaming (see
+    tests/test_events.py for the streaming drive).  Spark's session window
+    is half-open (an event at exactly ``prev + gap`` opens a NEW session),
+    while the window path keeps it (``> gap`` starts a new session); the
+    native path therefore runs with a gap of ``gap + 1 microsecond`` so the
+    two methods produce IDENTICAL sessions — parity pinned in tests.
 
     ``duration_us`` is int64 microseconds (engine-exact).
     """
     keys = list(key_cols)
+    if method == "native":
+        gap_us = int(round(gap_seconds * 1_000_000))
+        agg = df.groupBy(
+            *keys, F.session_window(ts_col, f"{gap_us + 1} microseconds")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        micros = _micros_fn(df, ts_col)
+        seq_w = Window.partitionBy(*keys).orderBy(F.col("session_window.start"))
+        return (
+            agg.withColumn("session_seq", F.row_number().over(seq_w).cast("long"))
+            .withColumn(
+                "duration_us",
+                micros(F.col("session_end")) - micros(F.col("session_start")),
+            )
+            .select(
+                *keys, "session_seq", "n_events", "session_start",
+                "session_end", "duration_us",
+            )
+        )
+    if method != "window":
+        raise ValueError(f"method must be window|native, got {method!r}")
     sess = sessionize(
         df, ts_col=ts_col, key_cols=keys, gap_seconds=gap_seconds,
         order_cols=order_cols,

@@ -30,7 +30,8 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["write_partitioned", "read_partitioned", "compact_partition"]
+__all__ = ["write_partitioned", "read_partitioned", "compact_partition",
+           "zorder_key", "quantize", "write_zordered"]
 
 
 def write_partitioned(
@@ -154,3 +155,68 @@ def database_at(spark: SparkSession, name: str, location: str) -> str:
     loc = location.replace("'", "''")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {name} LOCATION '{loc}'")
     return name
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering — multi-column data skipping
+# ---------------------------------------------------------------------------
+
+def zorder_key(cols: Sequence, bits: int = 16):
+    """Morton (Z-order) interleave of k integer columns into one BIGINT
+    sort key: bit b of column ci lands at position b*k + ci.
+
+    Writing files range-partitioned + sorted on this key clusters rows that
+    are close in EVERY dimension into the same files, so parquet min/max
+    stats skip files for box predicates on ANY subset of the columns — the
+    Delta/Iceberg Z-ORDER layout idea, as a plain Catalyst expression
+    (engine-exact: same shift/mask arithmetic reproduces it in SQL).
+
+    Inputs must already be non-negative ints < 2**bits (use `quantize` for
+    doubles); k*bits must fit a BIGINT (<= 62).
+    """
+    cols = list(cols)
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder needs >= 2 columns")
+    if k * bits > 62:
+        raise ValueError(f"k*bits = {k * bits} exceeds BIGINT range")
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        for ci, c in enumerate(cols):
+            col = F.col(c) if isinstance(c, str) else c
+            bit = F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1))
+            acc = acc.bitwiseOR(F.shiftleft(bit, b * k + ci))
+    return acc
+
+
+def quantize(col, lo: float, hi: float, bits: int = 16):
+    """Clamp-quantize a numeric column into [0, 2**bits) for `zorder_key`
+    (floor of the linear map — deterministic double arithmetic)."""
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    m = (1 << bits) - 1
+    scaled = F.floor((c - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(m + 1)))
+    return F.least(F.lit(m).cast("long"), F.greatest(F.lit(0).cast("long"), scaled.cast("long")))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_files: int = 16,
+    key_col: str = "__zkey",
+) -> None:
+    """Write `df` as `num_files` parquet files clustered by the Z-order key
+    of `cols`: repartitionByRange on the key (contiguous key ranges per
+    file) + sortWithinPartitions (tight per-row-group min/max stats).  The
+    key column itself is not written."""
+    keyed = df.withColumn(key_col, zorder_key(cols, bits=bits))
+    (
+        keyed.repartitionByRange(num_files, key_col)
+        .sortWithinPartitions(key_col)
+        .drop(key_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,85 @@
+"""chunk_documents: sliding-window token chunking — pure-Python reference
+parity, edge cases (empty/NULL/exact-boundary docs), zero-shuffle plan pin."""
+
+import pytest
+from pyspark.sql import Row
+
+from cuckoofilter4j_spark.functions.chunking import chunk_documents
+from cuckoofilter4j_spark.plans.explain import plan_string, shuffle_count
+
+
+def _ref_chunks(text, chunk, overlap):
+    toks = [t for t in (text or "").split() if t]
+    n = len(toks)
+    if n == 0:
+        return []
+    stride = chunk - overlap
+    n_chunks = 1 if n <= chunk else 1 + -(-(n - chunk) // stride)
+    out = []
+    for i in range(n_chunks):
+        part = toks[i * stride : i * stride + chunk]
+        out.append((i, len(part), " ".join(part)))
+    return out
+
+
+DOCS = [
+    (0, " ".join(f"w{i}" for i in range(25))),   # 25 toks
+    (1, "one two three"),                          # fits in one chunk
+    (2, ""),                                       # empty -> no chunks
+    (3, None),                                     # null -> no chunks
+    (4, "   a   b\t\nc  "),                        # messy whitespace
+    (5, " ".join(f"t{i}" for i in range(10))),    # exactly chunk_tokens
+    (6, " ".join(f"u{i}" for i in range(11))),    # chunk_tokens + 1
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in DOCS], "doc_id bigint, text string"
+    )
+
+
+def test_chunking_reference_parity(spark):
+    out = chunk_documents(_df(spark), chunk_tokens=10, overlap=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        )
+    for doc_id, text in DOCS:
+        want = _ref_chunks(text, 10, 3)
+        assert sorted(got.get(doc_id, [])) == want, f"doc {doc_id}"
+
+
+def test_chunking_no_overlap(spark):
+    out = chunk_documents(_df(spark), chunk_tokens=10, overlap=0)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        )
+    for doc_id, text in DOCS:
+        assert sorted(got.get(doc_id, [])) == _ref_chunks(text, 10, 0)
+
+
+def test_chunking_overlap_tokens_shared(spark):
+    out = chunk_documents(_df(spark), chunk_tokens=10, overlap=3)
+    rows = sorted(
+        [r for r in out.collect() if r["doc_id"] == 0], key=lambda r: r["chunk_id"]
+    )
+    a, b = rows[0]["chunk_text"].split(), rows[1]["chunk_text"].split()
+    assert a[-3:] == b[:3]  # the overlap region is carried verbatim
+
+
+def test_chunking_zero_shuffle(spark):
+    out = chunk_documents(_df(spark), chunk_tokens=10, overlap=3)
+    assert shuffle_count(out) == 0
+    assert "Exchange" not in plan_string(out, "simple")
+
+
+def test_chunking_validation(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=10, overlap=10)

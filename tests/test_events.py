@@ -343,3 +343,66 @@ def test_streaming_rollup_append_watermark_flush_and_late_drop(spark, tmp_path):
     assert day0 == [2]
     # the +200d window's end never passed the watermark: still in state
     assert all(r["window_start_s"] != base + 200 * day for r in rows)
+
+
+# ------------------------------------------------- native session_window
+
+
+def test_session_stats_native_parity(spark):
+    # includes the exact-boundary user (gap == 3600 s): the native path's
+    # +1us gap makes Spark's half-open session window match the window
+    # path's inclusive `> gap` semantics
+    df = _events_df(spark, SESS_ROWS)
+    a = session_stats(df, gap_seconds=3600, order_cols=["event_id"])
+    b = session_stats(df, gap_seconds=3600, method="native")
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb
+
+
+def test_session_stats_native_parity_real_events(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = session_stats(ev, gap_seconds=21600, order_cols=["event_id"]).select(
+        "user_id", "session_seq", "n_events", "duration_us"
+    )
+    b = session_stats(ev, gap_seconds=21600, method="native").select(
+        "user_id", "session_seq", "n_events", "duration_us"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native session windows under Structured Streaming: replay SESS_ROWS
+    as a 2-file stream; the complete-mode final table equals the batch
+    session_stats."""
+    df = _events_df(spark, SESS_ROWS)
+    src = _write_stream_files(
+        spark,
+        str(tmp_path),
+        [SESS_ROWS[:5], SESS_ROWS[5:]],
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f=*")
+    )
+    agg = stream.groupBy(
+        "user_id", F.session_window("ts", "3600000001 microseconds")
+    ).agg(F.count("*").alias("n_events"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("select * from sess_stream").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"])
+        for r in session_stats(df, gap_seconds=3600, order_cols=["event_id"]).collect()
+    )
+    assert got == want

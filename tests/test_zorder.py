@@ -1,0 +1,84 @@
+"""Z-order layout: Morton-key correctness vs a pure-Python reference,
+quantize clamping, and the actual data-skipping payoff — a box predicate
+over a Z-ordered layout touches FEWER files than over a linearly-sorted
+layout of the same data (deterministic grid fixture)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from cuckoofilter4j_spark.sources.layout import quantize, write_zordered, zorder_key
+
+
+def _morton_ref(vals, bits):
+    out = 0
+    k = len(vals)
+    for b in range(bits):
+        for ci, v in enumerate(vals):
+            out |= ((v >> b) & 1) << (b * k + ci)
+    return out
+
+
+def test_zorder_key_reference(spark):
+    rows = [Row(x=x, y=y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", zorder_key(["x", "y"], bits=4).alias("z")).collect()
+    for r in got:
+        assert r["z"] == _morton_ref([r["x"], r["y"]], 4)
+
+
+def test_zorder_three_columns(spark):
+    rows = [Row(x=5, y=9, w=3)]
+    df = spark.createDataFrame(rows, "x long, y long, w long")
+    z = df.select(zorder_key(["x", "y", "w"], bits=4).alias("z")).collect()[0]["z"]
+    assert z == _morton_ref([5, 9, 3], 4)
+
+
+def test_zorder_validation(spark):
+    with pytest.raises(ValueError, match=">= 2"):
+        zorder_key(["x"])
+    with pytest.raises(ValueError, match="BIGINT"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+
+
+def test_quantize_clamps(spark):
+    df = spark.createDataFrame(
+        [Row(v=-5.0), Row(v=0.0), Row(v=0.5), Row(v=1.0), Row(v=99.0)],
+        "v double",
+    )
+    got = [r["q"] for r in df.select(quantize("v", 0.0, 1.0, bits=8).alias("q")).collect()]
+    assert got[0] == 0 and got[1] == 0 and got[2] == 128
+    assert got[3] == 255 and got[4] == 255  # hi and beyond clamp to max
+
+
+def test_zorder_layout_skips_more_files_than_linear(spark, tmp_path):
+    # 128x128 grid, 16 files. Box predicate: full x range, y < 8.
+    # Linear (x-major) layout: every file holds all y values for its x
+    # slice -> ALL files match. Z-order: low-y rows cluster into few files.
+    rows = [Row(x=x, y=y, payload=x * 1000 + y) for x in range(128) for y in range(128)]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+
+    lin = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(16, "x", "y").sortWithinPartitions("x", "y")
+        .write.mode("overwrite").parquet(lin)
+    )
+    zo = str(tmp_path / "zorder")
+    write_zordered(df, zo, ["x", "y"], bits=7, num_files=16)
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("y") < 8)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    n_lin, n_zo = files_touched(lin), files_touched(zo)
+    assert n_lin == 16  # x-major layout cannot skip anything for a y-box
+    assert n_zo < n_lin / 2, f"zorder touched {n_zo}/16 files (linear {n_lin})"
+
+    # and the layouts hold identical data
+    a = spark.read.parquet(lin).agg(F.sum("payload"), F.count("*")).collect()
+    b = spark.read.parquet(zo).agg(F.sum("payload"), F.count("*")).collect()
+    assert a == b
