@@ -2060,6 +2060,20 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (functions/scoring.py): Lucene-form idf, k1=1.2
+    b=0.75, per-document score as a term-ascending left fold so the double
+    accumulation is engine-exact. The exploded relation is filtered to the
+    query's terms BEFORE the tf shuffle; the df table broadcasts. Oracle
+    replays the identical formula with DuckDB's ordered list + list_reduce
+    fold, value-pinned to 6 decimals."""
+    from cuckoofilter4j_spark.functions import bm25_search
+
+    return bm25_search(
+        _docs(spark, sf_dir), "text", "doc_id", ["hash", "stream", "vector"]
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing (functions/packing.py): per-language bins of
     512 whitespace tokens, docs in ascending id order — the training-batch
@@ -2267,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_budget": q_select_budget,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
+        "bm25_search": q_bm25_search,
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
@@ -2871,6 +2886,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(per.n_terms, 0) AS n_terms, per.mean_logprob
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # BM25: identical arithmetic (Lucene idf, k1=1.2 b=0.75), the
+        # per-doc double sum replayed as the same term-ascending left fold
+        "bm25_search": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+              FROM documents
+            ),
+            dl AS (
+              SELECT d.doc_id, COALESCE(c.dl, 0) AS dl
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id) c
+                USING (doc_id)
+            ),
+            st AS (SELECT COUNT(*) AS n, avg(dl) AS avgdl FROM dl),
+            qtf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM t
+              WHERE term IN ('hash', 'stream', 'vector')
+              GROUP BY doc_id, term
+            ),
+            dft AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM qtf GROUP BY term
+            ),
+            contrib AS (
+              SELECT qtf.doc_id, qtf.term,
+                     ln(1.0 + (CAST(st.n AS DOUBLE) - dft.df_t + 0.5)
+                              / (dft.df_t + 0.5))
+                     * (qtf.tf * 2.2
+                        / (qtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+                       AS contrib
+              FROM qtf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+                   round(list_reduce(
+                       list_prepend(0.0, list(contrib ORDER BY term)),
+                       (a, b) -> a + b), 6) AS score
+            FROM contrib GROUP BY doc_id
         """,
         "pack_sequences": r"""
             WITH RECURSIVE d AS (

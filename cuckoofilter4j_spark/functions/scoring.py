@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["doc_terms", "tfidf_top_terms", "unigram_logprob"]
+__all__ = ["doc_terms", "tfidf_top_terms", "unigram_logprob", "bm25_search"]
 
 
 def doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -137,3 +137,106 @@ def unigram_logprob(
         F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
         "mean_logprob",
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus (Robertson et al., TREC-3;
+    the Lucene-default scoring function).
+
+    score(d, q) = sum over query terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    with idf(t) = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))   (Lucene form,
+    always >= 0), N = total corpus docs, dl = document token count, avgdl
+    its corpus mean. Tokenization is the module's lowercase [a-z]+ unit.
+
+    Returns (id, n_matched, score) for documents matching >= 1 query term,
+    score rounded to 6 decimals. The per-document sum is a LEFT FOLD over
+    term-ASCENDING contributions (array_sort + aggregate), so the double
+    accumulation order — and therefore the final bits — is engine- and
+    partitioning-independent (the same idiom DuckDB replays with
+    list_sort + list_reduce). `top_k` keeps the best k by (score desc, id
+    asc) via sort+limit, which Spark plans as TakeOrderedAndProject — the
+    distributed per-partition top-k + driver merge, NO single-partition
+    Exchange.
+
+    100 TB design: the exploded (doc, term) relation is filtered to the
+    query's terms BEFORE the tf shuffle, so the exchange carries only
+    matching occurrences (a handful of rows per matching doc), not the
+    corpus. Per-document lengths take one more corpus-wide aggregation
+    (they are query-independent: precompute and persist them alongside the
+    corpus to amortize across queries). The document-frequency table is
+    <= |query| rows and broadcasts; corpus-level N/avgdl reduce to one
+    driver row.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1} b={b}")
+    q = sorted({t.lower() for t in query_terms})
+    terms = doc_terms(df, text_col, id_col)
+    # per-doc token length; zero-term docs restored so N and avgdl cover
+    # the whole corpus (BM25's N is corpus size, not matched-doc count)
+    dl = (
+        df.select(id_col)
+        .join(terms.groupBy(id_col).agg(F.count("*").alias("dl")), id_col, "left")
+        .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl"))
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
+    if avgdl == 0.0:
+        raise ValueError("corpus has no tokens; BM25 is undefined")
+    qtf = (
+        terms.filter(F.col("term").isin(q))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = qtf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    if broadcast_stats:
+        dft = F.broadcast(dft)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf")
+        + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = (
+        qtf.join(dft, "term")
+        .join(dl, id_col)
+        .select(id_col, "term", (idf * norm).alias("contrib"))
+    )
+    out = (
+        contrib.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("_cs"),
+        )
+        .select(
+            id_col,
+            "n_matched",
+            F.round(
+                F.aggregate(
+                    "_cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    if top_k is not None:
+        if top_k < 1:
+            raise ValueError(f"top_k must be >= 1, got {top_k}")
+        out = out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(top_k)
+    return out

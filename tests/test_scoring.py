@@ -91,3 +91,98 @@ def test_lm_table_is_broadcast(spark, docs):
 def test_validation(spark, docs):
     with pytest.raises(ValueError):
         tfidf_top_terms(docs, "t", "id", k=0)
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def _bm25_expected(docs, query, k1=1.2, b=0.75):
+    """Pure-python BM25 reference over [(id, text)] with the same
+    lowercase [a-z]+ tokenization and term-ascending sum order."""
+    import re
+
+    toks = {i: re.findall(r"[a-z]+", t.lower()) for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    q = sorted({t.lower() for t in query})
+    df = {t: sum(1 for v in toks.values() if t in v) for t in q}
+    out = {}
+    for i, v in toks.items():
+        s, m = 0.0, 0
+        for t in q:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(v) / avgdl)))
+            m += 1
+        if m:
+            out[i] = (m, round(s, 6))
+    return out
+
+
+def test_bm25_reference_values(spark, docs):
+    from cuckoofilter4j_spark.functions import bm25_search
+
+    out = bm25_search(docs, "t", "id", ["banana", "zebra"]).collect()
+    exp = _bm25_expected(DOCS, ["banana", "zebra"])
+    got = {r["id"]: (r["n_matched"], r["score"]) for r in out}
+    assert got == exp
+    # doc 3 matches the rarer term zebra -> higher idf than banana's
+    assert got[3][1] > 0
+
+
+def test_bm25_topk_matches_full_sort(spark, docs):
+    from cuckoofilter4j_spark.functions import bm25_search
+
+    full = bm25_search(docs, "t", "id", ["banana", "common"]).collect()
+    ordered = sorted(full, key=lambda r: (-r["score"], r["id"]))
+    top = bm25_search(docs, "t", "id", ["banana", "common"], top_k=2).collect()
+    assert [(r["id"], r["score"]) for r in top] == [
+        (r["id"], r["score"]) for r in ordered[:2]
+    ]
+
+
+def test_bm25_partitioning_invariant(spark, docs):
+    from cuckoofilter4j_spark.functions import bm25_search
+
+    a = {
+        (r["id"], r["n_matched"], r["score"])
+        for r in bm25_search(docs, "t", "id", ["apple", "common"]).collect()
+    }
+    b = {
+        (r["id"], r["n_matched"], r["score"])
+        for r in bm25_search(
+            docs.repartition(7), "t", "id", ["common", "APPLE", "apple"]
+        ).collect()
+    }
+    assert a == b
+
+
+def test_bm25_validation(spark, docs):
+    from cuckoofilter4j_spark.functions import bm25_search
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_search(docs, "t", "id", [])
+    with pytest.raises(ValueError, match="k1"):
+        bm25_search(docs, "t", "id", ["x"], k1=-1)
+    with pytest.raises(ValueError, match="top_k"):
+        bm25_search(docs, "t", "id", ["x"], top_k=0).collect()
+    empty = spark.createDataFrame([(1, "")], "id long, t string")
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_search(empty, "t", "id", ["x"])
+
+
+def test_bm25_topk_plan_has_no_single_partition_sort(spark, docs):
+    """top_k must plan as TakeOrderedAndProject (distributed per-partition
+    top-k + driver merge), never a global Sort after a SinglePartition
+    Exchange."""
+    from cuckoofilter4j_spark.functions import bm25_search
+
+    plan = (
+        bm25_search(docs, "t", "id", ["banana"], top_k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
