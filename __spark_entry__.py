@@ -2074,6 +2074,37 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span detection (functions/substrings.py, the Lee et
+    al. 2022 ExactSubstr pass re-expressed as one hash aggregation over
+    md5-keyed 20-token windows instead of a single-machine suffix array):
+    per-document duplicated-window count, merged-span count, covered-token
+    count and fraction over the shared near-dup fixture. All integer
+    arithmetic — value-exact vs DuckDB's window-function islands."""
+    from cuckoofilter4j_spark.functions import duplicate_spans
+
+    return duplicate_spans(
+        _dup_docs(spark, sf_dir), "text", "doc_id", min_tokens=20, mark="all"
+    )
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granular dedup rewrite (functions/substrings.py): every
+    non-canonical occurrence of a corpus-duplicated 20-token window is
+    removed; the first (doc_id, pos) occurrence survives, so no substring
+    is lost from the corpus. Cleaned text is byte-pinned (md5) against the
+    DuckDB rebuild; docs reduced to zero tokens stay as empty-text rows."""
+    from cuckoofilter4j_spark.functions import dedup_substrings
+
+    out = dedup_substrings(_dup_docs(spark, sf_dir), "text", "doc_id", min_tokens=20)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "kept_tokens",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing (functions/packing.py): per-language bins of
     512 whitespace tokens, docs in ascending id order — the training-batch
@@ -2282,6 +2313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
         "bm25_search": q_bm25_search,
+        "dup_spans": q_dup_spans,
+        "dedup_substrings": q_dedup_substrings,
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
@@ -2924,6 +2957,107 @@ def oracle_sql() -> dict[str, str]:
                        list_prepend(0.0, list(contrib ORDER BY term)),
                        (a, b) -> a + b), 6) AS score
             FROM contrib GROUP BY doc_id
+        """,
+        # exact substring spans: same md5-keyed 20-token windows; merged
+        # spans replayed with lag() islands — integer-exact throughout
+        "dup_spans": r"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, text || ' x' FROM documents
+            ),
+            tk AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM base
+            ),
+            w AS (
+              SELECT tk.doc_id, len(tk.toks) AS n_tokens,
+                     CAST(g.i AS INT) AS pos,
+                     md5(array_to_string(
+                         list_slice(tk.toks, g.i, g.i + 19), ' ')) AS wkey
+              FROM tk,
+                   (SELECT unnest(range(1, len(tk.toks) - 20 + 2)) AS i) g
+              WHERE len(tk.toks) >= 20
+            ),
+            dupk AS (SELECT wkey FROM w GROUP BY wkey HAVING COUNT(*) > 1),
+            d AS (SELECT w.* FROM w JOIN dupk USING (wkey)),
+            srt AS (
+              SELECT doc_id, n_tokens, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM d
+            )
+            SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                   COUNT(*) AS n_dup_windows,
+                   CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND pos - prev > 20
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+                   CAST(20 + SUM(CASE WHEN prev IS NULL THEN 0
+                                      ELSE least(pos - prev, 20) END) AS BIGINT)
+                       AS dup_tokens,
+                   round((20 + SUM(CASE WHEN prev IS NULL THEN 0
+                                        ELSE least(pos - prev, 20) END))
+                         / any_value(n_tokens), 6) AS dup_fraction
+            FROM srt GROUP BY doc_id
+        """,
+        # substring dedup rewrite: canonical first (doc, pos) occurrence
+        # survives; cleaned text byte-pinned via ordered string_agg
+        "dedup_substrings": r"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, text || ' x' FROM documents
+            ),
+            tk AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM base
+            ),
+            w AS (
+              SELECT tk.doc_id, CAST(g.i AS INT) AS pos,
+                     md5(array_to_string(
+                         list_slice(tk.toks, g.i, g.i + 19), ' ')) AS wkey
+              FROM tk,
+                   (SELECT unnest(range(1, len(tk.toks) - 20 + 2)) AS i) g
+              WHERE len(tk.toks) >= 20
+            ),
+            marked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY wkey
+                                        ORDER BY doc_id, pos) AS rn,
+                     COUNT(*) OVER (PARTITION BY wkey) AS occ
+              FROM w
+            ),
+            red AS (SELECT doc_id, pos FROM marked WHERE occ > 1 AND rn > 1),
+            isl AS (
+              SELECT doc_id, pos,
+                     SUM(CASE WHEN prev IS NULL OR pos - prev > 20
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM (SELECT doc_id, pos,
+                           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             AS prev
+                    FROM red)
+            ),
+            spans AS (
+              SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 19 AS e
+              FROM isl GROUP BY doc_id, grp
+            ),
+            tokpos AS (
+              SELECT tk.doc_id, len(tk.toks) AS n_tokens,
+                     CAST(g.j AS INT) AS j, tk.toks[CAST(g.j AS INT)] AS tok
+              FROM tk, (SELECT unnest(range(1, len(tk.toks) + 1)) AS j) g
+            ),
+            keep AS (
+              SELECT t.* FROM tokpos t
+              WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                WHERE s.doc_id = t.doc_id
+                                  AND t.j BETWEEN s.s AND s.e)
+            ),
+            rebuilt AS (
+              SELECT doc_id, COUNT(*) AS kept_tokens,
+                     string_agg(tok, ' ' ORDER BY j) AS text
+              FROM keep GROUP BY doc_id
+            )
+            SELECT tk.doc_id, len(tk.toks) AS n_tokens,
+                   COALESCE(r.kept_tokens, 0) AS kept_tokens,
+                   md5(COALESCE(r.text, '')) AS text_md5
+            FROM tk LEFT JOIN rebuilt r USING (doc_id)
         """,
         "pack_sequences": r"""
             WITH RECURSIVE d AS (

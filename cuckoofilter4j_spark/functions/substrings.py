@@ -1,0 +1,261 @@
+"""Corpus-wide EXACT substring-span deduplication (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better", the ExactSubstr
+pass): find every token window of length >= L that occurs more than once
+anywhere in the corpus, merge the overlapping windows into per-document
+spans, and optionally rebuild the text with every non-canonical occurrence
+removed (the first occurrence in (doc, position) order survives — so no
+shared substring is lost from the corpus, only its repeats).
+
+This is the substring-granular sibling of the document-level passes in
+functions/dedup.py: exact_dedup removes whole identical documents,
+dedupe_lines_corpus removes repeated LINES, this removes repeated
+TOKEN RUNS that cross line boundaries (boilerplate paragraphs, license
+headers, templated prose) — the three granularities real pipeline recipes
+(RefinedWeb, Dolma) stack.
+
+The reference implementation builds a corpus-wide suffix array — a
+single-machine design that cannot shard. The Spark-first re-expression
+keys every L-token window by a 128-bit content hash (md5 of the
+space-joined window) and lets ONE hash aggregation find the repeated
+windows:
+
+100 TB design:
+- Window construction is scan-local: the token array is materialized ONCE
+  per document in a staged projection (Catalyst SUBSTITUTES rather than
+  CSEs column refs inside lambda trees — see functions/text.py's
+  rolling-hash lesson), windows are built as structs INSIDE the
+  projection, and only (doc, pos, 16-byte wkey) rows transit the explode;
+  the token text never does.
+- Repeated-window discovery is one groupBy(wkey) with map-side partial
+  combine; the canonical first occurrence is min(struct(doc, pos)) inside
+  the SAME aggregation (no second pass, same trick as exact_dedup's
+  min_by). Singleton windows — the overwhelming majority — never survive
+  the HAVING count > 1 filter, so the join-back relation is proportional
+  to the DUPLICATED volume, not the corpus.
+- The join back to window rows is a plain equi-join on wkey (both sides
+  hash-partitioned; no broadcast assumption — duplicated volume can be
+  arbitrarily large).
+- Span merging is per-document and scan-local: integer position arithmetic
+  over the sorted dup-position array (union length and span count fall out
+  of consecutive diffs — all BIGINT, so every engine computes identical
+  values).
+
+Windows are compared by md5: a collision would need 2^64 windows (birthday
+bound) to become likely; at 10^12 documents x 10^2 windows that is 2^47 —
+fine. Swap `hash_fn` for sha2-256 if the corpus outgrows it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["substring_windows", "duplicate_spans", "dedup_substrings"]
+
+_TOKEN_RE = r"\S+"
+
+
+def substring_windows(
+    df: DataFrame, text_col: str, id_col: str, min_tokens: int = 50
+) -> DataFrame:
+    """Exploded (id, n_tokens, pos, wkey) relation: one row per L-token
+    window (1-based pos); wkey = md5 of the space-joined window. Documents
+    shorter than L tokens produce no rows."""
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    L = min_tokens
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_RE), 0).alias("_toks"),
+    )
+    # second projection: _toks is a plain attribute here, so the lambda
+    # tree below references it for free instead of re-running the regex
+    # per window (Catalyst substitutes, it does not CSE). Short docs are
+    # filtered BEFORE the window projection so sequence(1, n-L+1) is always
+    # ascending (sequence(1, 0) is the DESCENDING [1, 0], not empty).
+    return (
+        toks.where(F.size("_toks") >= L)
+        .select(
+            F.col(id_col),
+            F.size("_toks").alias("n_tokens"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - L + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.array_join(F.slice("_toks", i, L), " ")
+                        ).alias("wkey"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select(id_col, "n_tokens", F.col("w.pos").alias("pos"), F.col("w.wkey").alias("wkey"))
+    )
+
+
+def _dup_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int,
+    mark: str,
+) -> DataFrame:
+    """Window rows that are duplicated corpus-wide; mark='redundant' keeps
+    only non-canonical occurrences (first (id, pos) survives)."""
+    if mark not in ("all", "redundant"):
+        raise ValueError(f"mark must be 'all' or 'redundant', got {mark!r}")
+    wins = substring_windows(df, text_col, id_col, min_tokens)
+    dup_keys = (
+        wins.groupBy("wkey")
+        .agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ"),
+        )
+        .where(F.col("occ") > 1)
+    )
+    j = wins.join(dup_keys, "wkey")
+    if mark == "redundant":
+        j = j.where(
+            (F.col(id_col) != F.col(f"first_occ.{id_col}"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
+    return j.select(id_col, "n_tokens", "pos")
+
+
+def _span_stats(dup: DataFrame, id_col: str, L: int) -> DataFrame:
+    """Per-document merged-span statistics from duplicated window
+    positions. Union length of sorted fixed-width intervals [p, p+L-1]:
+    L + sum(min(L, p[i+1] - p[i])); span count: 1 + count(diff > L).
+    Integer arithmetic only — engine-exact."""
+    per = dup.groupBy(id_col).agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_dup_windows"),
+        F.array_sort(F.collect_list("pos")).alias("_ps"),
+    )
+    # sequence(2, 1) would be the DESCENDING [2, 1] — guard the 1-window case
+    idx = F.when(
+        F.size("_ps") >= 2, F.sequence(F.lit(2), F.size("_ps"))
+    ).otherwise(F.array().cast("array<int>"))
+    diffs = F.transform(
+        idx,
+        lambda i: F.element_at("_ps", i) - F.element_at("_ps", i - 1),
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        "n_dup_windows",
+        "_ps",
+        diffs.alias("_diffs"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_dup_windows",
+        (
+            F.lit(1)
+            + F.aggregate(
+                "_diffs", F.lit(0).cast("bigint"),
+                lambda acc, d: acc + F.when(d > L, 1).otherwise(0),
+            )
+        ).alias("n_spans"),
+        (
+            F.lit(L)
+            + F.aggregate(
+                "_diffs", F.lit(0).cast("bigint"),
+                lambda acc, d: acc + F.least(d, F.lit(L)),
+            )
+        ).alias("dup_tokens"),
+        "_ps",
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+    mark: str = "all",
+) -> DataFrame:
+    """Per-document duplicated-substring report: (id, n_tokens,
+    n_dup_windows, n_spans, dup_tokens, dup_fraction) for every document
+    containing at least one corpus-duplicated L-token window.
+
+    mark='all' counts every duplicated window (the contamination-style
+    "how much of this doc exists elsewhere" signal); mark='redundant'
+    counts only non-canonical occurrences (what `dedup_substrings` would
+    remove). dup_fraction = dup_tokens / n_tokens rounded to 6 decimals.
+    """
+    dup = _dup_windows(df, text_col, id_col, min_tokens, mark)
+    return _span_stats(dup, id_col, min_tokens).select(
+        id_col,
+        "n_tokens",
+        "n_dup_windows",
+        "n_spans",
+        "dup_tokens",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_fraction"),
+    )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Rebuild every document with its REDUNDANT duplicated spans removed
+    (tokens covered only by a canonical first occurrence stay). Returns the
+    full corpus: (id, n_tokens, kept_tokens, <text_col>) where text is the
+    space-join of surviving tokens — token-granular, like the reference
+    ExactSubstr pass (original inter-token whitespace is not preserved;
+    run before, not after, formatting-sensitive stages).
+
+    Span membership per token is tested against the MERGED span list
+    (O(n_tokens x n_spans) scan-local work; spans are few after merging).
+    Documents with no redundant spans pass through with their tokens
+    space-rejoined, so the output text column is canonical for every row.
+    """
+    L = min_tokens
+    dup = _dup_windows(df, text_col, id_col, min_tokens, "redundant")
+    stats = _span_stats(dup, id_col, L)
+    # merged span bounds from the sorted position array: a position starts
+    # a span iff it is first or gaps > L from its predecessor; a span ends
+    # at p + L - 1 for the last position before the next gap
+    # F.get is 0-based and NULL-safe out of bounds (element_at throws under
+    # ANSI); (i == 0) | (NULL > L) evaluates TRUE | NULL = TRUE in SQL
+    starts = F.filter(
+        "_ps",
+        lambda p, i: (i == 0) | (p - F.get("_ps", i - 1) > L),
+    )
+    ends = F.transform(
+        F.filter(
+            "_ps",
+            lambda p, i: (i == F.size("_ps") - 1)
+            | (F.get("_ps", i + 1) - p > L),
+        ),
+        lambda p: p + L - 1,
+    )
+    spans = stats.select(
+        id_col,
+        F.arrays_zip(starts.alias("s"), ends.alias("e"))
+        .cast("array<struct<s:bigint,e:bigint>>")
+        .alias("_spans"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_RE), 0).alias("_toks"),
+    )
+    joined = toks.join(spans, id_col, "left")
+    kept = F.filter(
+        "_toks",
+        lambda t, j: ~F.exists(
+            F.coalesce(
+                "_spans", F.array().cast("array<struct<s:bigint,e:bigint>>")
+            ),
+            lambda sp: (sp["s"] <= j + 1) & (j + 1 <= sp["e"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.size(kept).alias("kept_tokens"),
+        F.array_join(kept, " ").alias(text_col),
+    )

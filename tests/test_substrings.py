@@ -1,0 +1,166 @@
+"""Exact substring-span dedup (functions/substrings.py)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import (
+    dedup_substrings,
+    duplicate_spans,
+    substring_windows,
+)
+
+
+def _ref(rows, L, mark="all"):
+    """Pure-python reference: windows, corpus dup keys, merged spans."""
+    toks = {i: re.findall(r"\S+", t) for i, t in rows if t is not None}
+    wins = []  # (id, pos, window-text)
+    for i, tk in toks.items():
+        for p in range(1, len(tk) - L + 2):
+            wins.append((i, p, " ".join(tk[p - 1 : p - 1 + L])))
+    from collections import Counter
+
+    occ = Counter(w[2] for w in wins)
+    first = {}
+    for i, p, w in sorted(wins):
+        first.setdefault(w, (i, p))
+    dup = [
+        (i, p)
+        for i, p, w in wins
+        if occ[w] > 1 and (mark == "all" or first[w] != (i, p))
+    ]
+    out = {}
+    for i in {d[0] for d in dup}:
+        ps = sorted(p for d, p in dup if d == i)
+        spans = []
+        for p in ps:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + L - 1)
+            else:
+                spans.append([p, p + L - 1])
+        covered = sum(e - s + 1 for s, e in spans)
+        out[i] = (len(toks[i]), len(ps), len(spans), covered)
+    return out, toks
+
+
+ROWS = [
+    (1, "a b c d e f g h i j"),
+    (2, "x a b c d e f g h i j y"),  # doc1 embedded, shifted
+    (3, "p q r s t"),  # shorter than L
+    (4, "a b c d e f g h i j"),  # exact copy of doc1
+    (5, "m n o a b c d e f q r s t u v w"),  # shares window "a b c d e f"
+    (6, None),
+]
+L = 6
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "id long, t string")
+
+
+def test_windows_reference(spark, docs):
+    got = {
+        (r["id"], r["pos"]): r["wkey"]
+        for r in substring_windows(docs, "t", "id", L).collect()
+    }
+    _, toks = _ref(ROWS, L)
+    exp_count = sum(max(0, len(tk) - L + 1) for tk in toks.values())
+    assert len(got) == exp_count
+    # same window text -> same key; different -> different (on this corpus)
+    ref_text = {
+        (i, p): " ".join(tk[p - 1 : p - 1 + L])
+        for i, tk in toks.items()
+        for p in range(1, len(tk) - L + 2)
+    }
+    by_key = {}
+    for ip, key in got.items():
+        by_key.setdefault(key, set()).add(ref_text[ip])
+    assert all(len(v) == 1 for v in by_key.values())
+
+
+@pytest.mark.parametrize("mark", ["all", "redundant"])
+def test_span_stats_reference(spark, docs, mark):
+    exp, _ = _ref(ROWS, L, mark)
+    got = {
+        r["id"]: (r["n_tokens"], r["n_dup_windows"], r["n_spans"], r["dup_tokens"])
+        for r in duplicate_spans(docs, "t", "id", L, mark=mark).collect()
+    }
+    assert got == exp
+
+
+def test_dedup_substrings_reference(spark, docs):
+    out = {r["id"]: r for r in dedup_substrings(docs, "t", "id", L).collect()}
+    # canonical doc 1 intact; copy 4 fully removed; 2 keeps its unique ends
+    assert out[1]["t"] == "a b c d e f g h i j"
+    assert out[4]["t"] == "" and out[4]["kept_tokens"] == 0
+    assert out[2]["t"] == "x y"
+    # short and unique docs pass through token-rejoined
+    assert out[3]["t"] == "p q r s t"
+    # doc 5's embedded "a b c d e f" is non-canonical -> exactly that
+    # 6-token span removed, the rest kept in order
+    assert out[5]["t"] == "m n o q r s t u v w"
+    assert out[5]["kept_tokens"] == 10
+    # null text passes through as NULL
+    assert out[6]["t"] is None
+    # no shared substring is LOST from the corpus: every duplicated window
+    # text still occurs in the cleaned corpus
+    _, toks = _ref(ROWS, L)
+    from collections import Counter
+
+    occ = Counter(
+        " ".join(tk[p - 1 : p - 1 + L])
+        for tk in toks.values()
+        for p in range(1, len(tk) - L + 2)
+    )
+    cleaned = " \x00 ".join(v["t"] for v in out.values() if v["t"])
+    for w, c in occ.items():
+        if c > 1:
+            assert w in cleaned
+
+
+def test_partitioning_invariant(spark, docs):
+    a = {
+        tuple(r)
+        for r in duplicate_spans(docs, "t", "id", L, mark="redundant").collect()
+    }
+    b = {
+        tuple(r)
+        for r in duplicate_spans(
+            docs.repartition(7), "t", "id", L, mark="redundant"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_single_window_doc_guard(spark):
+    """Docs with exactly L tokens have ONE window: the diff sequence must
+    be empty, not the descending [2, 1] (sequence(2, 1) gotcha)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "id long, t string"
+    )
+    rows = duplicate_spans(df, "t", "id", L, mark="all").collect()
+    assert {(r["id"], r["n_spans"], r["dup_tokens"]) for r in rows} == {
+        (1, 1, 6),
+        (2, 1, 6),
+    }
+
+
+def test_validation(spark, docs):
+    with pytest.raises(ValueError, match="min_tokens"):
+        substring_windows(docs, "t", "id", 1)
+    with pytest.raises(ValueError, match="mark"):
+        duplicate_spans(docs, "t", "id", L, mark="bogus")
+
+
+def test_window_build_is_scan_local(spark, docs):
+    """No Exchange below the window explode: tokenization + window structs
+    happen inside the scan stage; only (id, pos, wkey) ever shuffles."""
+    plan = (
+        substring_windows(docs, "t", "id", L)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
