@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cuckoofilter4j_spark.core import validate_params, BUCKET_SIZE
 from cuckoofilter4j_spark.operators import (
@@ -1098,6 +1098,73 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(emb, q, k=10, n_lists=16, n_probe=1, seed=SEED)
     return approx.groupBy("query_id").agg(
         (F.sum(F.when((F.col("vec_id") == F.col("query_id")) & (F.col("rank") == 1), 1).otherwise(0)) == 1).alias("self_found"),
+    )
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (functions/pq.py, Jégou et al. TPAMI'11):
+    vectors stored as 16 one-byte codewords (16x compression at dim 64),
+    searched by ADC lookup tables, then exact-re-ranked over a 4x
+    shortlist (the FAISS refine pattern). The gate pins, per query: the
+    query's own vector ranks first, and recall@10 vs the EXACT L2 top-10
+    (computed in-Spark via the Catalyst zip_with/aggregate twin) >= 0.9.
+    The corpus is scanned through codes only; float vectors are touched
+    for k*refine candidate rows per query."""
+    from cuckoofilter4j_spark.functions.pq import (
+        pq_encode,
+        pq_topk_refined,
+        train_pq,
+    )
+
+    emb = _emb(spark, sf_dir)
+    books = train_pq(emb, "embedding", m=16, nbits=8, seed=7, max_iter=8)
+    coded = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = pq_topk_refined(coded, q, books, k=10, refine_factor=4)
+    # exact L2 top-10: broadcast the 5 queries, pure-Catalyst distance
+    sq = F.zip_with(
+        "embedding",
+        "__q_vec",
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    qv = q.select("query_id", F.col("embedding").alias("__q_vec"))
+    exact = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("d").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    flags = approx.groupBy("query_id").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("vec_id") == F.col("query_id")) & (F.col("rank") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            == 1
+        ).alias("self_found")
+    )
+    return flags.join(hits, "query_id").select(
+        "query_id", "self_found", (F.col("n_hits") >= 9).alias("recall_ok")
     )
 
 
@@ -2328,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_vectorized": q_ann_topk_vectorized,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_pq_recall": q_ann_pq_recall,
         "ann_ivf_store_recall": q_ann_ivf_store_recall,
         "emb_near_dup": q_emb_near_dup,
         "bloom_might_contain": q_bloom_might_contain,
@@ -3320,6 +3388,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
         "ann_ivf_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
+        # PQ+refine guarantees: self rank-1 and >=0.9 recall@10 vs exact L2
+        "ann_pq_recall": "SELECT vec_id AS query_id, TRUE AS self_found, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
         "ann_ivf_store_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
         "emb_near_dup": "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
         "stream_dedup": "SELECT lang, TRUE AS dedup_ok FROM (SELECT DISTINCT lang FROM documents)",

@@ -1,0 +1,416 @@
+"""Product quantization (PQ) for embedding columns — the memory-compression
+scale path for ANN (Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011; the engine behind FAISS's IVFPQ indexes).
+
+A d-dim float vector (d x 4 bytes) becomes m uint8 codes (m bytes): split
+the vector into m contiguous subspaces of d/m dims, learn a 2^nbits-entry
+codebook per subspace (plain Euclidean k-means), store each subvector as
+the index of its nearest codeword. At d=768/m=16 that is a 192x size
+reduction — the difference between an embedding corpus that fits executor
+memory and one that does not.
+
+Search is ADC (asymmetric distance computation): the UNquantized query
+builds one (m x 2^nbits) lookup table of exact subspace distances, and
+each database vector's approximate distance is m table gathers + adds —
+no float vector is ever touched at query time.
+
+100 TB design:
+- Training reads a bounded deterministic sample driver-side (`train_pq`,
+  the FAISS practice) or runs Lloyd rounds over the FULL corpus with
+  per-partition partial sums for ALL m subspaces in ONE mapInPandas scan
+  (`train_pq_distributed`): driver traffic per round is m x 2^nbits x
+  (dsub+1) doubles per partition — independent of corpus size. Vectors
+  never shuffle.
+- Encoding is scan-local: one broadcast of the (m x 2^nbits x dsub)
+  codebook tensor, one argmin matmul per subspace per Arrow batch; output
+  is a BINARY column of m bytes per row.
+- ADC scoring is scan-local with BOUNDED per-task state: each task keeps
+  only its running top-k per query (k x |queries| rows), and the final
+  exact merge ranks |tasks| x k x |queries| rows — the corpus itself never
+  shuffles, exactly the count_members_sharded "aggregate in the scan"
+  shape.
+
+The reference repo has no ANN support; this extends the pipeline family
+(SURVEY.md "beyond the reference" LLM-data operators) alongside the LSH
+and IVF paths in functions/similarity.py — compose pq_topk with an IVF
+coarse quantizer by filtering the corpus to probed lists first.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "train_pq",
+    "train_pq_distributed",
+    "pq_encode",
+    "pq_decode_np",
+    "pq_topk",
+    "pq_topk_refined",
+]
+
+
+def _check_geometry(dim: int, m: int, nbits: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m must divide dim: dim={dim}, m={m}")
+    if not 1 <= nbits <= 8:
+        raise ValueError(f"nbits must be in [1, 8] (uint8 codes), got {nbits}")
+    return dim // m
+
+
+def _kmeans_sub(mat: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """Plain Euclidean Lloyd on one subspace, deterministic seeded init.
+    Empty clusters keep their previous codeword (FAISS behavior)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, mat.shape[0])
+    cent = mat[rng.choice(mat.shape[0], size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def train_pq(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_cap: int = 100_000,
+) -> np.ndarray:
+    """Train PQ codebooks on a bounded deterministic driver sample.
+    Returns a (m, 2^nbits, d/m) float64 tensor. `k` per subspace is capped
+    at the sample size (tiny test corpora train exact codebooks)."""
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("cannot train PQ on an empty corpus")
+    frac = min(1.0, (train_cap * 1.2) / max(n, 1))
+    sample = (
+        corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(train_cap).collect()
+    )
+    mat = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
+    dsub = _check_geometry(mat.shape[1], m, nbits)
+    k = 2 ** nbits
+    books = np.zeros((m, min(k, mat.shape[0]), dsub), dtype=np.float64)
+    for j in range(m):
+        books[j] = _kmeans_sub(
+            mat[:, j * dsub : (j + 1) * dsub], k, seed + j, max_iter
+        )
+    return books
+
+
+def train_pq_distributed(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    max_iter: int = 10,
+    init_sample: int = 10_000,
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Lloyd rounds over the FULL corpus: per round, ONE mapInPandas scan
+    assigns every subvector of every vector and emits per-partition partial
+    (sum, count) rows keyed (subspace, code) — all m subspaces in the same
+    pass — which the driver reduces into new codewords. Stops early when no
+    codeword moves more than `tol` (max squared L2 shift)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    books = train_pq(
+        corpus, vec_col, m, nbits, seed, max_iter=3, train_cap=int(init_sample)
+    )
+    sc = corpus.sparkSession.sparkContext
+    mm, k, dsub = books.shape
+    schema = StructType(
+        [
+            StructField("sub", IntegerType(), False),
+            StructField("code", IntegerType(), False),
+            StructField("s", ArrayType(DoubleType()), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+    vecs = corpus.select(vec_col)
+    for _ in range(int(max_iter)):
+        bc = sc.broadcast(np.ascontiguousarray(books))
+
+        def partials(batches):
+            bks = bc.value  # (m, k, dsub)
+            sums = np.zeros_like(bks)
+            counts = np.zeros((bks.shape[0], bks.shape[1]), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                for j in range(bks.shape[0]):
+                    sub = mat[:, j * dsub : (j + 1) * dsub]
+                    # argmin ||x-c||^2 == argmax 2x.c - ||c||^2
+                    sims = 2.0 * sub @ bks[j].T - (bks[j] ** 2).sum(axis=1)
+                    assign = np.argmax(sims, axis=1)
+                    onehot = np.zeros((bks.shape[1], len(sub)), dtype=np.float64)
+                    onehot[assign, np.arange(len(sub))] = 1.0
+                    sums[j] += onehot @ sub
+                    counts[j] += np.bincount(assign, minlength=bks.shape[1])
+            live_j, live_c = np.nonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "sub": live_j.astype(np.int32),
+                    "code": live_c.astype(np.int32),
+                    "s": list(sums[live_j, live_c]),
+                    "n": counts[live_j, live_c],
+                }
+            )
+
+        rows = vecs.mapInPandas(partials, schema).collect()
+        bc.unpersist()
+        sums = np.zeros_like(books)
+        counts = np.zeros((mm, k), dtype=np.int64)
+        for r in rows:
+            sums[r["sub"], r["code"]] += np.asarray(r["s"])
+            counts[r["sub"], r["code"]] += r["n"]
+        new = books.copy()
+        live = counts > 0
+        new[live] = sums[live] / counts[live][:, None]
+        moved = float(((new - books) ** 2).sum(axis=2).max())
+        books = new
+        if moved <= tol:
+            break
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "__pq_code",
+) -> DataFrame:
+    """Append each vector's PQ code as a BINARY column of m bytes (one
+    uint8 codeword index per subspace). Scan-local: one broadcast of the
+    codebook tensor, one argmin matmul per subspace per Arrow batch."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    bks = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    mm, k, dsub = bks.shape
+    if k > 256:
+        raise ValueError(f"codebook has {k} entries; uint8 codes need <= 256")
+    bc = corpus.sparkSession.sparkContext.broadcast(bks)
+    schema = StructType(
+        corpus.schema.fields + [StructField(out_col, BinaryType(), False)]
+    )
+
+    def encode(batches):
+        books = bc.value
+        norms = [(books[j] ** 2).sum(axis=1) for j in range(books.shape[0])]
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if mat.shape[1] != books.shape[0] * dsub:
+                raise ValueError(
+                    f"vector dim {mat.shape[1]} != m*dsub {books.shape[0] * dsub}"
+                )
+            codes = np.empty((len(mat), books.shape[0]), dtype=np.uint8)
+            for j in range(books.shape[0]):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                sims = 2.0 * sub @ books[j].T - norms[j]
+                codes[:, j] = np.argmax(sims, axis=1).astype(np.uint8)
+            pdf[out_col] = [c.tobytes() for c in codes]
+            yield pdf
+
+    return corpus.mapInPandas(encode, schema)
+
+
+def pq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Reconstruct vectors from (n, m) uint8 codes — the test/debug helper
+    (production never decodes; ADC scores the codes directly)."""
+    bks = np.asarray(codebooks, dtype=np.float64)
+    mm, _, dsub = bks.shape
+    out = np.empty((codes.shape[0], mm * dsub), dtype=np.float64)
+    for j in range(mm):
+        out[:, j * dsub : (j + 1) * dsub] = bks[j][codes[:, j]]
+    return out
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    code_col: str = "__pq_code",
+) -> DataFrame:
+    """ADC top-k: approximate squared-L2 from each (unquantized) query to
+    every PQ-coded corpus vector, smallest k per query.
+
+    Queries (small, broadcast) precompute one (m x 2^nbits) exact-distance
+    LUT each; per Arrow batch the corpus codes become LUT gathers + adds.
+    Each task emits only its local top-k per query; a final window rank
+    over |tasks| x k x |queries| rows gives the exact ADC top-k. Ties break
+    by id ascending. Returns (query_id, id, adc_dist, rank)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bks = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    mm, kk, dsub = bks.shape
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # (n_q, m, 2^nbits) exact subspace distance tables
+    luts = np.empty((len(qids), mm, kk), dtype=np.float64)
+    for j in range(mm):
+        diff = qmat[:, None, j * dsub : (j + 1) * dsub] - bks[j][None, :, :]
+        luts[:, j, :] = (diff ** 2).sum(axis=2)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, luts))
+    schema = StructType(
+        [
+            StructField(query_id_col, LongType(), False),
+            StructField(id_col, LongType(), False),
+            StructField("adc_dist", DoubleType(), False),
+        ]
+    )
+
+    def score(batches):
+        q_ids, q_luts = bc.value
+        nq = len(q_ids)
+        # bounded per-task state: running top-k per query
+        best_d = np.full((nq, k), np.inf)
+        best_i = np.full((nq, k), -1, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf[code_col].tolist()), dtype=np.uint8
+            ).reshape(len(pdf), mm)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # gather: dists[q, row] = sum_j luts[q, j, codes[row, j]]
+            flat = (codes + (np.arange(mm) * kk)[None, :]).ravel()
+            d = (
+                q_luts.reshape(nq, mm * kk)[:, flat]
+                .reshape(nq, len(pdf), mm)
+                .sum(axis=2)
+            )
+            cand_d = np.concatenate([best_d, d], axis=1)
+            cand_i = np.concatenate(
+                [best_i, np.broadcast_to(ids, (nq, len(ids)))], axis=1
+            )
+            # smallest k by (dist, id): two-key lexsort per query row
+            for qi in range(nq):
+                o = np.lexsort((cand_i[qi], cand_d[qi]))[:k]
+                best_d[qi], best_i[qi] = cand_d[qi][o], cand_i[qi][o]
+        live = best_i >= 0
+        qcol = np.repeat(q_ids, live.sum(axis=1))
+        yield pd.DataFrame(
+            {
+                query_id_col: qcol,
+                id_col: best_i[live],
+                "adc_dist": best_d[live],
+            }
+        )
+
+    need = corpus.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(code_col)
+    )
+    partial = need.mapInPandas(score, schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_topk_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    code_col: str = "__pq_code",
+) -> DataFrame:
+    """ADC shortlist + exact re-rank (the FAISS refine / IVFPQ-R pattern):
+    retrieve k * refine_factor candidates by compressed-domain ADC, then
+    re-score ONLY those candidates against their true float vectors and
+    keep the exact-distance top k.
+
+    This is how PQ reaches ~exact recall while still never scanning float
+    vectors: the full corpus is touched only through its m-byte codes; the
+    expensive exact arithmetic runs on k * refine_factor * |queries| rows.
+
+    100 TB shape: the shortlist (tiny) broadcasts into an equi-join against
+    the corpus — Catalyst plans a broadcast hash join, so the float-vector
+    scan is pruned to candidate rows without shuffling the corpus. Exact
+    distance is computed in pure Catalyst (zip_with + aggregate — stays in
+    codegen). Returns (query_id, id, exact_dist, rank), ties by id.
+    """
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    shortlist = pq_topk(
+        corpus,
+        queries,
+        codebooks,
+        k=k * refine_factor,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        code_col=code_col,
+    ).select(query_id_col, id_col)
+    qv = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__q_vec")
+    )
+    cand = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__c_vec"))
+        .join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(qv), query_id_col)
+    )
+    sq = F.zip_with(
+        "__q_vec",
+        "__c_vec",
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x).alias("exact_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("exact_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
