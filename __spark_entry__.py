@@ -1168,6 +1168,76 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite ANN (functions/ivfpq.py, FAISS IndexIVFPQ):
+    residual-encoded 16-byte codes in coarse-quantizer inverted lists,
+    per-(query, list) ADC tables, exact re-rank of a 4x shortlist. The
+    synthetic embeddings are near-uniform, so list routing (not code
+    resolution) caps recall at small n_probe — pinned separately in
+    pytest; the GATE probes all lists so it pins the residual-code + probe
+    + refine machinery: self rank-1 and recall@10 >= 0.9 vs the exact L2
+    top-10 (in-Spark Catalyst twin)."""
+    from cuckoofilter4j_spark.functions.ivfpq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent, books = train_ivfpq(
+        emb, "embedding", n_lists=16, m=16, nbits=8, seed=7, max_iter=8
+    )
+    coded = ivfpq_encode(emb, cent, books)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivfpq_topk(
+        coded, q, cent, books, k=10, n_probe=16, refine_factor=4
+    )
+    sq = F.zip_with(
+        "embedding",
+        "__q_vec",
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    qv = q.select("query_id", F.col("embedding").alias("__q_vec"))
+    exact = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("d").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    flags = approx.groupBy("query_id").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("vec_id") == F.col("query_id")) & (F.col("rank") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            == 1
+        ).alias("self_found")
+    )
+    return flags.join(hits, "query_id").select(
+        "query_id", "self_found", (F.col("n_hits") >= 9).alias("recall_ok")
+    )
+
+
 def q_ckf_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accelerated join pruning (operators/join.py): a cuckoo filter
     over a 2%-selective orders subset prunes the lineitem probe side
@@ -2396,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "ann_pq_recall": q_ann_pq_recall,
+        "ann_ivfpq_recall": q_ann_ivfpq_recall,
         "ann_ivf_store_recall": q_ann_ivf_store_recall,
         "emb_near_dup": q_emb_near_dup,
         "bloom_might_contain": q_bloom_might_contain,
@@ -3390,6 +3461,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
         # PQ+refine guarantees: self rank-1 and >=0.9 recall@10 vs exact L2
         "ann_pq_recall": "SELECT vec_id AS query_id, TRUE AS self_found, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
+        # IVFPQ all-lists gate: residual codes + probe plumbing + refine
+        "ann_ivfpq_recall": "SELECT vec_id AS query_id, TRUE AS self_found, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
         "ann_ivf_store_recall": "SELECT vec_id AS query_id, TRUE AS self_found FROM embeddings WHERE vec_id < 5",
         "emb_near_dup": "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
         "stream_dedup": "SELECT lang, TRUE AS dedup_ok FROM (SELECT DISTINCT lang FROM documents)",

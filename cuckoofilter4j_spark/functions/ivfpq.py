@@ -1,0 +1,242 @@
+"""IVF+PQ composite index (FAISS's IndexIVFPQ, Jégou et al. TPAMI 2011
+§V): a coarse quantizer routes each vector to one of n_lists inverted
+lists, and product quantization encodes the RESIDUAL (x - centroid) in m
+bytes. Search probes only the n_probe lists nearest the query and scores
+their codes with per-(query, list) ADC tables built on (q - centroid).
+
+Residual encoding is what makes the composition better than flat PQ: the
+coarse quantizer removes most of the vector's energy, so the codebooks
+spend their 2^nbits codewords on a much smaller-radius distribution —
+same bytes, finer resolution.
+
+100 TB design:
+- Training is a bounded deterministic driver sample (coarse quantizer and
+  residual codebooks from the same sample — the FAISS practice).
+- Encoding is scan-local: one broadcast of (centroids, codebooks), one
+  argmin + one residual matmul per subspace per Arrow batch. No shuffle.
+- Search touches ONLY probed lists: the operator filters on the list
+  column FIRST, so a corpus laid out with sources/layout.write_partitioned
+  (or the IVF store) turns the filter into directory pruning — the scan
+  reads n_probe/n_lists of the data before a single ADC gather runs.
+  Per-task state is the bounded running top-k per query, and the optional
+  exact re-rank (pq.exact_rerank) touches k * refine float vectors per
+  query through a broadcast join.
+
+The reference repo has no ANN support; this completes the pipeline ANN
+family (LSH, IVF, PQ, IVFPQ) in functions/similarity.py + pq.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cuckoofilter4j_spark.functions.pq import (
+    _check_geometry,
+    _kmeans_sub,
+    exact_rerank,
+)
+
+__all__ = ["train_ivfpq", "ivfpq_encode", "ivfpq_topk"]
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_cap: int = 100_000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Train (centroids, residual codebooks) on a bounded deterministic
+    driver sample: Euclidean k-means for the coarse quantizer (n_lists x
+    dim), then per-subspace k-means on the sample's residuals
+    (m x 2^nbits x dim/m)."""
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("cannot train IVFPQ on an empty corpus")
+    frac = min(1.0, (train_cap * 1.2) / max(n, 1))
+    sample = (
+        corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(train_cap).collect()
+    )
+    mat = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
+    dsub = _check_geometry(mat.shape[1], m, nbits)
+    cent = _kmeans_sub(mat, n_lists, seed, max_iter)
+    d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    resid = mat - cent[np.argmin(d, axis=1)]
+    k = 2 ** nbits
+    books = np.zeros((m, min(k, mat.shape[0]), dsub), dtype=np.float64)
+    for j in range(m):
+        books[j] = _kmeans_sub(
+            resid[:, j * dsub : (j + 1) * dsub], k, seed + 1 + j, max_iter
+        )
+    return cent, books
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    list_col: str = "__ivf_list",
+    code_col: str = "__pq_code",
+) -> DataFrame:
+    """Append each vector's inverted-list id and m-byte residual PQ code.
+    Scan-local: nearest centroid by L2, residual, per-subspace argmin."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+    cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    bks = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    mm, kk, dsub = bks.shape
+    if kk > 256:
+        raise ValueError(f"codebook has {kk} entries; uint8 codes need <= 256")
+    bc = corpus.sparkSession.sparkContext.broadcast((cent, bks))
+    schema = StructType(
+        corpus.schema.fields
+        + [
+            StructField(list_col, IntegerType(), False),
+            StructField(code_col, BinaryType(), False),
+        ]
+    )
+
+    def encode(batches):
+        c, books = bc.value
+        cnorm = (c ** 2).sum(axis=1)
+        bnorms = [(books[j] ** 2).sum(axis=1) for j in range(books.shape[0])]
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[list_col] = pd.Series([], dtype="int32")
+                pdf[code_col] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            lists = np.argmax(2.0 * mat @ c.T - cnorm, axis=1)
+            resid = mat - c[lists]
+            codes = np.empty((len(mat), books.shape[0]), dtype=np.uint8)
+            for j in range(books.shape[0]):
+                sub = resid[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = np.argmax(
+                    2.0 * sub @ books[j].T - bnorms[j], axis=1
+                ).astype(np.uint8)
+            pdf[list_col] = lists.astype(np.int32)
+            pdf[code_col] = [cc.tobytes() for cc in codes]
+            yield pdf
+
+    return corpus.mapInPandas(encode, schema)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    refine_factor: Optional[int] = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    list_col: str = "__ivf_list",
+    code_col: str = "__pq_code",
+) -> DataFrame:
+    """Probed ADC top-k: each query scores only its n_probe nearest lists,
+    using an exact per-(query, list) LUT on (q - centroid). With
+    `refine_factor`, the ADC result is a shortlist that pq.exact_rerank
+    re-scores against true vectors (rank/dist columns then reflect exact
+    L2). Returns (query_id, id, dist column, rank), ties by id."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if refine_factor is not None and refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    keep = k * (refine_factor or 1)  # per-task shortlist width
+    cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    bks = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    mm, kk, dsub = bks.shape
+    n_probe = min(int(n_probe), cent.shape[0])
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qd = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :n_probe]  # (nq, n_probe)
+    # LUTs on the residual query: (nq, n_probe, m, 2^nbits)
+    luts = np.empty((len(qids), n_probe, mm, kk), dtype=np.float64)
+    for qi in range(len(qids)):
+        for p in range(n_probe):
+            rq = qmat[qi] - cent[probes[qi, p]]
+            for j in range(mm):
+                diff = rq[j * dsub : (j + 1) * dsub][None, :] - bks[j]
+                luts[qi, p, j, :] = (diff ** 2).sum(axis=1)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, probes, luts))
+    schema = StructType(
+        [
+            StructField(query_id_col, LongType(), False),
+            StructField(id_col, LongType(), False),
+            StructField("adc_dist", DoubleType(), False),
+        ]
+    )
+
+    def score(batches):
+        q_ids, q_probes, q_luts = bc.value
+        nq = len(q_ids)
+        best_d = np.full((nq, keep), np.inf)
+        best_i = np.full((nq, keep), -1, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf[code_col].tolist()), dtype=np.uint8
+            ).reshape(len(pdf), mm)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            lists = pdf[list_col].to_numpy(dtype=np.int64)
+            flat = codes + (np.arange(mm) * kk)[None, :]
+            for qi in range(nq):
+                for p in range(q_probes.shape[1]):
+                    sel = np.flatnonzero(lists == q_probes[qi, p])
+                    if not len(sel):
+                        continue
+                    d = q_luts[qi, p].ravel()[flat[sel]].sum(axis=1)
+                    cd = np.concatenate([best_d[qi], d])
+                    ci = np.concatenate([best_i[qi], ids[sel]])
+                    o = np.lexsort((ci, cd))[:keep]
+                    best_d[qi], best_i[qi] = cd[o], ci[o]
+        live = best_i >= 0
+        yield pd.DataFrame(
+            {
+                query_id_col: np.repeat(q_ids, live.sum(axis=1)),
+                id_col: best_i[live],
+                "adc_dist": best_d[live],
+            }
+        )
+
+    all_lists = [int(x) for x in np.unique(probes)]
+    # list filter FIRST: a list-partitioned layout turns this into
+    # directory pruning before any Python runs
+    need = corpus.where(F.col(list_col).isin(all_lists)).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(list_col),
+        F.col(code_col),
+    )
+    partial = need.mapInPandas(score, schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    adc = partial.withColumn("rank", F.row_number().over(w))
+    if refine_factor is None:
+        return adc.where(F.col("rank") <= k)
+    shortlist = adc.where(F.col("rank") <= keep).select(query_id_col, id_col)
+    return exact_rerank(
+        corpus, queries, shortlist, k, vec_col, id_col, query_id_col
+    )

@@ -388,6 +388,24 @@ def pq_topk_refined(
         query_id_col=query_id_col,
         code_col=code_col,
     ).select(query_id_col, id_col)
+    return exact_rerank(
+        corpus, queries, shortlist, k, vec_col, id_col, query_id_col
+    )
+
+
+def exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact-L2 re-rank of a (query_id, id) candidate shortlist: broadcast
+    hash join prunes the corpus scan to candidate rows (the corpus never
+    shuffles), distance stays in Catalyst codegen (zip_with + aggregate).
+    Returns (query_id, id, exact_dist, rank) for rank <= k, ties by id."""
     qv = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__q_vec")
     )

@@ -1,0 +1,168 @@
+"""IVF+PQ composite index (functions/ivfpq.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions.ivfpq import (
+    ivfpq_encode,
+    ivfpq_topk,
+    train_ivfpq,
+)
+from cuckoofilter4j_spark.functions.pq import pq_decode_np
+
+DIM, M, NBITS, NLISTS = 16, 4, 4, 5
+
+
+def _clustered(n, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(5, DIM)) * 6.0
+    return [
+        (
+            i,
+            [float(x) for x in centers[i % 5] + rng.normal(size=DIM) * 0.3],
+            i % 5,
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        _clustered(200), "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    return train_ivfpq(corpus, n_lists=NLISTS, m=M, nbits=NBITS, seed=11, max_iter=10)
+
+
+def test_shapes_and_determinism(corpus, index):
+    cent, books = index
+    assert cent.shape == (NLISTS, DIM)
+    assert books.shape == (M, 2 ** NBITS, DIM // M)
+    c2, b2 = train_ivfpq(corpus, n_lists=NLISTS, m=M, nbits=NBITS, seed=11, max_iter=10)
+    assert np.array_equal(cent, c2) and np.array_equal(books, b2)
+
+
+def test_encode_assigns_nearest_list_and_residual_codes(corpus, index):
+    cent, books = index
+    rows = (
+        ivfpq_encode(corpus, cent, books)
+        .select("embedding", "__ivf_list", "__pq_code")
+        .collect()
+    )
+    dsub = DIM // M
+    for r in rows[:20]:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        d = ((cent - v) ** 2).sum(axis=1)
+        assert d[r["__ivf_list"]] == pytest.approx(d.min())
+        resid = v - cent[r["__ivf_list"]]
+        code = np.frombuffer(r["__pq_code"], dtype=np.uint8)
+        for j in range(M):
+            sub = resid[j * dsub : (j + 1) * dsub]
+            dj = ((books[j] - sub) ** 2).sum(axis=1)
+            assert dj[code[j]] == pytest.approx(dj.min())
+
+
+def test_residual_codes_reconstruct_better_than_flat(corpus, index):
+    """The point of IVFPQ: residual codebooks at the same byte budget
+    reconstruct with lower MSE than flat PQ codebooks."""
+    from cuckoofilter4j_spark.functions.pq import pq_encode, train_pq
+
+    cent, books = index
+    rows = corpus.collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    coded = (
+        ivfpq_encode(corpus, cent, books)
+        .select("vec_id", "__ivf_list", "__pq_code")
+        .collect()
+    )
+    codes = np.array([np.frombuffer(r["__pq_code"], dtype=np.uint8) for r in coded])
+    lists = np.array([r["__ivf_list"] for r in coded])
+    rec = cent[lists] + pq_decode_np(codes, books)
+    ivfpq_mse = ((vecs - rec) ** 2).mean()
+
+    flat_books = train_pq(corpus, m=M, nbits=NBITS, seed=11, max_iter=10)
+    flat = pq_encode(corpus, flat_books).select("__pq_code").collect()
+    fcodes = np.array([np.frombuffer(r["__pq_code"], dtype=np.uint8) for r in flat])
+    flat_mse = ((vecs - pq_decode_np(fcodes, flat_books)) ** 2).mean()
+    assert ivfpq_mse < flat_mse / 2
+
+
+def test_results_come_only_from_probed_lists(spark, corpus, index):
+    cent, books = index
+    coded = ivfpq_encode(corpus, cent, books)
+    q = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(coded, q, cent, books, k=10, n_probe=1).collect()
+    lists = {
+        r["vec_id"]: r["__ivf_list"]
+        for r in coded.select("vec_id", "__ivf_list").collect()
+    }
+    qrows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+             for r in corpus.where(F.col("vec_id") < 5).collect()}
+    for r in out:
+        probe = int(np.argmin(((cent - qrows[r["query_id"]]) ** 2).sum(axis=1)))
+        assert lists[r["vec_id"]] == probe
+
+
+def test_clustered_corpus_single_probe_recall(spark, corpus, index):
+    """On genuinely clustered data one probe finds the true neighbors —
+    the regime IVFPQ is built for."""
+    cent, books = index
+    coded = ivfpq_encode(corpus, cent, books)
+    q = corpus.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(coded, q, cent, books, k=10, n_probe=1, refine_factor=4).collect()
+    rows = corpus.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for qq in by_q:
+        d = ((mat - mat[ids == qq][0]) ** 2).sum(axis=1)
+        exact = set(ids[np.lexsort((ids, d))[:10]].tolist())
+        recalls.append(len(exact & by_q[qq]) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_partitioning_invariant(spark, corpus, index):
+    cent, books = index
+    q = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivfpq_topk(
+            ivfpq_encode(corpus, cent, books), q, cent, books, k=5, n_probe=2
+        ).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivfpq_topk(
+            ivfpq_encode(corpus.repartition(7), cent, books),
+            q,
+            cent,
+            books,
+            k=5,
+            n_probe=2,
+        ).collect()
+    }
+    assert a == b
+
+
+def test_validation(spark, corpus, index):
+    cent, books = index
+    with pytest.raises(ValueError, match="k must be"):
+        ivfpq_topk(corpus, corpus, cent, books, k=0)
+    with pytest.raises(ValueError, match="refine_factor"):
+        ivfpq_topk(corpus, corpus, cent, books, refine_factor=0)
+    with pytest.raises(ValueError, match="divide"):
+        train_ivfpq(corpus, m=5)
