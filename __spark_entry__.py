@@ -2211,6 +2211,27 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the persisted inverted index (sources/
+    text_index.py): one indexing pass (term-sorted postings + doclens +
+    stats), then the query reads ONLY the query terms' postings rows
+    (row-group prune pinned in pytest). Scores must be VALUE-IDENTICAL to
+    the direct bm25_search path — the oracle is the same BM25 SQL."""
+    import shutil
+    import tempfile
+
+    from cuckoofilter4j_spark.sources import bm25_from_index, build_text_index
+
+    base = tempfile.mkdtemp(prefix="ckf_bm25_idx_")
+    try:
+        build_text_index(_docs(spark, sf_dir), "text", "doc_id", base)
+        out = bm25_from_index(spark, base, ["hash", "stream", "vector"])
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span detection (functions/substrings.py, the Lee et
     al. 2022 ExactSubstr pass re-expressed as one hash aggregation over
@@ -2450,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
         "bm25_search": q_bm25_search,
+        "bm25_index_search": q_bm25_index_search,
         "dup_spans": q_dup_spans,
         "dedup_substrings": q_dedup_substrings,
         "dedup_corpus": q_dedup_corpus,
@@ -3556,4 +3578,6 @@ def oracle_sql() -> dict[str, str]:
     out["ann_topk_vectorized"] = out["ann_topk"]  # identical result contract
     # the streaming complete-mode rollup's final table IS the batch rollup
     out["stream_window_rollup"] = out["tumbling_rollup_events"]
+    # the index-served BM25 path is value-identical to the direct path
+    out["bm25_index_search"] = out["bm25_search"]
     return out

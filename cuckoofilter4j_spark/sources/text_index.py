@@ -1,0 +1,137 @@
+"""Persisted inverted text index: build the corpus-level retrieval
+statistics ONCE, serve BM25 queries from the stored index without ever
+re-scanning document text.
+
+`functions/scoring.bm25_search` recomputes tokenization + term counts per
+query — correct, but at 100 TB the corpus scan dominates and is identical
+for every query. A real retrieval deployment inverts that: one indexing
+pass writes
+
+    postings/    (term, id, tf)        — range-partitioned AND sorted by
+                                         term, so parquet row-group min/max
+                                         statistics prune a term-equality
+                                         probe to the few groups that hold
+                                         the term (PushedFilters, pinned)
+    doclens/     (id, dl)              — per-document token counts
+    stats/       (n_docs, avgdl)       — one row
+
+and every query is then: scan ONLY the query terms' postings rows, join
+the (broadcast) per-term document frequencies, join doclens by id, score.
+The corpus text is never touched again; per-query IO is proportional to
+the MATCHED postings, not the corpus.
+
+Scoring arithmetic is shared with bm25_search (same Lucene idf, same
+term-ascending left fold), so the index path is VALUE-IDENTICAL to the
+direct path — the gate query pins the index-served scores against the
+same DuckDB oracle the direct query uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cuckoofilter4j_spark.functions.scoring import doc_terms
+
+__all__ = ["build_text_index", "bm25_from_index"]
+
+
+def build_text_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    postings_partitions: int = 8,
+) -> dict:
+    """One indexing pass: postings + doclens + corpus stats under `path`.
+    Postings are repartitionByRange(term) + sortWithinPartitions(term) so
+    every parquet row group covers a narrow term range — a term-equality
+    filter reads only the groups whose [min, max] straddles the term.
+    Returns {n_docs, avgdl, n_postings}."""
+    terms = doc_terms(df, text_col, id_col)
+    postings = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .repartitionByRange(postings_partitions, "term")
+        .sortWithinPartitions("term")
+    )
+    postings.write.mode("overwrite").parquet(f"{path}/postings")
+    dl = (
+        df.select(id_col)
+        .join(terms.groupBy(id_col).agg(F.count("*").alias("dl")), id_col, "left")
+        .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl"))
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/doclens")
+    spark = df.sparkSession
+    stats = spark.read.parquet(f"{path}/doclens").agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    row = stats.collect()[0]
+    n_post = spark.read.parquet(f"{path}/postings").count()
+    return {
+        "n_docs": int(row["n_docs"]),
+        "avgdl": float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+        "n_postings": int(n_post),
+    }
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    path: str,
+    query_terms: list,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """BM25 over the persisted index: postings pruned to the query terms
+    (pushed-down equality-in filter → row-group skip on the term-sorted
+    layout), document frequencies computed from those few rows and
+    broadcast, doclens joined by id. Identical arithmetic to
+    functions/scoring.bm25_search — same idf, same term-ascending left
+    fold — so scores are value-identical to the direct path."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1} b={b}")
+    q = sorted({t.lower() for t in query_terms})
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    if avgdl == 0.0:
+        raise ValueError("indexed corpus has no tokens; BM25 is undefined")
+    qtf = spark.read.parquet(f"{path}/postings").where(F.col("term").isin(q))
+    dft = qtf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    dl = spark.read.parquet(f"{path}/doclens")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf")
+        + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = (
+        qtf.join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .select(id_col, "term", (idf * norm).alias("contrib"))
+    )
+    out = (
+        contrib.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("_cs"),
+        )
+        .select(
+            id_col,
+            "n_matched",
+            F.round(
+                F.aggregate("_cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
+                6,
+            ).alias("score"),
+        )
+    )
+    if top_k is not None:
+        if top_k < 1:
+            raise ValueError(f"top_k must be >= 1, got {top_k}")
+        out = out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(top_k)
+    return out

@@ -1,0 +1,94 @@
+"""Persisted inverted text index (sources/text_index.py)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import bm25_search
+from cuckoofilter4j_spark.sources import bm25_from_index, build_text_index
+
+DOCS = [
+    (1, "apple apple banana common"),
+    (2, "banana cherry common common"),
+    (3, "zebra common"),
+    (4, ""),
+    (5, "apple zebra apple banana"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, t string")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs):
+    base = tempfile.mkdtemp(prefix="ckf_test_tidx_")
+    meta = build_text_index(docs, "t", "doc_id", base, postings_partitions=3)
+    yield base, meta
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_index_metadata(index):
+    _, meta = index
+    assert meta["n_docs"] == 5
+    # 14 tokens over 5 docs
+    assert meta["avgdl"] == pytest.approx(14 / 5)
+    # distinct (doc, term) pairs
+    assert meta["n_postings"] == 11
+
+
+def test_index_path_value_identical_to_direct(spark, docs, index):
+    base, _ = index
+    for q in [["banana"], ["apple", "common"], ["zebra", "APPLE", "apple"]]:
+        direct = {
+            (r["doc_id"], r["n_matched"], r["score"])
+            for r in bm25_search(docs, "t", "doc_id", q).collect()
+        }
+        served = {
+            (r["doc_id"], r["n_matched"], r["score"])
+            for r in bm25_from_index(spark, base, q).collect()
+        }
+        assert direct == served
+
+
+def test_topk_served(spark, docs, index):
+    base, _ = index
+    full = sorted(
+        bm25_from_index(spark, base, ["apple", "banana"]).collect(),
+        key=lambda r: (-r["score"], r["doc_id"]),
+    )
+    top = bm25_from_index(spark, base, ["apple", "banana"], top_k=2).collect()
+    assert [(r["doc_id"], r["score"]) for r in top] == [
+        (r["doc_id"], r["score"]) for r in full[:2]
+    ]
+
+
+def test_postings_filter_is_pushed_down(spark, index):
+    """The term-equality probe must reach the parquet scan as a pushed
+    filter (the row-group prune on the term-sorted layout)."""
+    base, _ = index
+    plan = (
+        spark.read.parquet(f"{base}/postings")
+        .where(F.col("term").isin(["banana", "zebra"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(term" in plan
+
+
+def test_index_validation(spark, docs, index):
+    base, _ = index
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_from_index(spark, base, [])
+    empty_dir = tempfile.mkdtemp(prefix="ckf_test_tidx_empty_")
+    try:
+        empty = spark.createDataFrame([(1, "")], "doc_id long, t string")
+        build_text_index(empty, "t", "doc_id", empty_dir)
+        with pytest.raises(ValueError, match="no tokens"):
+            bm25_from_index(spark, empty_dir, ["x"])
+    finally:
+        shutil.rmtree(empty_dir, ignore_errors=True)
