@@ -2211,6 +2211,16 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring (functions/scoring.py): mean ln(c(ab)/c(a·)) over
+    adjacent word pairs — catches common words in implausible ORDER. Pairs
+    built scan-locally (no window shuffle); per-doc mean is a
+    position-ascending fold, value-pinned to 6 decimals vs DuckDB."""
+    from cuckoofilter4j_spark.functions import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir), "text", "doc_id")
+
+
 def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served from the persisted inverted index (sources/
     text_index.py): one indexing pass (term-sorted postings + doclens +
@@ -2471,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
         "bm25_search": q_bm25_search,
+        "bigram_logprob": q_bigram_logprob,
         "bm25_index_search": q_bm25_index_search,
         "dup_spans": q_dup_spans,
         "dedup_substrings": q_dedup_substrings,
@@ -3079,6 +3090,35 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY t.doc_id
             )
             SELECT d.doc_id, coalesce(per.n_terms, 0) AS n_terms, per.mean_logprob
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # bigram LM: identical pair counts, conditional, and position-
+        # ascending fold (list(lp ORDER BY pos) mirrors the struct sort)
+        "bigram_logprob": """
+            WITH tk AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+              FROM documents
+            ),
+            p AS (
+              SELECT tk.doc_id, CAST(g.i AS INT) AS pos,
+                     tk.t[CAST(g.i AS INT) - 1] AS a,
+                     tk.t[CAST(g.i AS INT)] AS b
+              FROM tk, (SELECT unnest(range(2, len(tk.t) + 1)) AS i) g
+              WHERE len(tk.t) >= 2
+            ),
+            bg AS (SELECT a, b, COUNT(*) AS c_ab FROM p GROUP BY a, b),
+            ctx AS (SELECT a, COUNT(*) AS c_a FROM p GROUP BY a),
+            per AS (
+              SELECT p.doc_id, COUNT(*) AS n_pairs,
+                     round(list_reduce(
+                         list_prepend(0.0,
+                             list(ln(bg.c_ab / ctx.c_a) ORDER BY p.pos)),
+                         (x, y) -> x + y) / COUNT(*), 6) AS mean_logprob
+              FROM p JOIN bg USING (a, b) JOIN ctx USING (a)
+              GROUP BY p.doc_id
+            )
+            SELECT d.doc_id, COALESCE(per.n_pairs, 0) AS n_pairs,
+                   per.mean_logprob
             FROM documents d LEFT JOIN per USING (doc_id)
         """,
         # BM25: identical arithmetic (Lucene idf, k1=1.2 b=0.75), the

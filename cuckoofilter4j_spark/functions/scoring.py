@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["doc_terms", "tfidf_top_terms", "unigram_logprob", "bm25_search"]
+__all__ = ["doc_terms", "tfidf_top_terms", "unigram_logprob", "bm25_search", "bigram_logprob"]
 
 
 def doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -240,3 +240,93 @@ def bm25_search(
             raise ValueError(f"top_k must be >= 1, got {top_k}")
         out = out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(top_k)
     return out
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Mean bigram log-probability of each document under the corpus's own
+    bigram distribution: mean over adjacent word pairs (a, b) of
+    ln(count(a b) / count(a ·)), where count(a ·) is the number of pair
+    occurrences whose left word is `a` (both counts over the SAME pair
+    relation, so the estimate is a proper conditional and every observed
+    pair has probability > 0 — self-scoring needs no smoothing, same
+    contract as unigram_logprob; scoring a different corpus needs backoff
+    upstream).
+
+    The bigram signal catches what unigrams cannot: documents made of
+    common words in implausible ORDER (shuffled text, keyword stuffing,
+    n-gram salad) score low even when every word is frequent.
+
+    Returns (id, n_pairs, mean_logprob) rounded to 6 decimals; docs with
+    fewer than 2 word runs get n_pairs=0 and NULL score. The per-document
+    mean is a position-ascending LEFT FOLD over collected contributions,
+    so the double accumulation order is engine- and partitioning-exact
+    (same idiom as bm25_search).
+
+    100 TB design: adjacent pairs are built scan-locally inside the token
+    projection (no window-function shuffle); ONE hash aggregation counts
+    bigrams (map-side combine), the |bigram vocab| and |context vocab|
+    tables broadcast back, and the corpus shuffles once for the per-doc
+    regroup.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+        ).alias("_toks"),
+    )
+    pairs = (
+        toks.where(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("_toks")),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.element_at("_toks", i - 1).alias("a"),
+                        F.element_at("_toks", i).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.pos", "p.a", "p.b")
+    )
+    bg = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ctx = pairs.groupBy("a").agg(F.count("*").alias("c_a"))
+    if broadcast_lm:
+        bg, ctx = F.broadcast(bg), F.broadcast(ctx)
+    contrib = (
+        pairs.join(bg, ["a", "b"])
+        .join(ctx, "a")
+        .select(
+            id_col,
+            "pos",
+            F.log(F.col("c_ab") / F.col("c_a")).alias("lp"),
+        )
+    )
+    per_doc = (
+        contrib.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("_cs"),
+        )
+        .select(
+            id_col,
+            "n_pairs",
+            F.round(
+                F.aggregate("_cs", F.lit(0.0), lambda acc, x: acc + x["lp"])
+                / F.col("n_pairs"),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        "mean_logprob",
+    )

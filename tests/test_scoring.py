@@ -186,3 +186,52 @@ def test_bm25_topk_plan_has_no_single_partition_sort(spark, docs):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_bigram_reference_values(spark, docs):
+    from cuckoofilter4j_spark.functions import bigram_logprob
+
+    out = {r["id"]: (r["n_pairs"], r["mean_logprob"])
+           for r in bigram_logprob(docs, "t", "id").collect()}
+    # corpus pairs: doc1: (apple,apple)(apple,banana)(banana,common)
+    #               doc2: (banana,cherry)(cherry,common)(common,common)
+    #               doc3: (zebra,common)   doc4: none
+    import re
+    toks = {i: re.findall(r"[a-z]+", t.lower()) for i, t in DOCS}
+    from collections import Counter
+    pairs = {i: list(zip(tk, tk[1:])) for i, tk in toks.items()}
+    c_ab = Counter(p for ps in pairs.values() for p in ps)
+    c_a = Counter(p[0] for ps in pairs.values() for p in ps)
+    for i, ps in pairs.items():
+        if not ps:
+            assert out[i] == (0, None)
+            continue
+        s = 0.0
+        for p in ps:
+            s += math.log(c_ab[p] / c_a[p[0]])
+        assert out[i] == (len(ps), round(s / len(ps), 6))
+
+
+def test_bigram_orders_differ(spark):
+    """Same words, shuffled order -> lower bigram score (the signal
+    unigrams cannot see)."""
+    from cuckoofilter4j_spark.functions import bigram_logprob, unigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(9)]
+    rows.append((9, "mat the on sat cat the"))  # same bag of words
+    df = spark.createDataFrame(rows, "id long, t string")
+    bg = {r["id"]: r["mean_logprob"] for r in bigram_logprob(df, "t", "id").collect()}
+    ug = {r["id"]: r["mean_logprob"] for r in unigram_logprob(df, "t", "id").collect()}
+    assert ug[9] == ug[0]           # unigram is blind to order
+    assert bg[9] < bg[0]            # bigram is not
+
+
+def test_bigram_partitioning_invariant(spark, docs):
+    from cuckoofilter4j_spark.functions import bigram_logprob
+
+    a = {tuple(r) for r in bigram_logprob(docs, "t", "id").collect()}
+    b = {tuple(r) for r in bigram_logprob(docs.repartition(7), "t", "id").collect()}
+    assert a == b
