@@ -597,6 +597,74 @@ def event_ops_bench(spark, reps: int = 2) -> dict:
                              for k, v in timings.items()}}
 
 
+def pipeline_ops_bench(spark, reps: int = 2) -> dict:
+    """Non-headline section: wall times of this round's pipeline additions
+    at SF_DIR — exact substring-span dedup (Lee et al. ExactSubstr shape),
+    PQ encode + refined ADC search, and BM25 direct vs index-served.
+    Separate from the headline suite so round-over-round headline totals
+    stay comparable; same best-of-interleaved-reps drift defense."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.functions import bm25_search, duplicate_spans
+    from cuckoofilter4j_spark.functions.pq import (
+        pq_encode,
+        pq_topk_refined,
+        train_pq,
+    )
+    from cuckoofilter4j_spark.sources import bm25_from_index, build_text_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    n_vec = emb.count()
+    books = train_pq(emb, "embedding", m=16, nbits=8, seed=7, max_iter=8)
+    idx_dir = tempfile.mkdtemp(prefix="ckf_bench_tidx_")
+    build_text_index(docs, "text", "doc_id", idx_dir)
+    terms = ["hash", "stream", "vector"]
+
+    def b_substring_spans(_):
+        _materialize(
+            duplicate_spans(docs, "text", "doc_id", min_tokens=20, mark="all")
+        )
+
+    def b_pq_search(_):
+        coded = pq_encode(emb, books)
+        q = emb.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        _materialize(pq_topk_refined(coded, q, books, k=10, refine_factor=4))
+
+    def b_bm25_direct(_):
+        _materialize(bm25_search(docs, "text", "doc_id", terms))
+
+    def b_bm25_indexed(_):
+        _materialize(bm25_from_index(spark, idx_dir, terms))
+
+    qs = {
+        "substring_spans": b_substring_spans,
+        "pq_encode_search": b_pq_search,
+        "bm25_direct": b_bm25_direct,
+        "bm25_indexed": b_bm25_indexed,
+    }
+    timings: dict = {}
+    try:
+        for _rep in range(max(1, reps)):
+            for name, fn in qs.items():
+                t0 = time.perf_counter()
+                fn(spark)
+                dt = round(time.perf_counter() - t0, 3)
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
+    finally:
+        docs.unpersist()
+        emb.unpersist()
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {"docs": n_docs, "vectors": n_vec, "timings_sec": timings}
+
+
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--insert-throughput":
         cores, rows = int(sys.argv[2]), int(sys.argv[3])
@@ -614,6 +682,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     state = headline_queries(spark)
     event_ops = event_ops_bench(spark)
+    pipeline_ops = pipeline_ops_bench(spark)
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         ensure_staged(spark, SCALE_ROWS)  # stage at full width, not in a child
         if SCALE_METHOD == "bucketed":
@@ -636,6 +705,7 @@ def main():
             "configured_fpp": FPP,
         },
         "event_ops": event_ops,
+        "pipeline_ops": pipeline_ops,
     }
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
