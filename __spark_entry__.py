@@ -2242,6 +2242,38 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (sources/text_index.py): build on the
+    first half of the corpus, APPEND the second half (existing postings
+    files untouched; stats refreshed from the doclens union), serve the
+    query. Because BM25's corpus statistics are recomputed from the union,
+    the append-built index is VALUE-IDENTICAL to a one-shot build — the
+    oracle is the same full-corpus BM25 SQL."""
+    import shutil
+    import tempfile
+
+    from cuckoofilter4j_spark.sources import (
+        append_text_index,
+        bm25_from_index,
+        build_text_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ckf_bm25_app_")
+    try:
+        build_text_index(
+            docs.where(F.col("doc_id") < 250), "text", "doc_id", base
+        )
+        append_text_index(
+            docs.where(F.col("doc_id") >= 250), "text", "doc_id", base
+        )
+        out = bm25_from_index(spark, base, ["hash", "stream", "vector"])
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span detection (functions/substrings.py, the Lee et
     al. 2022 ExactSubstr pass re-expressed as one hash aggregation over
@@ -2483,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "bigram_logprob": q_bigram_logprob,
         "bm25_index_search": q_bm25_index_search,
+        "bm25_index_append": q_bm25_index_append,
         "dup_spans": q_dup_spans,
         "dedup_substrings": q_dedup_substrings,
         "dedup_corpus": q_dedup_corpus,
@@ -3618,6 +3651,8 @@ def oracle_sql() -> dict[str, str]:
     out["ann_topk_vectorized"] = out["ann_topk"]  # identical result contract
     # the streaming complete-mode rollup's final table IS the batch rollup
     out["stream_window_rollup"] = out["tumbling_rollup_events"]
-    # the index-served BM25 path is value-identical to the direct path
+    # the index-served BM25 path is value-identical to the direct path,
+    # and an append-maintained index is value-identical to a one-shot build
     out["bm25_index_search"] = out["bm25_search"]
+    out["bm25_index_append"] = out["bm25_search"]
     return out

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cuckoofilter4j_spark.functions.scoring import doc_terms
 
-__all__ = ["build_text_index", "bm25_from_index"]
+__all__ = ["build_text_index", "append_text_index", "bm25_from_index"]
 
 
 def build_text_index(
@@ -135,3 +135,70 @@ def bm25_from_index(
             raise ValueError(f"top_k must be >= 1, got {top_k}")
         out = out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(top_k)
     return out
+
+
+def append_text_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    postings_partitions: int = 4,
+    check_ids: bool = True,
+) -> dict:
+    """Incrementally index NEW documents into an existing index: their
+    postings and doclens land as APPENDED parquet files (existing files
+    untouched — same contract as the IVF store's append), and only the
+    one-row stats table is rewritten from the doclens aggregate.
+
+    Because BM25's corpus statistics (df_t, n_docs, avgdl) are recomputed
+    from the UNION at query time / stats refresh, serving after an append
+    is VALUE-IDENTICAL to rebuilding from scratch on the union — pinned by
+    the gate query, which compares an append-built index against the same
+    DuckDB oracle as a one-shot build. Appended postings files are
+    term-sorted within themselves, so row-group pruning still holds
+    per-file (compact with one sorted rewrite if file counts grow).
+
+    Appending an id that is ALREADY indexed would duplicate its postings;
+    `check_ids` (default) rejects that with one semi-join count against the
+    stored doclens — disable only when the caller guarantees disjoint ids
+    (it is a corpus-sized join at extreme scale).
+    """
+    spark = df.sparkSession
+    if check_ids:
+        dup = (
+            spark.read.parquet(f"{path}/doclens")
+            .join(df.select(id_col).distinct(), id_col, "left_semi")
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"{dup} incoming ids are already indexed; appending them "
+                "would duplicate postings (pass check_ids=False only for "
+                "guaranteed-disjoint ids)"
+            )
+    terms = doc_terms(df, text_col, id_col)
+    postings = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .repartitionByRange(postings_partitions, "term")
+        .sortWithinPartitions("term")
+    )
+    postings.write.mode("append").parquet(f"{path}/postings")
+    dl = (
+        df.select(id_col)
+        .join(terms.groupBy(id_col).agg(F.count("*").alias("dl")), id_col, "left")
+        .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl"))
+    )
+    dl.write.mode("append").parquet(f"{path}/doclens")
+    stats = spark.read.parquet(f"{path}/doclens").agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    row = stats.collect()[0]
+    # one-row table: safe to overwrite after reading (materialized above)
+    spark.createDataFrame([row], stats.schema).write.mode("overwrite").parquet(
+        f"{path}/stats"
+    )
+    return {
+        "n_docs": int(row["n_docs"]),
+        "avgdl": float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+    }

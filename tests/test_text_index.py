@@ -92,3 +92,27 @@ def test_index_validation(spark, docs, index):
             bm25_from_index(spark, empty_dir, ["x"])
     finally:
         shutil.rmtree(empty_dir, ignore_errors=True)
+
+
+def test_append_matches_one_shot_build(spark, docs):
+    base_a = tempfile.mkdtemp(prefix="ckf_test_tidx_a_")
+    base_b = tempfile.mkdtemp(prefix="ckf_test_tidx_b_")
+    try:
+        from cuckoofilter4j_spark.sources import append_text_index
+
+        build_text_index(docs, "t", "doc_id", base_a)
+        build_text_index(docs.where(F.col("doc_id") <= 2), "t", "doc_id", base_b)
+        meta = append_text_index(
+            docs.where(F.col("doc_id") > 2), "t", "doc_id", base_b
+        )
+        assert meta["n_docs"] == 5
+        for q in [["apple", "common"], ["zebra"]]:
+            one = {tuple(r) for r in bm25_from_index(spark, base_a, q).collect()}
+            app = {tuple(r) for r in bm25_from_index(spark, base_b, q).collect()}
+            assert one == app
+        # duplicate-id append rejected
+        with pytest.raises(ValueError, match="already indexed"):
+            append_text_index(docs.where(F.col("doc_id") == 1), "t", "doc_id", base_b)
+    finally:
+        shutil.rmtree(base_a, ignore_errors=True)
+        shutil.rmtree(base_b, ignore_errors=True)
