@@ -2242,6 +2242,19 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_sq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (functions/sq.py, SQ8): per-vector affine int8
+    codes as PURE CATALYST (zero shuffle, zero Python — plan-pinned in
+    pytest). The oracle replays the identical double arithmetic in DuckDB:
+    code sums/extrema are integer-exact, the reconstruction checksum is an
+    order-invariant micro-rounded BIGINT sum, and the constructive
+    |x - rec| <= scale/2 bound is a TRUE flag per vector."""
+    from cuckoofilter4j_spark.functions import sq_encode, sq_stats
+
+    emb = _emb(spark, sf_dir)
+    return sq_stats(sq_encode(emb, "embedding", bits=8), "embedding", "vec_id")
+
+
 def q_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (sources/text_index.py): build on the
     first half of the corpus, APPEND the second half (existing postings
@@ -2516,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "bm25_index_search": q_bm25_index_search,
         "bm25_index_append": q_bm25_index_append,
+        "sq_roundtrip": q_sq_roundtrip,
         "dup_spans": q_dup_spans,
         "dedup_substrings": q_dedup_substrings,
         "dedup_corpus": q_dedup_corpus,
@@ -3124,6 +3138,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(per.n_terms, 0) AS n_terms, per.mean_logprob
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # SQ8: identical affine arithmetic — codes integer-exact, recon
+        # checksum an order-invariant micro-rounded BIGINT sum
+        "sq_roundtrip": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, vv, list_min(vv) AS mn,
+                     CASE WHEN list_max(vv) > list_min(vv)
+                          THEN (list_max(vv) - list_min(vv)) / 255
+                          ELSE 0.0 END AS sc
+              FROM v
+            ),
+            c AS (
+              SELECT vec_id, mn, sc,
+                     list_transform(vv,
+                         x -> CASE WHEN sc > 0
+                                   THEN CAST(round((x - mn) / sc) AS INT)
+                                   ELSE 0 END) AS codes
+              FROM s
+            )
+            SELECT vec_id, CAST(len(codes) AS INT) AS n_dims,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(codes, x -> CAST(x AS BIGINT))),
+                        (a, b) -> a + b) AS BIGINT) AS code_sum,
+                   list_min(codes) AS code_min,
+                   list_max(codes) AS code_max,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(codes,
+                            x -> CAST(round((mn + CAST(x AS DOUBLE) * sc)
+                                            * 1000000.0) AS BIGINT))),
+                        (a, b) -> a + b) AS BIGINT) AS rec_checksum_micro,
+                   TRUE AS err_bound_ok
+            FROM c
         """,
         # bigram LM: identical pair counts, conditional, and position-
         # ascending fold (list(lp ORDER BY pos) mirrors the struct sort)

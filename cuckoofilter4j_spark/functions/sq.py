@@ -1,0 +1,127 @@
+"""Scalar quantization (SQ) for embedding columns — the simple 4x
+compression path next to PQ's 16-64x: per-vector affine int8 (or fewer
+bits) codes
+
+    code_i = round((x_i - min(x)) / scale),  scale = (max - min) / (2^b - 1)
+    rec_i  = min(x) + code_i * scale         (|x_i - rec_i| <= scale / 2)
+
+FAISS's IndexScalarQuantizer / the common "SQ8" storage format. Unlike PQ
+it needs NO training pass, reconstruction error is per-coordinate bounded
+by construction, and the whole transform is PURE CATALYST — array_min /
+array_max / transform(round(...)) — so it stays in whole-stage codegen,
+compresses during the scan with zero shuffle and zero Python, and the
+DuckDB oracle replays the identical double arithmetic (value-exact gate,
+not a statistical flag).
+
+100 TB role: SQ is what you apply to the vectors you KEEP after PQ-based
+candidate generation — 4 bytes -> 1 byte per dim for the exact_rerank
+corpus — or as the cheap storage format when 1/255-range resolution is
+enough. Constant vectors (max == min) get scale 0 and all-zero codes and
+reconstruct exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["sq_encode", "sq_decode_col", "sq_stats"]
+
+
+def sq_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    prefix: str = "__sq",
+) -> DataFrame:
+    """Append `{prefix}_min` (double), `{prefix}_scale` (double) and
+    `{prefix}_codes` (array<int>) columns. Two staged projections so the
+    O(d) min/max/scale expressions are materialized ONCE instead of being
+    substituted into the per-element lambda (Catalyst substitutes, it does
+    not CSE)."""
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    levels = (1 << bits) - 1
+    staged = df.select(
+        "*",
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
+    ).select(
+        "*",
+        F.array_min("__v").alias(f"{prefix}_min"),
+        F.array_max("__v").alias(f"{prefix}_max"),
+    )
+    staged = staged.select(
+        "*",
+        F.when(
+            F.col(f"{prefix}_max") > F.col(f"{prefix}_min"),
+            (F.col(f"{prefix}_max") - F.col(f"{prefix}_min")) / levels,
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"{prefix}_scale"),
+    )
+    codes = F.transform(
+        "__v",
+        lambda x: F.when(
+            F.col(f"{prefix}_scale") > 0,
+            F.round((x - F.col(f"{prefix}_min")) / F.col(f"{prefix}_scale"), 0),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return staged.select(
+        *[c for c in df.columns],
+        f"{prefix}_min",
+        f"{prefix}_scale",
+        codes.alias(f"{prefix}_codes"),
+    )
+
+
+def sq_decode_col(prefix: str = "__sq"):
+    """Column expression reconstructing the vector from SQ columns:
+    min + code * scale, per element (array<double>)."""
+    return F.transform(
+        f"{prefix}_codes",
+        lambda c: F.col(f"{prefix}_min")
+        + c.cast("double") * F.col(f"{prefix}_scale"),
+    )
+
+
+def sq_stats(
+    coded: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    prefix: str = "__sq",
+    tol: float = 1e-9,
+) -> DataFrame:
+    """Per-vector quantization report with engine-exact columns:
+    (id, n_dims, code_sum, code_min, code_max, rec_checksum_micro,
+    err_bound_ok). rec_checksum_micro = sum of round(rec_i * 1e6) as
+    BIGINT — order-invariant integer sum of identically-computed doubles,
+    the same micro-rounding idiom as fd_covariance. err_bound_ok pins the
+    constructive |x - rec| <= scale/2 guarantee (with fp slack `tol`)."""
+    rec = sq_decode_col(prefix)
+    staged = coded.select(
+        F.col(id_col),
+        F.col(f"{prefix}_scale").alias("_s"),
+        F.col(f"{prefix}_codes").alias("_c"),
+        F.zip_with(
+            F.transform(vec_col, lambda x: x.cast("double")),
+            rec,
+            lambda a, b: F.abs(a - b),
+        ).alias("_err"),
+        rec.alias("_rec"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_c").alias("n_dims"),
+        F.aggregate("_c", F.lit(0).cast("bigint"), lambda acc, c: acc + c).alias(
+            "code_sum"
+        ),
+        F.array_min("_c").alias("code_min"),
+        F.array_max("_c").alias("code_max"),
+        F.aggregate(
+            "_rec",
+            F.lit(0).cast("bigint"),
+            lambda acc, r: acc + F.round(r * 1000000.0, 0).cast("bigint"),
+        ).alias("rec_checksum_micro"),
+        (F.array_max("_err") <= F.col("_s") / 2 + tol).alias("err_bound_ok"),
+    )

@@ -1,0 +1,76 @@
+"""Scalar quantization (functions/sq.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import sq_decode_col, sq_encode, sq_stats
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    rows.append((50, [3.5] * 8))  # constant vector: scale 0 path
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_codes_match_numpy_reference(spark, vecs):
+    coded = sq_encode(vecs, bits=8)
+    for r in coded.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        mn, mx = v.min(), v.max()
+        if mx > mn:
+            sc = (mx - mn) / 255
+            exp = np.floor((v - mn) / sc + 0.5).astype(int)  # HALF_UP
+        else:
+            exp = np.zeros(len(v), dtype=int)
+        assert list(r["__sq_codes"]) == exp.tolist()
+        assert r["__sq_min"] == pytest.approx(mn)
+
+
+def test_reconstruction_bound_and_constant_vector(spark, vecs):
+    st = sq_stats(sq_encode(vecs, bits=8), "embedding", "vec_id")
+    rows = {r["vec_id"]: r for r in st.collect()}
+    assert all(r["err_bound_ok"] for r in rows.values())
+    # constant vector reconstructs exactly: codes all zero
+    assert rows[50]["code_sum"] == 0 and rows[50]["code_max"] == 0
+    assert rows[50]["rec_checksum_micro"] == round(3.5 * 1e6) * 8
+
+
+def test_decode_col_roundtrip(spark, vecs):
+    coded = sq_encode(vecs, bits=8)
+    out = coded.select(
+        "vec_id",
+        "embedding",
+        "__sq_scale",
+        sq_decode_col().alias("rec"),
+    ).collect()
+    for r in out:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        rec = np.asarray(r["rec"])
+        assert np.abs(v - rec).max() <= r["__sq_scale"] / 2 + 1e-9
+
+
+def test_fewer_bits_coarser(spark, vecs):
+    s8 = sq_stats(sq_encode(vecs, bits=8), "embedding", "vec_id")
+    s2 = sq_stats(sq_encode(vecs, bits=2), "embedding", "vec_id")
+    assert s8.where(F.col("code_max") > 3).count() > 0
+    assert s2.where(F.col("code_max") > 3).count() == 0
+
+
+def test_encode_plan_is_scan_local(spark, vecs):
+    plan = (
+        sq_encode(vecs, bits=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_validation(spark, vecs):
+    with pytest.raises(ValueError, match="bits"):
+        sq_encode(vecs, bits=0)
+    with pytest.raises(ValueError, match="bits"):
+        sq_encode(vecs, bits=17)
