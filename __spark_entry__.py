@@ -956,6 +956,87 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest through a FROZEN contamination gate: the filter is
+    built once from the training corpus (build_contamination_filter — the
+    build-once/probe-forever shape), then the q_decontaminate eval fixture
+    (20 verbatim copies + 20 sentinel-clean + 5 null-text docs) is replayed
+    as a 3-micro-batch file stream whose foreachBatch runs decontaminate
+    against the prebuilt sketches. The appended kept set must equal the
+    batch gate exactly: copies dropped, clean + null docs kept — same
+    oracle as decontaminate_gate."""
+    import shutil
+    import tempfile
+
+    from cuckoofilter4j_spark.functions import (
+        build_contamination_filter,
+        decontaminate,
+    )
+
+    train = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = train.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text"
+    )
+    clean = spark.range(20).select(
+        (F.col("id") + 40000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda j: F.concat(
+                    F.lit("vq"),
+                    F.col("id").cast("string"),
+                    F.lit("z"),
+                    j.cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    nulls = spark.range(5).select(
+        (F.col("id") + 50000).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    eval_df = copies.unionByName(clean).unionByName(nulls)
+    sketches = build_contamination_filter(
+        train, "text", "doc_id", shingle_k=5, fpp=0.01, unit="token"
+    ).cache()
+    sketches.count()  # freeze before the stream starts
+    base = tempfile.mkdtemp(prefix="ckf_sdecon_")
+    try:
+        for i, part in enumerate(
+            [
+                eval_df.filter(F.col("doc_id") % 3 == j) for j in range(3)
+            ]
+        ):
+            part.coalesce(1).write.parquet(f"{base}/src/f={i}")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src/f=*")
+        )
+
+        def gate(batch_df, _epoch):
+            kept = decontaminate(
+                None, batch_df, "text", "doc_id",
+                shingle_k=5, threshold=0.5, unit="token", sketches=sketches,
+            )
+            kept.select("doc_id").write.mode("append").parquet(f"{base}/out")
+
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(f"{base}/out").select("doc_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        sketches.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_ngram_contamination_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-aware contamination (normalize='lower_punct' — the
     GPT-3 appendix-C decontamination style, functions/contamination.py):
@@ -2540,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination_tokens": q_ngram_contamination_tokens,
         "ngram_contamination_normalized": q_ngram_contamination_normalized,
         "decontaminate_gate": q_decontaminate,
+        "stream_decontaminate": q_stream_decontaminate,
         "decontaminate_empty": q_decontaminate_empty,
         "ann_topk": q_ann_topk,
         "ann_topk_vectorized": q_ann_topk_vectorized,
@@ -3706,4 +3788,6 @@ def oracle_sql() -> dict[str, str]:
     # and an append-maintained index is value-identical to a one-shot build
     out["bm25_index_search"] = out["bm25_search"]
     out["bm25_index_append"] = out["bm25_search"]
+    # the streamed gate's appended kept set IS the batch gate's kept set
+    out["stream_decontaminate"] = out["decontaminate_gate"]
     return out
