@@ -17,7 +17,7 @@ from cuckoofilter4j_spark.sources.layout import (
     read_partitioned,
     write_partitioned,
 )
-from cuckoofilter4j_spark.sources.text_index import append_text_index, bm25_from_index, build_text_index
+from cuckoofilter4j_spark.sources.text_index import append_text_index, bm25_from_index, build_text_index, compact_text_index
 from cuckoofilter4j_spark.sources.sketch_store import load_sketches, save_sketches, store_meta
 from cuckoofilter4j_spark.sources.source_files import absent_source_files, source_files
 
@@ -43,6 +43,7 @@ def load_table(spark, sf_dir: str, name: str):
 __all__ = [
     "append_text_index",
     "bm25_from_index",
+    "compact_text_index",
     "build_text_index",
     "TPCH_TABLES",
     "absent_source_files",

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cuckoofilter4j_spark.functions.scoring import doc_terms
 
-__all__ = ["build_text_index", "append_text_index", "bm25_from_index"]
+__all__ = ["build_text_index", "append_text_index", "compact_text_index", "bm25_from_index"]
 
 
 def build_text_index(
@@ -202,3 +202,33 @@ def append_text_index(
         "n_docs": int(row["n_docs"]),
         "avgdl": float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
     }
+
+
+def compact_text_index(spark: SparkSession, path: str, postings_partitions: int = 8) -> dict:
+    """Rewrite the postings table as one globally term-range-sorted file
+    set — the maintenance pass after many appends have left per-file (not
+    global) term sorting, restoring maximal row-group pruning. Doclens and
+    stats are untouched; served scores are unchanged (the index is a bag
+    of (term, id, tf) rows — order only affects pruning). Write-then-swap:
+    the new postings land in a sibling directory and replace the old one
+    atomically at the filesystem-rename level."""
+    import os
+    import shutil
+
+    postings = spark.read.parquet(f"{path}/postings")
+    tmp = f"{path}/postings__compacting"
+    (
+        postings.repartitionByRange(postings_partitions, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    old = f"{path}/postings__old"
+    os.rename(f"{path}/postings", old)
+    os.rename(tmp, f"{path}/postings")
+    shutil.rmtree(old, ignore_errors=True)
+    n_files = sum(
+        1 for f in os.listdir(f"{path}/postings") if f.endswith(".parquet")
+    )
+    return {"n_postings": int(n), "n_files": n_files}

@@ -116,3 +116,38 @@ def test_append_matches_one_shot_build(spark, docs):
     finally:
         shutil.rmtree(base_a, ignore_errors=True)
         shutil.rmtree(base_b, ignore_errors=True)
+
+
+def test_compact_preserves_scores_and_sorts_globally(spark, docs):
+    import pyarrow.parquet as pq
+    from cuckoofilter4j_spark.sources import append_text_index, compact_text_index
+
+    base = tempfile.mkdtemp(prefix="ckf_test_tidx_c_")
+    try:
+        build_text_index(docs.where(F.col("doc_id") <= 2), "t", "doc_id", base,
+                         postings_partitions=2)
+        append_text_index(docs.where(F.col("doc_id") > 2), "t", "doc_id", base,
+                          postings_partitions=2)
+        before = {tuple(r) for r in
+                  bm25_from_index(spark, base, ["apple", "common"]).collect()}
+        meta = compact_text_index(spark, base, postings_partitions=2)
+        after = {tuple(r) for r in
+                 bm25_from_index(spark, base, ["apple", "common"]).collect()}
+        assert before == after
+        # global term-range sort restored: per-file [min, max] term ranges
+        # are disjoint across the compacted files
+        import os
+        ranges = []
+        for f in sorted(os.listdir(f"{base}/postings")):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(f"{base}/postings/{f}", columns=["term"])
+            terms = t.column("term").to_pylist()
+            if terms:
+                ranges.append((min(terms), max(terms)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2
+        assert meta["n_postings"] == 11
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
