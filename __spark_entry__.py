@@ -737,6 +737,135 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rebuilt as deterministic source files: an xml/shebang-ish
+    first line, a comment header, the doc text as the body (swapped for a
+    symbol wall on a residue class so the alnum rule has signal), a long
+    line on another residue, and a generated-marker trailer."""
+    d = F.col("doc_id")
+    content = F.concat_ws(
+        "\n",
+        F.when(d % 5 == 0, F.lit('<?xml version="1.0"?>')).otherwise(
+            F.lit("fn main() {}")
+        ),
+        F.concat(F.lit("// file "), d.cast("string")),
+        F.when(d % 13 == 0, F.repeat(F.lit("!@# "), 50)).otherwise(
+            F.col("text")
+        ),
+        F.when(d % 7 == 0, F.repeat(F.lit("x"), 1200)).otherwise(
+            F.lit("let ok = 1;")
+        ),
+        F.when(d % 3 == 0, F.lit("// AUTO-GENERATED")).otherwise(
+            F.lit("// handwritten")
+        ),
+    )
+    return _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+
+
+def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stack / StarCoder code-quality battery (functions/code.py):
+    max/mean line length, alphanumeric fraction, generated-code marker,
+    XML-payload detection — one codegen'd projection over the synthetic
+    source-file fixture; the oracle replays every stat from the identical
+    integer counts (doubles rounded to 6, same discipline as gopher)."""
+    from cuckoofilter4j_spark.functions import code_quality_flags
+
+    out = _code_files(spark, sf_dir).select(
+        "doc_id", *code_quality_flags("content")
+    )
+    return out.select(
+        "doc_id",
+        F.col("max_line_len").cast("int").alias("max_line_len"),
+        F.round("avg_line_len", 6).alias("avg_line_len"),
+        F.round("alnum_frac", 6).alias("alnum_frac"),
+        "flag_long_line",
+        "flag_long_avg",
+        "flag_low_alnum",
+        "flag_autogen",
+        "flag_xml",
+    )
+
+
+def q_strip_code_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic comment stripping + license-header detection
+    (functions/code.py): per-language regex rules in the Java∩RE2 subset,
+    stripped text pinned BYTE-for-byte via md5 (DuckDB applies the
+    identical pattern strings with the 'g' flag), comment density as an
+    integer-exact ratio, and first-match-wins license families injected
+    on residue classes so apache/mit/none all have signal."""
+    from cuckoofilter4j_spark.functions import (
+        comment_ratio,
+        license_detect,
+        strip_comments,
+    )
+
+    d = F.col("doc_id")
+    lic = (
+        F.when(d % 11 == 0, F.lit("Licensed under the Apache License.\n"))
+        .when(d % 11 == 1, F.lit("MIT License\n"))
+        .otherwise(F.lit(""))
+    )
+    code_lang = F.when(d % 2 == 0, F.lit("python")).otherwise(F.lit("java"))
+    content = F.concat(
+        lic,
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("# header "),
+                d.cast("string"),
+                F.lit("\n"),
+                F.col("text"),
+                F.lit("\n# trailer"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("/* block\nheader */\n"),
+                F.col("text"),
+                F.lit(" // tail "),
+                d.cast("string"),
+            )
+        ),
+    )
+    base = _docs(spark, sf_dir).select(
+        "doc_id", code_lang.alias("code_lang"), content.alias("content")
+    )
+    return base.select(
+        "doc_id",
+        "code_lang",
+        F.md5(strip_comments("content", F.col("code_lang"))).alias(
+            "stripped_md5"
+        ),
+        F.round(comment_ratio("content", F.col("code_lang")), 6).alias(
+            "comment_ratio"
+        ),
+        license_detect("content"),
+    )
+
+
+def q_latest_file_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-commit snapshot dedup (functions/code.py latest_snapshot):
+    file history → HEAD as ONE max(struct(version, payload)) aggregation
+    with map-side partials — never a window over partitionBy(key), which
+    would funnel a hot file's whole history into one task at 10^12-file
+    scale. ~47 versions per key at sf0.01 (doc_id % 211); the oracle is
+    the naive row_number window over the same synthetic commits."""
+    from cuckoofilter4j_spark.functions import latest_snapshot
+
+    versions = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 211).alias("file_key"),
+        F.md5(F.col("doc_id").cast("string")).alias("commit"),
+        "doc_id",
+        "text",
+    )
+    snap = latest_snapshot(
+        versions,
+        keys=["file_key"],
+        version_col="commit",
+        payload_cols=["doc_id", "text"],
+    )
+    return snap.select("file_key", "commit", "doc_id")
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII / secret detection + redaction (functions/pii.py): every pattern
     is written in the Java-regex ∩ RE2 subset, so the DuckDB oracle applies
@@ -2593,6 +2722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "corpus_mix": q_corpus_mix,
         "gopher_quality": q_gopher_quality,
+        "code_quality": q_code_quality,
+        "strip_code_comments": q_strip_code_comments,
+        "latest_file_snapshot": q_latest_file_snapshot,
         "pii_scrub": q_pii_scrub,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
@@ -3509,6 +3641,129 @@ def oracle_sql() -> dict[str, str]:
             ),
             roots AS (SELECT a AS id, min(b) AS root FROM reach GROUP BY a)
             SELECT CAST(id AS BIGINT) AS vec_id FROM roots WHERE root = id
+        """,
+        # the Stack/StarCoder battery: every stat from integer-exact counts
+        # (split on \n keeps empties in both engines), doubles rounded to 6
+        "code_quality": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 5 = 0 THEN '<?xml version="1.0"?>'
+                           ELSE 'fn main() {}' END)
+                     || chr(10) || '// file ' || CAST(doc_id AS VARCHAR)
+                     || chr(10) || (CASE WHEN doc_id % 13 = 0
+                                         THEN repeat('!@# ', 50) ELSE text END)
+                     || chr(10) || (CASE WHEN doc_id % 7 = 0
+                                         THEN repeat('x', 1200)
+                                         ELSE 'let ok = 1;' END)
+                     || chr(10) || (CASE WHEN doc_id % 3 = 0
+                                         THEN '// AUTO-GENERATED'
+                                         ELSE '// handwritten' END) AS content
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, content,
+                     list_transform(regexp_split_to_array(content, '\n'),
+                                    x -> length(x)) AS lens,
+                     length(regexp_replace(content, '[^\p{L}\p{N}]', '', 'g'))
+                       AS alnum,
+                     length(content) AS n
+              FROM base
+            ),
+            s AS (
+              SELECT doc_id,
+                     list_max(lens) AS mll,
+                     list_sum(lens)::DOUBLE / len(lens) AS avg_len,
+                     alnum::DOUBLE / nullif(n, 0) AS frac,
+                     regexp_matches(substr(content, 1, 300),
+                       '(?i)auto-?generated|do not edit|generated by')
+                       AS autog,
+                     starts_with(ltrim(content), '<?xml') AS xml
+              FROM m
+            )
+            SELECT doc_id,
+                   CAST(mll AS INT) AS max_line_len,
+                   round(avg_len, 6) AS avg_line_len,
+                   round(frac, 6) AS alnum_frac,
+                   (mll > 1000) AS flag_long_line,
+                   (avg_len > 100.0) AS flag_long_avg,
+                   coalesce(frac < 0.25, TRUE) AS flag_low_alnum,
+                   autog AS flag_autogen,
+                   xml AS flag_xml
+            FROM s
+        """,
+        # identical pattern strings as functions/code.py, 'g' flag for
+        # Spark's replace-all semantics; license CASE mirrors first-match-wins
+        "strip_code_comments": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'python' ELSE 'java' END
+                       AS code_lang,
+                     (CASE WHEN doc_id % 11 = 0
+                           THEN 'Licensed under the Apache License.' || chr(10)
+                           WHEN doc_id % 11 = 1 THEN 'MIT License' || chr(10)
+                           ELSE '' END)
+                     ||
+                     (CASE WHEN doc_id % 2 = 0
+                           THEN '# header ' || CAST(doc_id AS VARCHAR)
+                                || chr(10) || text || chr(10) || '# trailer'
+                           ELSE '/* block' || chr(10) || 'header */' || chr(10)
+                                || text || ' // tail '
+                                || CAST(doc_id AS VARCHAR) END) AS content
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, code_lang, content,
+                     CASE WHEN code_lang = 'python'
+                          THEN regexp_replace(content, '#[^\n]*', '', 'g')
+                          ELSE regexp_replace(
+                                 regexp_replace(content,
+                                                '(?s)/\*.*?\*/', '', 'g'),
+                                 '//[^\n]*', '', 'g') END AS stripped,
+                     substr(content, 1, 600) AS head
+              FROM base
+            )
+            SELECT doc_id, code_lang,
+                   md5(stripped) AS stripped_md5,
+                   round((length(content) - length(stripped))::DOUBLE
+                         / nullif(length(content), 0), 6) AS comment_ratio,
+                   CASE
+                     WHEN regexp_matches(head,
+                       '(?i)apache license|licensed under the apache')
+                       THEN 'apache-2.0'
+                     WHEN regexp_matches(head,
+                       '(?i)mit license|permission is hereby granted, free of charge')
+                       THEN 'mit'
+                     WHEN regexp_matches(head,
+                       '(?i)gnu lesser general public license') THEN 'lgpl'
+                     WHEN regexp_matches(head,
+                       '(?i)gnu general public license') THEN 'gpl'
+                     WHEN regexp_matches(head,
+                       '(?i)redistribution and use in source and binary forms')
+                       THEN 'bsd'
+                     WHEN regexp_matches(head,
+                       '(?i)mozilla public license') THEN 'mpl-2.0'
+                     WHEN regexp_matches(head,
+                       '(?i)this is free and unencumbered software')
+                       THEN 'unlicense'
+                     ELSE 'none'
+                   END AS license
+            FROM s
+        """,
+        # the naive window is the oracle; the engine side is the
+        # max(struct) single-aggregation (no window funnel)
+        "latest_file_snapshot": """
+            SELECT file_key, commit, doc_id
+            FROM (
+              SELECT doc_id % 211 AS file_key,
+                     md5(CAST(doc_id AS VARCHAR)) AS commit,
+                     doc_id,
+                     row_number() OVER (
+                       PARTITION BY doc_id % 211
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC,
+                                doc_id DESC, text DESC) AS rn
+              FROM documents
+            )
+            WHERE rn = 1
         """,
         "gopher_quality": r"""
             WITH base AS (

@@ -1,0 +1,232 @@
+"""Source-code corpus operators (functions/code.py): Stack/StarCoder
+quality battery, comment stripping, license detection, latest-commit
+snapshot dedup — including DuckDB regex-parity and plan pins."""
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+from cuckoofilter4j_spark.functions.code import (
+    AUTOGEN_PATTERN,
+    C_BLOCK,
+    C_LINE,
+    HASH_LINE,
+    code_quality_filter,
+    code_quality_flags,
+    comment_ratio,
+    latest_snapshot,
+    license_detect,
+    strip_comments,
+)
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    rows = [
+        Row(fid=0, lang="java", content="int x = 1;\nint y = 2;\n// ok"),
+        Row(fid=1, lang="java", content="x" * 1500 + "\nshort"),  # long line
+        Row(fid=2, lang="python", content="\n".join(["word " * 30] * 4)),  # long avg
+        Row(fid=3, lang="go", content="!!! @@@ ### $$$ %%% ^^^ &&&"),  # low alnum
+        Row(fid=4, lang="ts", content="// AUTO-GENERATED do not edit\nlet a=1;"),
+        Row(fid=5, lang="java", content='  <?xml version="1.0"?>\n<a/>'),
+        Row(fid=6, lang="python", content=""),  # empty
+        Row(fid=7, lang="rust", content=None),  # null
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_quality_flags(spark, files):
+    got = {
+        r["fid"]: r
+        for r in files.select("fid", *code_quality_flags("content")).collect()
+    }
+    assert not any(
+        got[0][f]
+        for f in ("flag_long_line", "flag_long_avg", "flag_low_alnum",
+                  "flag_autogen", "flag_xml")
+    )
+    assert got[1]["flag_long_line"] and got[1]["max_line_len"] == 1500
+    assert got[2]["flag_long_avg"] and got[2]["avg_line_len"] > 100
+    assert got[3]["flag_low_alnum"] and got[3]["alnum_frac"] < 0.25
+    assert got[4]["flag_autogen"]
+    assert got[5]["flag_xml"]
+    # empty and NULL content are never training-worthy
+    assert got[6]["flag_low_alnum"] is True and got[6]["alnum_frac"] is None
+    assert got[7]["flag_low_alnum"] is True
+
+
+def test_quality_filter_keeps_only_clean(files):
+    kept = {r["fid"] for r in code_quality_filter(files).collect()}
+    assert kept == {0}
+
+
+def test_quality_filter_scan_local(files):
+    plan = code_quality_filter(files)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure Catalyst, no UDF
+
+
+def test_strip_comments_java_block_then_line(spark):
+    df = spark.createDataFrame(
+        [Row(content="a /* block\n// inside */ b // tail\nc")]
+    )
+    out = df.select(strip_comments("content", "java").alias("s")).collect()[0]["s"]
+    # block stripped first, so the // inside the block never survives
+    assert out == "a  b \nc"
+
+
+def test_strip_comments_python_and_sql(spark):
+    df = spark.createDataFrame([Row(content="x = 1  # note\ny = 2")])
+    assert (
+        df.select(strip_comments("content", "python").alias("s"))
+        .collect()[0]["s"]
+        == "x = 1  \ny = 2"
+    )
+    sql_df = spark.createDataFrame([Row(content="select 1 -- c\n/* b */ from t")])
+    assert (
+        sql_df.select(strip_comments("content", "sql").alias("s"))
+        .collect()[0]["s"]
+        == "select 1 \n from t"
+    )
+
+
+def test_strip_comments_unknown_lang_passthrough(spark):
+    df = spark.createDataFrame([Row(content="// not stripped", lang="brainfuck")])
+    for lang in ("brainfuck", F.col("lang")):
+        assert (
+            df.select(strip_comments("content", lang).alias("s"))
+            .collect()[0]["s"]
+            == "// not stripped"
+        )
+
+
+def test_strip_comments_lang_column_case(spark):
+    df = spark.createDataFrame(
+        [
+            Row(fid=0, lang="java", content="a // j"),
+            Row(fid=1, lang="python", content="a # p"),
+            Row(fid=2, lang=None, content="a // keep"),
+        ]
+    )
+    got = {
+        r["fid"]: r["s"]
+        for r in df.select(
+            "fid", strip_comments("content", F.col("lang")).alias("s")
+        ).collect()
+    }
+    assert got == {0: "a ", 1: "a ", 2: "a // keep"}
+
+
+def test_comment_ratio(spark):
+    df = spark.createDataFrame([Row(content="abcde// 123")])  # 5 of 11 kept
+    r = df.select(comment_ratio("content", "java")).collect()[0]["comment_ratio"]
+    assert r == pytest.approx(6 / 11)
+
+
+def test_license_detect_first_match_and_none(spark):
+    rows = [
+        Row(fid=0, content="/* Licensed under the Apache License 2.0 */ code"),
+        Row(fid=1, content="# MIT License\ncode"),
+        Row(fid=2, content="GNU Lesser General Public License"),
+        Row(fid=3, content="GNU General Public License v3"),
+        Row(fid=4, content="Redistribution and use in source and binary forms"),
+        Row(fid=5, content="plain code, no header"),
+        # license text beyond head_chars is ignored
+        Row(fid=6, content="x" * 700 + " MIT License"),
+    ]
+    got = {
+        r["fid"]: r["license"]
+        for r in spark.createDataFrame(rows)
+        .select("fid", license_detect("content"))
+        .collect()
+    }
+    assert got == {
+        0: "apache-2.0",
+        1: "mit",
+        2: "lgpl",
+        3: "gpl",
+        4: "bsd",
+        5: "none",
+        6: "none",
+    }
+
+
+def test_duckdb_regex_parity(spark):
+    """The exact pattern strings replay identically in DuckDB RE2 (with the
+    'g' flag for global replace) — the property the gate oracle relies on."""
+    texts = [
+        "a /* b\nc */ d // e\nf # g",
+        "// AUTO-GENERATED\n<?xml ...",
+        "é ü 漢字 a1!  ?",
+    ]
+    df = spark.createDataFrame([Row(t=t) for t in texts])
+    got = df.select(
+        F.regexp_replace(
+            F.regexp_replace("t", C_BLOCK, ""), C_LINE, ""
+        ).alias("c_strip"),
+        F.regexp_replace("t", HASH_LINE, "").alias("py_strip"),
+        F.col("t").rlike(AUTOGEN_PATTERN).alias("autogen"),
+        F.length(F.regexp_replace("t", r"[^\p{L}\p{N}]", "")).alias("alnum"),
+    ).collect()
+    con = duckdb.connect()
+    for t, row in zip(texts, got):
+        c_strip, py_strip, autogen, alnum = con.execute(
+            """
+            select
+              regexp_replace(regexp_replace($1, $2, '', 'g'), $3, '', 'g'),
+              regexp_replace($1, $4, '', 'g'),
+              regexp_matches($1, $5),
+              length(regexp_replace($1, '[^\\p{L}\\p{N}]', '', 'g'))
+            """,
+            [t, C_BLOCK, C_LINE, HASH_LINE, AUTOGEN_PATTERN],
+        ).fetchone()
+        assert c_strip == row["c_strip"]
+        assert py_strip == row["py_strip"]
+        assert autogen == row["autogen"]
+        assert alnum == row["alnum"]
+
+
+def test_latest_snapshot_keeps_max_version(spark):
+    df = spark.createDataFrame(
+        [
+            Row(repo="r1", path="a", commit="c1", content="v1"),
+            Row(repo="r1", path="a", commit="c3", content="v3"),
+            Row(repo="r1", path="a", commit="c2", content="v2"),
+            Row(repo="r1", path="b", commit="c1", content="only"),
+            Row(repo="r2", path="a", commit="c9", content="other"),
+        ]
+    )
+    got = {
+        (r["repo"], r["path"]): (r["commit"], r["content"])
+        for r in latest_snapshot(df).collect()
+    }
+    assert got == {
+        ("r1", "a"): ("c3", "v3"),
+        ("r1", "b"): ("c1", "only"),
+        ("r2", "a"): ("c9", "other"),
+    }
+
+
+def test_latest_snapshot_partitioning_invariant_and_tie_total(spark):
+    rows = [
+        Row(repo="r", path="p", commit="c1", content=f"v{i}") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows)
+    a = latest_snapshot(df.repartition(1)).collect()
+    b = latest_snapshot(df.repartition(7)).collect()
+    # same-version ties resolve by payload order: a total function of data
+    assert a == b and a[0]["content"] == "v5"
+
+
+def test_latest_snapshot_single_aggregate_plan(spark):
+    df = spark.createDataFrame(
+        [Row(repo="r", path="p", commit="c", content="x")]
+    )
+    plan = (
+        latest_snapshot(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # partial + final aggregate (map-side combine) across ONE Exchange;
+    # struct max plans as SortAggregate — the point is no Window funnel.
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 1
+    assert "Window [" not in plan
