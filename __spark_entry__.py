@@ -34,6 +34,7 @@ from cuckoofilter4j_spark.operators import (
     might_contain,
     might_contain_sharded,
     merge_sketches,
+    recode_sketches,
     sha256_key,
     sketch_metrics,
     tree_merge,
@@ -515,6 +516,45 @@ def q_ckf_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         [StructField("lang", StringType()), StructField("roundtrip_ok", BooleanType())]
     )
     return sk.mapInPandas(roundtrip, schema)
+
+
+def q_ckf_semisort_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-sorted bucket codec (Fan et al. 2014 §5.2 — the compression the
+    reference's LongBitSet stream skips): recode each per-lang sketch with
+    `recode_sketches(..., "semisort")`, pin the exact 4-bits-per-bucket
+    saving (512 buckets -> 2048 bits at the entry sizing), and prove the
+    recoded blobs still answer every member probe (the probe path
+    deserializes either codec)."""
+    keyed = _docs_keyed(spark, sf_dir)
+    sk = build_filter(keyed, "key", ["lang"], max_keys=MAX_KEYS, fpp=FPP, seed=SEED)
+    packed = sk.select(
+        "lang",
+        F.col("count").alias("n_inserted"),
+        F.col("storage_bits").alias("packed_bits"),
+    )
+    rc = recode_sketches(sk, "semisort")
+    coded = rc.select("lang", F.col("storage_bits").alias("semisort_bits"))
+    probes = (
+        might_contain(keyed, rc, "key", ["lang"])
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("might_contain").alias("members_ok"),
+        )
+    )
+    return (
+        packed.join(coded, "lang")
+        .join(probes, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_inserted",
+            "packed_bits",
+            "semisort_bits",
+            (F.col("packed_bits") - F.col("semisort_bits")).alias("bits_saved"),
+            "members_ok",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2706,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_checkpoint_resume": q_ckf_checkpoint_resume,
         "sketch_checkpoint_resume": q_sketch_checkpoint_resume,
         "ckf_serde_roundtrip": q_ckf_serde_roundtrip,
+        "ckf_semisort_roundtrip": q_ckf_semisort_roundtrip,
         "text_stats": q_text_stats,
         "text_bpe_tokens": q_text_bpe_tokens,
         "doc_winnow_fp": q_doc_winnow_fp,
@@ -3155,6 +3196,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "ckf_serde_roundtrip": "SELECT lang, TRUE AS roundtrip_ok FROM (SELECT DISTINCT lang FROM documents)",
+        "ckf_semisort_roundtrip": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   count(*) AS n_inserted,
+                   CAST(16384 AS BIGINT) AS packed_bits,
+                   CAST(14336 AS BIGINT) AS semisort_bits,
+                   CAST(2048 AS BIGINT) AS bits_saved,
+                   TRUE AS members_ok
+            FROM documents GROUP BY lang
+        """,
         "text_stats": _TEXT_STATS_SQL,
         "text_bpe_tokens": f"""
             SELECT doc_id,

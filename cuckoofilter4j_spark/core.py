@@ -30,6 +30,7 @@ Deviations from the reference (documented, intentional):
 
 from __future__ import annotations
 
+import itertools
 import math
 import struct
 import sys
@@ -86,6 +87,25 @@ _POW2_SLOTS = np.array([1, 2, 4, 8], dtype=np.int64)
 # the insert path consumes mask bits as literal slot indices, so BE hosts
 # take the (equivalent, slower) row-gather forms instead.
 _LITTLE_ENDIAN = sys.byteorder == "little"
+
+# semi-sorted bucket codec (Fan et al. 2014 §5.2): the four tags of a bucket
+# are a multiset, so their low nibbles — sorted — compress from 16 bits to a
+# 12-bit combinadic rank over C(16+4-1, 4) = 3876 non-decreasing 4-tuples,
+# saving exactly 1 bit per slot. Encode: rank(a<=b<=c<=d ∈ 0..15) =
+# C(a,1)+C(b+1,2)+C(c+2,3)+C(d+3,4) (colex rank of the strictly-increasing
+# transform). Decode: one 3876x4 LUT built once here.
+_SS_C = np.zeros((5, 20), dtype=np.int64)
+_SS_C[0, :] = 1
+for _k in range(1, 5):
+    for _n in range(1, 20):
+        _SS_C[_k, _n] = _SS_C[_k, _n - 1] + _SS_C[_k - 1, _n - 1]
+_SS_DECODE = np.zeros((3876, 4), dtype=np.uint8)
+for _t in itertools.combinations_with_replacement(range(16), 4):
+    _a, _b, _c, _d = _t
+    _rank = int(
+        _SS_C[1, _a] + _SS_C[2, _b + 1] + _SS_C[3, _c + 2] + _SS_C[4, _d + 3]
+    )
+    _SS_DECODE[_rank] = _t
 
 
 def swar_bucket_any_eq(
@@ -1309,7 +1329,7 @@ class CuckooFilter:
 
     _HDR = struct.Struct("<4sBBqqqqBqqq")
 
-    def to_bytes(self) -> bytes:
+    def to_bytes(self, codec: str = "packed") -> bytes:
         """Deterministic codec (analog of Java serialization,
         CuckooFilter.java:754-759). Header + tag_bits-wide bit-packed slot
         stream (same space profile as the reference's LongBitSet packing —
@@ -1318,16 +1338,30 @@ class CuckooFilter:
         with ver<3 are REJECTED: they predate a change to the mix64 hash
         semantics (batch width no longer folds in; trailing pad words are
         skipped), so they would deserialize cleanly yet silently return
-        false negatives on probe."""
+        false negatives on probe.
+
+        codec="semisort" (ver=4: algo byte, then a codec byte, then the
+        stream) applies Fan et al. 2014 §5.2 semi-sorting: each bucket's
+        tags are sorted by (low nibble, high bits) and the four low nibbles
+        collapse to a 12-bit combinadic rank — exactly 1 bit/slot smaller
+        than "packed". Slot ORDER inside a bucket is not preserved (buckets
+        are multisets; membership/count/delete/merge/__eq__ are all
+        order-insensitive), so re-serializing a round-tripped filter is
+        idempotent but not byte-equal to re-serializing the original."""
+        hdr_ver = {"packed": 3, "semisort": 4}.get(codec)
+        if hdr_ver is None:
+            raise ValueError(f"unknown codec {codec!r}; use 'packed' or 'semisort'")
         hdr = self._HDR.pack(
-            MAGIC, 3, self.tag_bits,
+            MAGIC, hdr_ver, self.tag_bits,
             self.num_buckets, int(self.seed) if self.seed < 2**63 else int(self.seed) - 2**64,
             self.count, self.table.itemsize,
             1 if self.has_victim else 0,
             self.victim_i1, self.victim_i2, self.victim_tag,
         )
         algo = bytes([HASH_ALGOS.index(self.hash_algo)])
-        return hdr + algo + _pack_bits(self.table, self.tag_bits)
+        if codec == "packed":
+            return hdr + algo + _pack_bits(self.table, self.tag_bits)
+        return hdr + algo + b"\x01" + _pack_semisort(self.table, self.tag_bits)
 
     @classmethod
     def read_header(cls, data: bytes) -> "FilterHeader":
@@ -1375,9 +1409,21 @@ class CuckooFilter:
         offset = cls._HDR.size
         hash_algo = HASH_ALGOS[data[offset]]
         offset += 1
-        table = _unpack_bits(
-            data, offset, num_buckets * BUCKET_SIZE, tag_bits, dt
-        ).reshape(num_buckets, BUCKET_SIZE)
+        if _ver >= 4:
+            codec_byte = data[offset]
+            offset += 1
+            if codec_byte == 1:
+                table = _unpack_semisort(data, offset, num_buckets, tag_bits, dt)
+            elif codec_byte == 0:
+                table = _unpack_bits(
+                    data, offset, num_buckets * BUCKET_SIZE, tag_bits, dt
+                ).reshape(num_buckets, BUCKET_SIZE)
+            else:
+                raise ValueError(f"unknown sketch codec byte {codec_byte}")
+        else:
+            table = _unpack_bits(
+                data, offset, num_buckets * BUCKET_SIZE, tag_bits, dt
+            ).reshape(num_buckets, BUCKET_SIZE)
         return cls(num_buckets, tag_bits, seed & _M64, table=table, count=count,
                    has_victim=bool(has_victim), victim=(v1, v2, vt),
                    hash_algo=hash_algo)
@@ -1391,6 +1437,59 @@ def _pack_bits(table: np.ndarray, tag_bits: int) -> bytes:
     byte_view = flat.view(np.uint8).reshape(flat.size, flat.itemsize)
     bits = np.unpackbits(byte_view, axis=1, bitorder="little")[:, :tag_bits]
     return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def _pack_semisort(table: np.ndarray, tag_bits: int) -> bytes:
+    """Semi-sorted bucket stream (Fan et al. 2014 §5.2): per bucket, sort the
+    4 tags by (low nibble, high bits), rank the sorted nibbles into 12 bits,
+    then append the 4 high parts (tag_bits-4 bits each) in the same order.
+    Bucket cost: 12 + 4*(tag_bits-4) bits vs 4*tag_bits packed — 4 bits saved
+    per bucket. Empty slots stay representable: tag 0 sorts first and decodes
+    to 0; a non-empty tag with low nibble 0 has high != 0 so never reads as
+    empty. Vectorized end-to-end (argsort + LUT + unpackbits), no Python loop."""
+    hb = tag_bits - 4
+    t = table.astype(np.uint64)
+    low = (t & np.uint64(0xF)).astype(np.int64)
+    high = (t >> np.uint64(4)).astype(np.uint64)
+    # tag_bits < 48 -> high < 2^44, so (low << 44) | high is an exact sort key
+    order = np.argsort((low.astype(np.uint64) << np.uint64(44)) | high, axis=1)
+    sl = np.take_along_axis(low, order, axis=1)
+    sh = np.take_along_axis(high, order, axis=1)
+    code = (
+        _SS_C[1, sl[:, 0]] + _SS_C[2, sl[:, 1] + 1]
+        + _SS_C[3, sl[:, 2] + 2] + _SS_C[4, sl[:, 3] + 3]
+    )
+    code_bits = np.unpackbits(
+        code.astype("<u2").view(np.uint8).reshape(-1, 2), axis=1, bitorder="little"
+    )[:, :12]
+    h_bits = np.unpackbits(
+        sh.reshape(-1).astype("<u8").view(np.uint8).reshape(-1, 8),
+        axis=1, bitorder="little",
+    )[:, :hb].reshape(len(t), 4 * hb)
+    allbits = np.concatenate([code_bits, h_bits], axis=1).reshape(-1)
+    return np.packbits(allbits, bitorder="little").tobytes()
+
+
+def _unpack_semisort(
+    data: bytes, offset: int, num_buckets: int, tag_bits: int, dt
+) -> np.ndarray:
+    hb = tag_bits - 4
+    per_bucket = 12 + 4 * hb
+    n_bytes = (num_buckets * per_bucket + 7) // 8
+    raw = np.frombuffer(data, dtype=np.uint8, offset=offset, count=n_bytes)
+    bits = np.unpackbits(raw, bitorder="little")[: num_buckets * per_bucket]
+    bits = bits.reshape(num_buckets, per_bucket)
+    cpad = np.zeros((num_buckets, 16), dtype=np.uint8)
+    cpad[:, :12] = bits[:, :12]
+    code = np.packbits(cpad.reshape(-1), bitorder="little").view("<u2")[:num_buckets]
+    nibs = _SS_DECODE[code.astype(np.int64)]  # (B, 4) sorted low nibbles
+    hpad = np.zeros((num_buckets * 4, 64), dtype=np.uint8)
+    hpad[:, :hb] = bits[:, 12:].reshape(num_buckets * 4, hb)
+    high = np.packbits(hpad.reshape(-1), bitorder="little").view("<u8")
+    tags = (high[: num_buckets * 4] << np.uint64(4)) | nibs.reshape(-1).astype(
+        np.uint64
+    )
+    return tags.astype(dt).reshape(num_buckets, BUCKET_SIZE)
 
 
 def _unpack_bits(

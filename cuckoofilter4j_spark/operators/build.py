@@ -660,6 +660,35 @@ def _build_sharded_nosort(
     return routed.mapInArrow(assemble, out_schema)
 
 
+def recode_sketches(sketches: DataFrame, codec: str = "semisort") -> DataFrame:
+    """Re-serialize every `sketch` blob with a different codec, all other
+    columns (and the sharded-probe `num_shards` stamp, if present) untouched.
+    codec="semisort" applies Fan et al. 2014 §5.2 semi-sorting — exactly 1
+    bit/slot smaller than the default packed stream — the right final step
+    before persisting a sketch table or broadcasting many shards (the probe
+    paths deserialize either codec transparently via `from_bytes`). Runs as
+    one Arrow-batched pass over the (tiny) sketch rows; storage_bits is
+    restated to the recoded table stream so the metric matches what ships."""
+    if codec not in ("packed", "semisort"):
+        raise ValueError(f"unknown codec {codec!r}; use 'packed' or 'semisort'")
+    codec_ = str(codec)
+    has_storage = "storage_bits" in sketches.columns
+
+    @F.pandas_udf(BinaryType())
+    def _recode(blobs: pd.Series) -> pd.Series:
+        return blobs.map(
+            lambda b: CuckooFilter.from_bytes(bytes(b)).to_bytes(codec=codec_)
+        )
+
+    out = sketches.withColumn("sketch", _recode(F.col("sketch")))
+    if has_storage:
+        hdr_overhead = (CuckooFilter._HDR.size + (2 if codec_ == "semisort" else 1)) * 8
+        out = out.withColumn(
+            "storage_bits", (F.octet_length("sketch") * 8 - F.lit(hdr_overhead)).cast("long")
+        )
+    return out
+
+
 def write_bucketed_keys(
     df: DataFrame, path: str, key_col: str = "key", num_shards: int = 64
 ) -> None:

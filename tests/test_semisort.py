@@ -1,0 +1,160 @@
+"""Semi-sorted bucket codec (Fan et al. 2014 §5.2): 1 bit/slot smaller
+serialization with multiset-exact round-trip. The reference has no analog
+(its LongBitSet stream is tag_bits-wide, FilterTable.java:138-142); this is
+the paper feature the reference skipped, added because smaller blobs shrink
+every broadcast/shuffle of sketch rows at scale."""
+
+import numpy as np
+import pytest
+
+from cuckoofilter4j_spark.core import (
+    BUCKET_SIZE,
+    CuckooFilter,
+    _pack_semisort,
+    _unpack_semisort,
+)
+
+
+def _filled(tag_bits=8, num_buckets=256, n=800, seed=7, algo="mix64"):
+    f = CuckooFilter(num_buckets, tag_bits, seed, hash_algo=algo)
+    keys = [f"key-{i}".encode() for i in range(n)]
+    f.put_batch(keys)
+    return f, keys
+
+
+@pytest.mark.parametrize("tag_bits", [5, 8, 10, 13, 16, 17, 32, 33, 47])
+def test_roundtrip_multiset_exact_all_widths(tag_bits):
+    f, keys = _filled(tag_bits=tag_bits)
+    g = CuckooFilter.from_bytes(f.to_bytes(codec="semisort"))
+    assert g == f  # __eq__ canonicalizes slot order, so this is exact
+    assert g.semantically_equal(f)
+    assert g.count == f.count
+    assert bool(g.contains_batch(keys).all())
+    np.testing.assert_array_equal(g.count_batch(keys), f.count_batch(keys))
+
+
+def test_exact_bit_size_saving():
+    # per bucket: 12 + 4*(tag_bits-4) bits vs 4*tag_bits — 4 bits saved
+    for tag_bits, num_buckets in [(8, 512), (13, 128), (47, 64)]:
+        f, _ = _filled(tag_bits=tag_bits, num_buckets=num_buckets, n=num_buckets)
+        packed = f.to_bytes()
+        ss = f.to_bytes(codec="semisort")
+        exp_packed = (num_buckets * 4 * tag_bits + 7) // 8
+        exp_ss = (num_buckets * (12 + 4 * (tag_bits - 4)) + 7) // 8
+        hdr = CuckooFilter._HDR.size + 1  # + algo byte
+        assert len(packed) == hdr + exp_packed
+        assert len(ss) == hdr + 1 + exp_ss  # + codec byte
+
+
+def test_idempotent_reserialization():
+    f, _ = _filled()
+    b1 = f.to_bytes(codec="semisort")
+    g = CuckooFilter.from_bytes(b1)
+    assert g.to_bytes(codec="semisort") == b1
+    # and the packed re-serialization of the roundtripped filter decodes back
+    h = CuckooFilter.from_bytes(g.to_bytes())
+    assert h == f
+
+
+def test_victim_and_counters_survive():
+    # overfill a tiny filter until the victim slot is occupied
+    f = CuckooFilter(4, 8, seed=3)
+    i = 0
+    while not f.has_victim and i < 200:
+        f.put(f"v{i}".encode())
+        i += 1
+    assert f.has_victim
+    g = CuckooFilter.from_bytes(f.to_bytes(codec="semisort"))
+    assert g.has_victim and g.victim_tag == f.victim_tag
+    assert {g.victim_i1, g.victim_i2} == {f.victim_i1, f.victim_i2}
+    assert g.count == f.count
+    assert g == f
+
+
+def test_low_nibble_zero_tag_not_read_as_empty():
+    # a tag with low nibble 0 but high bits set must decode non-empty
+    f = CuckooFilter(8, 8, seed=1)
+    f.table[2, 0] = 0x30  # nibble 0, high 3
+    f.table[2, 1] = 0x07
+    f.count = 2
+    g = CuckooFilter.from_bytes(f.to_bytes(codec="semisort"))
+    assert sorted(int(x) for x in g.table[2] if x) == [0x07, 0x30]
+    assert int((g.table != 0).sum()) == 2
+
+
+def test_delete_after_roundtrip():
+    f, keys = _filled(n=300)
+    g = CuckooFilter.from_bytes(f.to_bytes(codec="semisort"))
+    for k in keys[:50]:
+        assert g.delete(k)
+    assert g.count == f.count - 50
+    # no false negatives among the survivors
+    assert bool(g.contains_batch(keys[50:]).all())
+
+
+def test_random_tables_property():
+    # direct kernel check on random tables across widths (incl. empties)
+    rng = np.random.default_rng(11)
+    for tag_bits in (5, 8, 12, 16, 20, 33):
+        dt = (
+            np.uint8 if tag_bits <= 8 else np.uint16 if tag_bits <= 16
+            else np.uint32 if tag_bits <= 32 else np.uint64
+        )
+        hi = 1 << tag_bits
+        t = rng.integers(0, hi, size=(257, BUCKET_SIZE)).astype(dt)
+        t[rng.random(t.shape) < 0.3] = 0  # sprinkle empties
+        blob = _pack_semisort(t, tag_bits)
+        back = _unpack_semisort(blob, 0, t.shape[0], tag_bits, dt)
+        np.testing.assert_array_equal(np.sort(t, axis=1), np.sort(back, axis=1))
+
+
+def test_bad_codec_rejected():
+    f, _ = _filled(num_buckets=8, n=8)
+    with pytest.raises(ValueError, match="unknown codec"):
+        f.to_bytes(codec="zstd")
+    blob = bytearray(f.to_bytes(codec="semisort"))
+    blob[CuckooFilter._HDR.size + 1] = 9  # corrupt the codec byte
+    with pytest.raises(ValueError, match="codec byte"):
+        CuckooFilter.from_bytes(bytes(blob))
+
+
+def test_read_header_on_semisort_blob():
+    f, _ = _filled(num_buckets=64, n=100)
+    hdr = CuckooFilter.read_header(f.to_bytes(codec="semisort"))
+    assert (hdr.num_buckets, hdr.tag_bits, hdr.hash_algo, hdr.count) == (
+        64, 8, "mix64", f.count,
+    )
+
+
+def test_recode_sketches_dataframe(spark):
+    from cuckoofilter4j_spark.operators import (
+        build_filter,
+        might_contain,
+        recode_sketches,
+        sha256_key,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 500).select(
+        sha256_key("id").alias("key"),
+        F.when(F.col("id") % 2 == 0, "java").otherwise("python").alias("lang"),
+    )
+    sk = build_filter(df, "key", ["lang"], max_keys=512, fpp=0.01, seed=42)
+    rc = recode_sketches(sk, "semisort")
+    orig = {r["lang"]: r for r in sk.collect()}
+    coded = {r["lang"]: r for r in rc.collect()}
+    assert set(orig) == set(coded)
+    for lang, r in coded.items():
+        o = orig[lang]
+        assert len(bytes(r["sketch"])) < len(bytes(o["sketch"]))
+        g = CuckooFilter.from_bytes(bytes(r["sketch"]))
+        assert g == CuckooFilter.from_bytes(bytes(o["sketch"]))
+        assert r["count"] == o["count"]
+        # restated storage_bits == serialized table stream bits
+        assert r["storage_bits"] == g.num_buckets * (12 + 4 * (g.tag_bits - 4))
+    # probes accept the recoded blobs transparently
+    probed = might_contain(df, rc, "key", ["lang"]).agg(
+        {"might_contain": "min"}
+    ).collect()[0][0]
+    assert probed is True
