@@ -46,6 +46,11 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     ),
     "github_token": (r"\bgh[pousr]_[A-Za-z0-9]{36}\b", "<GITHUB_TOKEN>"),
     "aws_key": (r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    "slack_token": (r"\bxox[abprs]-[0-9A-Za-z-]{10,48}\b", "<SLACK_TOKEN>"),
+    "jwt": (
+        r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}\b",
+        "<JWT>",
+    ),
     # -- classic PII ------------------------------------------------------
     "email": (
         r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",

@@ -230,3 +230,75 @@ def test_latest_snapshot_single_aggregate_plan(spark):
     assert "partial_max" in plan
     assert plan.count("Exchange") == 1
     assert "Window [" not in plan
+
+
+# --------------------------------------------------------------------------
+# repo_jaccard_pairs (fork / mirror detection)
+# --------------------------------------------------------------------------
+
+
+def _fork_fixture(spark):
+    rows = (
+        [Row(repo="up", k=i) for i in range(10)]
+        + [Row(repo="fork", k=i) for i in range(8)]       # 8/10 of upstream
+        + [Row(repo="other", k=i + 100) for i in range(10)]
+        + [Row(repo="touch", k=i) for i in (0, 101)]      # 1 key with each
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_repo_jaccard_exact_values(spark):
+    from cuckoofilter4j_spark.functions import repo_jaccard_pairs
+
+    got = {
+        (r["repo_a"], r["repo_b"]): (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+        for r in repo_jaccard_pairs(
+            _fork_fixture(spark), "repo", "k", threshold=0.0
+        ).collect()
+    }
+    assert got[("fork", "up")] == (8, 10, 8, 0.8)
+    assert ("other", "up") not in got  # disjoint sets never pair
+    assert got[("touch", "up")] == (2, 10, 1, round(1 / 11, 6))
+    assert got[("other", "touch")] == (10, 2, 1, round(1 / 11, 6))
+
+
+def test_repo_jaccard_threshold_and_duplicate_rows(spark):
+    from cuckoofilter4j_spark.functions import repo_jaccard_pairs
+
+    # duplicated (repo, key) rows must not inflate set sizes or overlaps
+    df = _fork_fixture(spark)
+    doubled = df.unionByName(df)
+    hi = repo_jaccard_pairs(doubled, "repo", "k", threshold=0.5).collect()
+    assert [(r["repo_a"], r["repo_b"]) for r in hi] == [("fork", "up")]
+    assert hi[0]["jaccard"] == 0.8
+
+
+def test_repo_jaccard_hot_key_cap(spark):
+    from cuckoofilter4j_spark.functions import repo_jaccard_pairs
+
+    # key 0 appears in every repo (boilerplate blob); the cap thins it and
+    # jaccard is computed on the THINNED sets (still exact for those sets)
+    rows = [Row(repo=f"r{i}", k=0) for i in range(40)] + [
+        Row(repo="r0", k=1), Row(repo="r1", k=1)
+    ]
+    df = spark.createDataFrame(rows)
+    uncapped = repo_jaccard_pairs(df, "repo", "k", threshold=0.0)
+    assert uncapped.count() == 40 * 39 // 2  # quadratic blowup, as expected
+    capped = repo_jaccard_pairs(
+        df, "repo", "k", threshold=0.0, max_repos_per_key=4
+    )
+    n = capped.count()
+    assert n < 40 * 39 // 2 / 10  # hot key thinned to ~4 repos
+    for r in capped.collect():
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_repo_jaccard_plan_no_cartesian_sizes_broadcast(spark):
+    from cuckoofilter4j_spark.functions import repo_jaccard_pairs
+
+    plan = (
+        repo_jaccard_pairs(_fork_fixture(spark), "repo", "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan  # the two size-dim joins
