@@ -2736,6 +2736,47 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url_canon", F.col("doc_id").alias("keeper_id"))
 
 
+def _version_snapshots(spark: SparkSession, sf_dir: str):
+    """Deterministic old/new corpus snapshots over documents: doc_id%10==0
+    removed, %10==1 modified (text + ' v2'), %10==2 duplicated as an added
+    doc (doc_id+100000, 'new:' prefix), rest unchanged."""
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    m = F.col("doc_id") % 10
+    new = old.filter(m != 0).withColumn(
+        "text",
+        F.when(m == 1, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")),
+    )
+    added = old.filter(m == 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("new:"), F.col("text")).alias("text"),
+    )
+    return old, new.unionByName(added)
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (functions/versioning.py corpus_diff): every logical
+    doc_id classified added/removed/modified/unchanged by the 60-bit sha256
+    content digest; digests computed BEFORE the full-outer join so the wide
+    text column never transits the exchange. Statuses AND both digests are
+    engine-exact vs a DuckDB replay of the identical arithmetic."""
+    from cuckoofilter4j_spark.functions import corpus_diff
+
+    old, new = _version_snapshots(spark, sf_dir)
+    return corpus_diff(old, new, ["doc_id"], "text")
+
+
+def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partition-invariant per-lang corpus digest (corpus_checksum):
+    ONE hash aggregation with map-side (count, sum mod 2^60, xor) partials —
+    the cheap "did the rewrite change anything?" audit for pipeline hops.
+    All three digest components engine-exact vs DuckDB."""
+    from cuckoofilter4j_spark.functions import corpus_checksum
+
+    return corpus_checksum(
+        _docs(spark, sf_dir), ["doc_id", "text"], group_cols=["lang"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-lang cuckoo sketches over sf0.001 documents with full
     lineage/metrics projection (north rule: load-factor/FPP metrics)."""
@@ -2802,6 +2843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_fork_pairs": q_repo_fork_pairs,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
+        "corpus_diff": q_corpus_diff,
+        "corpus_checksum": q_corpus_checksum,
         "semdedup_kept": q_semdedup,
         "unicode_nfc": q_unicode_nfc,
         "dedupe_lines": q_dedupe_lines,
@@ -3359,6 +3402,45 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, url, url_canon FROM canon",
         "url_dedup": _URL_CANON_SQL
         + "SELECT url_canon, min(doc_id) AS keeper_id FROM canon GROUP BY url_canon",
+        # the identical digest arithmetic replayed in DuckDB: sha256 over the
+        # null-tagged unit-separated framing, first 15 hex chars as a 60-bit
+        # int — statuses and digests are engine-exact, not statistical
+        "corpus_diff": """
+            WITH old_t AS (SELECT doc_id, text FROM documents),
+            new_t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 10 <> 0
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, 'new:' || text AS text
+              FROM documents WHERE doc_id % 10 = 2
+            ),
+            od AS (SELECT doc_id, CAST(concat('0x', substr(sha256(
+                     CASE WHEN text IS NULL THEN chr(0) ELSE chr(1) || text END
+                   ), 1, 15)) AS BIGINT) AS old_digest FROM old_t),
+            nd AS (SELECT doc_id, CAST(concat('0x', substr(sha256(
+                     CASE WHEN text IS NULL THEN chr(0) ELSE chr(1) || text END
+                   ), 1, 15)) AS BIGINT) AS new_digest FROM new_t)
+            SELECT COALESCE(od.doc_id, nd.doc_id) AS doc_id,
+                   CASE WHEN od.doc_id IS NULL THEN 'added'
+                        WHEN nd.doc_id IS NULL THEN 'removed'
+                        WHEN old_digest = new_digest THEN 'unchanged'
+                        ELSE 'modified' END AS status,
+                   old_digest, new_digest
+            FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id
+        """,
+        "corpus_checksum": """
+            WITH d AS (
+              SELECT lang, CAST(concat('0x', substr(sha256(concat_ws(chr(31),
+                       chr(1) || CAST(doc_id AS VARCHAR),
+                       CASE WHEN text IS NULL THEN chr(0) ELSE chr(1) || text END
+                     )), 1, 15)) AS BIGINT) AS v
+              FROM documents)
+            SELECT lang, count(*) AS n_rows,
+                   CAST(sum(v)::HUGEINT % 1152921504606846976 AS BIGINT) AS sum60,
+                   bit_xor(v) AS xor60
+            FROM d GROUP BY lang
+        """,
         "partitioned_roundtrip": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE lang IN ('en', 'fr')

@@ -1,0 +1,134 @@
+"""Corpus versioning: snapshot diff and order-invariant corpus checksums.
+
+A 100 TB training corpus is rebuilt, appended to, and re-filtered many
+times; two operations make those pipeline hops auditable without ever
+comparing raw bytes across the wire:
+
+* ``corpus_diff`` — classify every logical row of two corpus snapshots
+  (keyed on e.g. ``(repo, path)``) as ``added`` / ``removed`` /
+  ``modified`` / ``unchanged`` by comparing the canonical sha256 content
+  key (the per-row invariant this library keys everything on — see
+  ``operators.build.sha256_key``).
+* ``corpus_checksum`` — a deterministic, order- and partition-invariant
+  digest of a whole table (or of each group), so "did the rewrite change
+  anything?" is one cheap aggregate instead of a full anti-join.
+
+Reference scope note: the reference library (CuckooFilter4J) has no
+table-versioning surface; this module is part of the training-data
+pipeline extension surface (SURVEY §2 extensions). It composes with the
+sketch family: ``corpus_diff(...).filter(status='added')`` is exactly
+the increment fed to ``append``-style maintenance (cuckoo filter insert,
+``append_text_index``, ``append_ivf_index``).
+
+100 TB design:
+
+* ``corpus_diff`` projects each side down to ``key_cols + sha256`` BEFORE
+  the full-outer join, so the (wide) content column never transits the
+  exchange — the shuffle carries ~72 bytes/row regardless of document
+  size. With both snapshots stored bucketed on ``key_cols`` the join is
+  zero-Exchange; otherwise it is one shuffle per side on the logical key.
+* ``corpus_checksum`` is ONE hash aggregation with map-side partials:
+  each task folds its rows into (count, sum mod 2^60, xor) partials and
+  the exchange carries one row per task per group. Sum and xor are
+  commutative/associative, so the digest is provably independent of
+  partitioning, task order, and row order — and engine-portable: the
+  identical arithmetic runs in DuckDB for the oracle (both engines parse
+  the same 15-hex-char prefix = 60 bits, so the sum fits any 128-bit
+  accumulator and the xor is sign-free in int64).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["corpus_checksum", "corpus_diff", "diff_summary", "row_digest60"]
+
+# 15 hex chars = 60 bits: positive in a signed int64 in both engines, and
+# small enough that a 2^38-row corpus sums within decimal(38,0)/HUGEINT.
+_HEX_CHARS = 15
+MOD60 = 1 << (4 * _HEX_CHARS)
+
+
+def _cols(cols: Union[str, Sequence[str]]) -> list[str]:
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
+def row_digest60(cols: Sequence[Union[str, Column]]) -> Column:
+    """60-bit row digest: sha256 over the null-tagged, unit-separated
+    concatenation of ``cols``, first 15 hex chars parsed base-16.
+
+    The null tag + ``\\x1f`` separator make the digest injective over
+    column boundaries (``('ab','c')`` ≠ ``('a','bc')``; NULL ≠ ``''``) —
+    the same framing discipline as the sampling module's draw.
+    """
+    parts: list[Column] = []
+    for c in cols:
+        col = F.col(c) if isinstance(c, str) else c
+        s = col.cast("string")
+        parts.append(F.when(s.isNull(), F.lit("\x00")).otherwise(F.concat(F.lit("\x01"), s)))
+    framed = F.concat_ws("\x1f", *parts)
+    return F.conv(F.substring(F.sha2(framed, 256), 1, _HEX_CHARS), 16, 10).cast("long")
+
+
+def corpus_checksum(
+    df: DataFrame,
+    cols: Union[str, Sequence[str]],
+    *,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Order/partition-invariant digest of ``df`` restricted to ``cols``.
+
+    Returns one row (or one per ``group_cols`` value) with:
+      ``n_rows``  — exact row count,
+      ``sum60``   — sum of per-row 60-bit digests mod 2^60,
+      ``xor60``   — xor of per-row digests.
+
+    Two tables with equal (n_rows, sum60, xor60) over the same columns are
+    equal as multisets except with probability ~2^-120 per adversarial-free
+    collision; any single changed/added/dropped row flips the digest.
+    """
+    v = row_digest60(_cols(cols)).alias("__digest60")
+    gb = list(group_cols or [])
+    agg = df.select(*gb, v).groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.pmod(F.sum(F.col("__digest60").cast("decimal(38,0)")), F.lit(MOD60))
+        .cast("long")
+        .alias("sum60"),
+        F.expr("bit_xor(__digest60)").alias("xor60"),
+    )
+    return agg
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+    content_cols: Union[str, Sequence[str]],
+) -> DataFrame:
+    """Snapshot diff keyed on ``key_cols``: one output row per logical key
+    present in either snapshot, with ``status`` ∈ added | removed |
+    modified | unchanged and the two content digests (``old_digest`` /
+    ``new_digest``, NULL on the absent side).
+
+    ``key_cols`` must be unique per snapshot (it is the logical row
+    identity — e.g. ``(repo, path)``); content equality is judged by the
+    60-bit sha256 digest of ``content_cols``.
+    """
+    keys = _cols(key_cols)
+    old_k = old.select(*keys, row_digest60(_cols(content_cols)).alias("old_digest"))
+    new_k = new.select(*keys, row_digest60(_cols(content_cols)).alias("new_digest"))
+    j = old_k.join(new_k, on=keys, how="full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return j.select(*keys, status.alias("status"), "old_digest", "new_digest")
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """Counts per diff status (one tiny aggregate over ``corpus_diff``)."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

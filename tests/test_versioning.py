@@ -1,0 +1,173 @@
+"""corpus_diff / corpus_checksum (functions/versioning.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import (
+    corpus_checksum,
+    corpus_diff,
+    diff_summary,
+    row_digest60,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "repo string, path string, content string")
+
+
+@pytest.fixture(scope="module")
+def snaps(spark):
+    old = _snap(
+        spark,
+        [
+            ("r1", "a.py", "alpha"),
+            ("r1", "b.py", "beta"),
+            ("r2", "c.py", "gamma"),
+            ("r2", "d.py", None),
+        ],
+    )
+    new = _snap(
+        spark,
+        [
+            ("r1", "a.py", "alpha"),  # unchanged
+            ("r1", "b.py", "beta2"),  # modified
+            ("r2", "d.py", ""),  # modified: NULL -> '' must differ
+            ("r3", "e.py", "eps"),  # added
+            # r2/c.py removed
+        ],
+    )
+    return old, new
+
+
+def test_diff_statuses(spark, snaps):
+    old, new = snaps
+    d = corpus_diff(old, new, ["repo", "path"], "content")
+    got = {(r["repo"], r["path"]): r["status"] for r in d.collect()}
+    assert got == {
+        ("r1", "a.py"): "unchanged",
+        ("r1", "b.py"): "modified",
+        ("r2", "c.py"): "removed",
+        ("r2", "d.py"): "modified",
+        ("r3", "e.py"): "added",
+    }
+
+
+def test_diff_summary_counts(spark, snaps):
+    old, new = snaps
+    s = {r["status"]: r["n"] for r in diff_summary(
+        corpus_diff(old, new, ["repo", "path"], "content")
+    ).collect()}
+    assert s == {"unchanged": 1, "modified": 2, "removed": 1, "added": 1}
+
+
+def test_diff_digest_sides(spark, snaps):
+    old, new = snaps
+    rows = {(r["repo"], r["path"]): r for r in
+            corpus_diff(old, new, ["repo", "path"], "content").collect()}
+    assert rows[("r3", "e.py")]["old_digest"] is None
+    assert rows[("r3", "e.py")]["new_digest"] is not None
+    assert rows[("r2", "c.py")]["new_digest"] is None
+    a = rows[("r1", "a.py")]
+    assert a["old_digest"] == a["new_digest"]
+
+
+def test_checksum_partition_invariant(spark, snaps):
+    old, _ = snaps
+    base = corpus_checksum(old, ["repo", "path", "content"]).collect()[0]
+    for n in (1, 3, 7):
+        again = corpus_checksum(
+            old.repartition(n), ["repo", "path", "content"]
+        ).collect()[0]
+        assert again["n_rows"] == base["n_rows"] == 4
+        assert again["sum60"] == base["sum60"]
+        assert again["xor60"] == base["xor60"]
+
+
+def test_checksum_detects_single_row_change(spark, snaps):
+    old, _ = snaps
+    mut = old.withColumn(
+        "content",
+        F.when((F.col("repo") == "r1") & (F.col("path") == "a.py"),
+               F.lit("alphaX")).otherwise(F.col("content")),
+    )
+    a = corpus_checksum(old, ["repo", "path", "content"]).collect()[0]
+    b = corpus_checksum(mut, ["repo", "path", "content"]).collect()[0]
+    assert a["n_rows"] == b["n_rows"]
+    assert a["sum60"] != b["sum60"]
+    assert a["xor60"] != b["xor60"]
+
+
+def test_checksum_null_vs_empty_and_framing(spark):
+    # NULL != '' and column-boundary injectivity ('ab','c') != ('a','bc')
+    df1 = spark.createDataFrame([("x", None)], "a string, b string")
+    df2 = spark.createDataFrame([("x", "")], "a string, b string")
+    c1 = corpus_checksum(df1, ["a", "b"]).collect()[0]
+    c2 = corpus_checksum(df2, ["a", "b"]).collect()[0]
+    assert c1["sum60"] != c2["sum60"]
+    df3 = spark.createDataFrame([("ab", "c")], "a string, b string")
+    df4 = spark.createDataFrame([("a", "bc")], "a string, b string")
+    assert (
+        corpus_checksum(df3, ["a", "b"]).collect()[0]["sum60"]
+        != corpus_checksum(df4, ["a", "b"]).collect()[0]["sum60"]
+    )
+
+
+def test_checksum_grouped(spark, snaps):
+    old, _ = snaps
+    per = {r["repo"]: r for r in corpus_checksum(
+        old, ["path", "content"], group_cols=["repo"]
+    ).collect()}
+    assert set(per) == {"r1", "r2"}
+    assert per["r1"]["n_rows"] == 2 and per["r2"]["n_rows"] == 2
+    # group digests fold to the global digest (sum mod / xor are associative)
+    glob = corpus_checksum(old, ["path", "content"]).collect()[0]
+    assert (per["r1"]["sum60"] + per["r2"]["sum60"]) % (1 << 60) == glob["sum60"]
+    assert per["r1"]["xor60"] ^ per["r2"]["xor60"] == glob["xor60"]
+
+
+def test_checksum_duckdb_parity(spark, snaps):
+    """The digest arithmetic is engine-portable: DuckDB reproduces
+    (n_rows, sum60, xor60) exactly from the same rows."""
+    import duckdb
+
+    old, _ = snaps
+    got = corpus_checksum(old, ["repo", "path", "content"]).collect()[0]
+    pdf = old.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.sql(
+        """
+        WITH d AS (
+          SELECT CAST(concat('0x', substr(sha256(
+            concat_ws(chr(31),
+              CASE WHEN repo IS NULL THEN chr(0) ELSE chr(1) || repo END,
+              CASE WHEN path IS NULL THEN chr(0) ELSE chr(1) || path END,
+              CASE WHEN content IS NULL THEN chr(0) ELSE chr(1) || content END
+            )), 1, 15)) AS BIGINT) AS v
+          FROM t)
+        SELECT count(*) AS n_rows,
+               CAST(sum(v)::HUGEINT % 1152921504606846976 AS BIGINT) AS sum60,
+               bit_xor(v) AS xor60
+        FROM d
+        """
+    ).fetchone()
+    assert (got["n_rows"], got["sum60"], got["xor60"]) == exp
+
+
+def test_diff_plan_no_wide_column_in_exchange(spark, snaps):
+    """The content column is digested BEFORE the join: the physical plan's
+    Exchange carries only key cols + digest (content never shuffles)."""
+    old, new = snaps
+    d = corpus_diff(old, new, ["repo", "path"], "content")
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "content" not in m.group(1)
+
+
+def test_row_digest60_range(spark):
+    df = spark.range(100).select(F.col("id").cast("string").alias("s"))
+    rows = df.select(row_digest60(["s"]).alias("v")).collect()
+    assert all(0 <= r["v"] < (1 << 60) for r in rows)
+    assert len({r["v"] for r in rows}) == 100
