@@ -2777,6 +2777,63 @@ def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_code_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-entropy + minified-blob detection (functions/code.py):
+    doc_id%5==0 rows become a packed one-liner, %5==1 a high-entropy hex
+    blob, the rest keep the natural text — so both flag branches and the
+    entropy spread all have signal. Entropy comes from the vectorized
+    numpy kernel (one sort per Arrow batch) and is pinned to 6 decimals
+    against DuckDB's entropy() aggregate over the per-char unnest; the
+    minified flag and whitespace fraction are integer-exact."""
+    from cuckoofilter4j_spark.functions.code import (
+        char_entropy,
+        is_minified,
+        whitespace_fraction,
+    )
+
+    d = F.col("doc_id")
+    t = (
+        F.when(d % 5 == 0, F.concat(*[F.lit("var x=1;f(x);")] * 60))
+        .when(d % 5 == 1, F.concat(*[F.sha2(F.col("text"), 256)] * 4))
+        .otherwise(F.col("text"))
+    )
+    fx = _docs(spark, sf_dir).select("doc_id", t.alias("t"))
+    return fx.select(
+        "doc_id",
+        F.round(char_entropy("t"), 6).alias("entropy_bits"),
+        is_minified("t"),
+        F.round(whitespace_fraction("t"), 6).alias("ws_frac"),
+    )
+
+
+def q_ident_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier splitting (functions/code.py split_identifiers): camel /
+    Pascal / acronym-run / snake / kebab / dotted-path identifiers split at
+    their boundaries and lowercased by one pure-Catalyst regexp chain in
+    the Java∩RE2 subset — the pre-pass that makes BM25 work on code. The
+    split string AND the token count are engine-exact (DuckDB replays the
+    identical pattern strings with the 'g' flag)."""
+    from cuckoofilter4j_spark.functions.code import (
+        identifier_tokens,
+        split_identifiers,
+    )
+
+    d = F.col("doc_id")
+    ident = (
+        F.when(d % 4 == 0, F.concat(F.lit("getHTTPResponse"), d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("snake_case_var_"), d.cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("kebab-case.path"), d.cast("string")))
+        .otherwise(F.lit("XMLHttpRequest2"))
+    )
+    fx = _docs(spark, sf_dir).select("doc_id", ident.alias("ident"))
+    return fx.select(
+        "doc_id",
+        "ident",
+        split_identifiers("ident"),
+        F.size(identifier_tokens("ident")).alias("n_tokens"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-lang cuckoo sketches over sf0.001 documents with full
     lineage/metrics projection (north rule: load-factor/FPP metrics)."""
@@ -2845,6 +2902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "corpus_diff": q_corpus_diff,
         "corpus_checksum": q_corpus_checksum,
+        "code_entropy": q_code_entropy,
+        "ident_tokens": q_ident_tokens,
         "semdedup_kept": q_semdedup,
         "unicode_nfc": q_unicode_nfc,
         "dedupe_lines": q_dedupe_lines,
@@ -3428,6 +3487,72 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'modified' END AS status,
                    old_digest, new_digest
             FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id
+        """,
+        # DuckDB's entropy() aggregate over the per-char unnest vs the
+        # vectorized numpy kernel — both log2, pinned at 6 decimals; flags
+        # and ws_frac replay the identical integer arithmetic
+        "code_entropy": r"""
+            WITH fx AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN repeat('var x=1;f(x);', 60)
+                          WHEN doc_id % 5 = 1 THEN repeat(sha256(text), 4)
+                          ELSE text END AS t
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id, round(entropy(c), 6) AS entropy_bits
+              FROM (SELECT doc_id, unnest(split(t, '')) AS c FROM fx)
+              GROUP BY doc_id
+            ),
+            m AS (
+              SELECT doc_id, t,
+                     list_max(list_transform(regexp_split_to_array(t, '\n'),
+                                             x -> length(x))) AS mll,
+                     list_sum(list_transform(regexp_split_to_array(t, '\n'),
+                                             x -> length(x)))::DOUBLE
+                       / len(regexp_split_to_array(t, '\n')) AS avg_len,
+                     (length(t) - length(regexp_replace(t, '[ \t\n\r]', '', 'g')))
+                       ::DOUBLE / nullif(length(t), 0) AS wsf
+              FROM fx
+            )
+            SELECT m.doc_id, e.entropy_bits,
+                   CASE WHEN t IS NULL THEN NULL
+                        WHEN length(t) = 0 THEN FALSE
+                        ELSE (mll > 500) OR (avg_len > 120.0 AND wsf < 0.05)
+                   END AS flag_minified,
+                   round(wsf, 6) AS ws_frac
+            FROM m LEFT JOIN e ON m.doc_id = e.doc_id
+        """,
+        # identical pattern strings as split_identifiers, 'g' flag for
+        # Spark's replace-all; acronym rule before camel rule (order matters)
+        "ident_tokens": r"""
+            WITH fx AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                            THEN 'getHTTPResponse' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 4 = 1
+                            THEN 'snake_case_var_' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 4 = 2
+                            THEN 'kebab-case.path' || CAST(doc_id AS VARCHAR)
+                          ELSE 'XMLHttpRequest2' END AS ident
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, ident,
+                     lower(trim(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(ident,
+                             '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+                           '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+                         '[_\-./:]+', ' ', 'g'),
+                       ' +', ' ', 'g'))) AS ident_split
+              FROM fx
+            )
+            SELECT doc_id, ident, ident_split,
+                   CASE WHEN ident_split = '' THEN 0
+                        ELSE len(split(ident_split, ' ')) END AS n_tokens
+            FROM s
         """,
         "corpus_checksum": """
             WITH d AS (

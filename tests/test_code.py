@@ -302,3 +302,136 @@ def test_repo_jaccard_plan_no_cartesian_sizes_broadcast(spark):
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan  # the two size-dim joins
+
+
+# --------------------------------------------------------------------------
+# char_entropy / is_minified / split_identifiers (eighth-session additions)
+# --------------------------------------------------------------------------
+
+
+class TestCharEntropy:
+    def test_reference_values(self, spark):
+        import math
+
+        from cuckoofilter4j_spark.functions import char_entropy
+
+        df = spark.createDataFrame(
+            [("aabb",), ("aab",), ("abcd",), ("aaaa",), ("héé",)], "t string"
+        )
+        got = {r["t"]: r["char_entropy"] for r in
+               df.select("t", char_entropy("t")).collect()}
+        exp3 = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+        assert abs(got["aabb"] - 1.0) < 1e-12
+        assert abs(got["aab"] - exp3) < 1e-12
+        assert abs(got["abcd"] - 2.0) < 1e-12
+        assert got["aaaa"] == 0.0
+        assert abs(got["héé"] - exp3) < 1e-12  # code points, not bytes
+
+    def test_null_and_empty(self, spark):
+        from cuckoofilter4j_spark.functions import char_entropy
+
+        rows = spark.createDataFrame([("",), (None,)], "t string").select(
+            char_entropy("t")
+        ).collect()
+        assert rows[0]["char_entropy"] is None
+        assert rows[1]["char_entropy"] is None
+
+    def test_batch_boundary_independence(self, spark):
+        """The packed sort key must not leak counts across docs in a batch."""
+        from cuckoofilter4j_spark.functions import char_entropy
+
+        docs = [("a" * 10,), ("b" * 10,), ("ab" * 5,)] * 50
+        df = spark.createDataFrame(docs, "t string").coalesce(1)
+        got = df.select("t", char_entropy("t")).collect()
+        for r in got:
+            expect = 0.0 if len(set(r["t"])) == 1 else 1.0
+            assert abs(r["char_entropy"] - expect) < 1e-12
+
+    def test_python_reference_parity(self, spark):
+        """Vectorized kernel == naive per-row Counter entropy on real text."""
+        import collections
+        import math
+
+        from cuckoofilter4j_spark.functions import char_entropy
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = df.select("text", char_entropy("text")).limit(50).collect()
+        for r in got:
+            n = len(r["text"])
+            cnt = collections.Counter(r["text"])
+            exp = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+            assert abs(r["char_entropy"] - exp) < 1e-9
+
+
+class TestIsMinified:
+    def test_flags(self, spark):
+        from cuckoofilter4j_spark.functions import is_minified
+
+        rows = spark.createDataFrame(
+            [
+                ("x" * 501,),                       # long single line
+                ("x" * 400,),                       # long-ish but < avg gate? 400>120, ws 0 -> minified
+                ("short\nlines\nonly\n",),          # normal
+                ("",),
+                (None,),
+            ],
+            "t string",
+        ).select("t", is_minified("t")).collect()
+        assert rows[0]["flag_minified"] is True
+        assert rows[1]["flag_minified"] is True   # avg 400 > 120, ws_frac 0
+        assert rows[2]["flag_minified"] is False
+        assert rows[3]["flag_minified"] is False
+        assert rows[4]["flag_minified"] is None
+
+    def test_whitespace_rescues(self, spark):
+        from cuckoofilter4j_spark.functions import is_minified
+
+        # long mean line but plenty of spaces: prose, not minified output
+        prose = ("word " * 40).strip()  # one 199-char line, ws_frac ~0.2
+        r = spark.createDataFrame([(prose,)], "t string").select(
+            is_minified("t")
+        ).collect()[0]
+        assert r["flag_minified"] is False
+
+
+class TestSplitIdentifiers:
+    CASES = [
+        ("getHTTPResponse2", "get http response2"),
+        ("XMLHttpRequest", "xml http request"),
+        ("snake_case_var", "snake case var"),
+        ("SCREAMING_SNAKE", "screaming snake"),
+        ("kebab-case.path/x", "kebab case path x"),
+        ("simple", "simple"),
+        ("Already Spaced", "already spaced"),
+        ("a.b:c", "a b c"),
+        ("", ""),
+    ]
+
+    def test_cases(self, spark):
+        from cuckoofilter4j_spark.functions import split_identifiers
+
+        df = spark.createDataFrame([(i,) for i, _ in self.CASES], "t string")
+        got = {r["t"]: r["ident_split"] for r in
+               df.select("t", split_identifiers("t")).collect()}
+        for inp, exp in self.CASES:
+            assert got[inp] == exp, (inp, got[inp], exp)
+
+    def test_tokens_array(self, spark):
+        from cuckoofilter4j_spark.functions import identifier_tokens
+
+        rows = spark.createDataFrame(
+            [("getHTTPResponse",), ("",), (None,)], "t string"
+        ).select(identifier_tokens("t")).collect()
+        assert rows[0]["ident_tokens"] == ["get", "http", "response"]
+        assert rows[1]["ident_tokens"] == []
+        assert rows[2]["ident_tokens"] is None
+
+    def test_plan_no_python(self, spark):
+        """split_identifiers stays in whole-stage codegen: no Python eval."""
+        from cuckoofilter4j_spark.functions import split_identifiers
+
+        df = spark.createDataFrame([("aB",)], "t string").select(
+            split_identifiers("t")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
