@@ -2834,6 +2834,130 @@ def q_ident_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _import_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic source files with real import grammars: python / js / java
+    by doc_id%3, module names parameterized by doc_id%23 so popularity has
+    spread."""
+    d = F.col("doc_id")
+    k = (d % 23).cast("string")
+    lang = (
+        F.when(d % 3 == 0, F.lit("python"))
+        .when(d % 3 == 1, F.lit("js"))
+        .otherwise(F.lit("java"))
+    )
+    content = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("import os\nfrom pkg"), k, F.lit(".core import thing\n")
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("const a = require('lib"),
+                k,
+                F.lit("');\nimport x from 'react';\n"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("import com.dep"),
+                k,
+                F.lit(".Thing;\nimport java.util.List;\n"),
+            )
+        )
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+
+
+def q_code_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import extraction (functions/graph.py extract_imports): per-language
+    regexp_extract_all under one CASE, Java∩RE2 patterns, modules deduped
+    inside the projection so content never transits the explode. Every
+    (doc, lang, module, top_module) row engine-exact vs DuckDB replaying
+    the identical pattern strings."""
+    from cuckoofilter4j_spark.functions.graph import extract_imports
+
+    return extract_imports(_import_fixture(spark, sf_dir), "content", "lang")
+
+
+def q_module_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-importer count per module (module_popularity): one distinct
+    + one count aggregation, both map-side-partial. Counts engine-exact."""
+    from cuckoofilter4j_spark.functions.graph import (
+        extract_imports,
+        module_popularity,
+    )
+
+    imp = extract_imports(_import_fixture(spark, sf_dir), "content", "lang")
+    return module_popularity(imp, "module", "doc_id")
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def q_repo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic 40-node repo dependency graph
+    (functions/graph.py pagerank): src = doc_id%30, dst = (doc_id²+3)%40
+    — the quadratic map gives a skewed in-degree profile (7 distinct rank
+    values spanning 35x; quadratic residues mod 40 leave some nodes
+    dangling so the parked-mass redistribution has signal too).
+    Each round is one equi-join + one groupBy-sum with lineage truncation;
+    the oracle unrolls the identical recurrence 3 times in SQL and ranks
+    are pinned to 6 decimals (float associativity is the only slack)."""
+    from cuckoofilter4j_spark.functions.graph import pagerank
+
+    d = F.col("doc_id")
+    edges = _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (d % 30).cast("string")).alias("src"),
+        F.concat(F.lit("r"), ((d * d + 3) % 40).cast("string")).alias("dst"),
+    )
+    ranks = pagerank(edges, damping=PR_DAMPING, n_iter=PR_ITERS)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(damping: float, n_iter: int) -> str:
+    """Unrolled-CTE PageRank mirroring functions/graph.py pagerank exactly
+    (same recurrence, same parenthesization, same dangling handling)."""
+    head = f"""
+        WITH e AS (
+          SELECT DISTINCT 'r' || CAST(doc_id % 30 AS VARCHAR) AS src,
+                 'r' || CAST((doc_id * doc_id + 3) % 40 AS VARCHAR) AS dst
+          FROM documents
+          WHERE (doc_id % 30) <> ((doc_id * doc_id + 3) % 40)
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    body = ""
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        body += f""",
+        r{i} AS (
+          SELECT nodes.node,
+                 (1.0 - {damping}) / (SELECT n FROM nn)
+                 + {damping} * (COALESCE(s.insum, 0.0)
+                     + (SELECT COALESCE(sum(rank), 0.0) FROM r{p}
+                        WHERE r{p}.node NOT IN (SELECT node FROM deg))
+                       / (SELECT n FROM nn)) AS rank
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / deg.d) AS insum
+            FROM e JOIN r{p} r ON e.src = r.node
+                   JOIN deg ON deg.node = e.src
+            GROUP BY e.dst
+          ) s ON nodes.node = s.node
+        )"""
+    return head + body + f"""
+        SELECT node, round(rank, 6) AS rank FROM r{n_iter}
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-lang cuckoo sketches over sf0.001 documents with full
     lineage/metrics projection (north rule: load-factor/FPP metrics)."""
@@ -2904,6 +3028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_checksum": q_corpus_checksum,
         "code_entropy": q_code_entropy,
         "ident_tokens": q_ident_tokens,
+        "code_imports": q_code_imports,
+        "module_popularity": q_module_popularity,
+        "repo_pagerank": q_repo_pagerank,
         "semdedup_kept": q_semdedup,
         "unicode_nfc": q_unicode_nfc,
         "dedupe_lines": q_dedupe_lines,
@@ -3037,6 +3164,47 @@ _URL_FIXTURE_SQL = (
     "ELSE 'http://example.com:80/p/' || CAST(doc_id // 4 AS VARCHAR) || '/a?z=9&a=1&fbclid=abc' "
     "END AS url FROM documents"
 )
+
+# import-extraction fixture + per-language regexp_extract_all, shared by
+# code_imports and module_popularity (identical patterns as graph.py)
+_IMPORTS_SQL = r"""
+    WITH fx AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'python'
+                             WHEN 1 THEN 'js' ELSE 'java' END AS lang,
+             CASE doc_id % 3
+               WHEN 0 THEN 'import os' || chr(10) || 'from pkg'
+                           || CAST(doc_id % 23 AS VARCHAR)
+                           || '.core import thing' || chr(10)
+               WHEN 1 THEN 'const a = require(''lib'
+                           || CAST(doc_id % 23 AS VARCHAR) || ''');'
+                           || chr(10) || 'import x from ''react'';' || chr(10)
+               ELSE 'import com.dep' || CAST(doc_id % 23 AS VARCHAR)
+                    || '.Thing;' || chr(10)
+                    || 'import java.util.List;' || chr(10)
+             END AS content
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, unnest(
+        CASE lang
+          WHEN 'python' THEN list_concat(
+            regexp_extract_all(content,
+              '(?m)^\s*import\s+([A-Za-z_][\w.]*)', 1),
+            regexp_extract_all(content,
+              '(?m)^\s*from\s+([A-Za-z_][\w.]*)\s+import', 1))
+          WHEN 'js' THEN list_concat(list_concat(
+            regexp_extract_all(content, 'require\(''([^'']+)''\)', 1),
+            regexp_extract_all(content, 'require\("([^"]+)"\)', 1)),
+            list_concat(
+              regexp_extract_all(content, '(?m)from\s+''([^'']+)''', 1),
+              regexp_extract_all(content, '(?m)from\s+"([^"]+)"', 1)))
+          ELSE regexp_extract_all(content,
+            '(?m)^\s*import\s+(?:static\s+)?([A-Za-z_][\w.]*)\s*;', 1)
+        END) AS module
+      FROM fx
+    )
+"""
 
 _URL_CANON_SQL = r"""
 WITH u0 AS ({fixture}),
@@ -3554,6 +3722,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(split(ident_split, ' ')) END AS n_tokens
             FROM s
         """,
+        # identical Java∩RE2 pattern strings as IMPORT_PATTERNS; DISTINCT
+        # mirrors the in-projection array_distinct
+        "code_imports": _IMPORTS_SQL + """
+            SELECT DISTINCT doc_id, lang, module,
+                   regexp_replace(module, '[./].*$', '') AS top_module
+            FROM m
+        """,
+        "module_popularity": _IMPORTS_SQL + """
+            , dm AS (SELECT DISTINCT doc_id, module FROM m)
+            SELECT module, count(*) AS n_repos FROM dm GROUP BY module
+        """,
+        "repo_pagerank": _pagerank_oracle_sql(PR_DAMPING, PR_ITERS),
         "corpus_checksum": """
             WITH d AS (
               SELECT lang, CAST(concat('0x', substr(sha256(concat_ws(chr(31),

@@ -1,0 +1,203 @@
+"""Dependency-graph operators over a source-code corpus.
+
+The code-corpus questions that need a graph, not per-row stats: which
+modules does every file pull in (``extract_imports``), which modules
+matter corpus-wide (``module_popularity``), and which repos are central
+to the dependency graph (``pagerank``) — the standard quality prior for
+ranking code training data (a repo imported by thousands of others is
+worth more epochs than a leaf).
+
+Reference scope note: the reference library (CuckooFilter4J) has no
+graph surface; this module is part of the training-data pipeline
+extension surface (SURVEY §2 extensions). It shares its iteration
+discipline with ``functions/cluster.py`` (per-round lineage truncation)
+and its regex discipline with ``functions/code.py`` (Java-regex ∩ RE2
+common subset so DuckDB oracles replay identical pattern strings).
+
+100 TB design:
+
+* ``extract_imports`` is pure Catalyst (``regexp_extract_all`` under a
+  per-language CASE): scan-local, zero Python; the id/lang columns are
+  projected BEFORE the explode so file content never rides through it.
+* ``module_popularity`` is one distinct + one count aggregation, both
+  with map-side partials.
+* ``pagerank`` is the cluster.py loop shape: each iteration is one
+  equi-join (edges ⨝ ranks on src) + one groupBy-sum — O(|E|) shuffled
+  rows per round, no cartesian, no windows — with per-round lineage
+  truncation (the analyzed-plan blowup found in round 4 applies to any
+  iterative DataFrame loop). The dangling-mass term is a one-row
+  aggregate collected per round (a driver scalar, not a driver loop
+  over data).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cuckoofilter4j_spark.functions.cluster import _truncate_lineage
+
+__all__ = [
+    "IMPORT_PATTERNS",
+    "extract_imports",
+    "module_popularity",
+    "pagerank",
+    "top_level_module",
+]
+
+# Per-language import-statement extractors, Java ∩ RE2 subset ((?m) inline
+# multiline, non-capturing groups, no lookaround; group 1 is the module).
+# Heuristic by design (same contract as the comment stripper): 'import a, b'
+# in python yields only 'a'; parser-grade extraction is out of scope.
+IMPORT_PATTERNS: dict[str, tuple[str, ...]] = {
+    "python": (
+        r"(?m)^\s*import\s+([A-Za-z_][\w.]*)",
+        r"(?m)^\s*from\s+([A-Za-z_][\w.]*)\s+import",
+    ),
+    "js": (
+        r"require\('([^']+)'\)",
+        r"require\(\"([^\"]+)\"\)",
+        r"(?m)from\s+'([^']+)'",
+        r"(?m)from\s+\"([^\"]+)\"",
+    ),
+    "java": (r"(?m)^\s*import\s+(?:static\s+)?([A-Za-z_][\w.]*)\s*;",),
+    "go": (r"(?m)^\s*import\s+\"([^\"]+)\"",),
+}
+# ts shares the js grammar's import forms
+IMPORT_PATTERNS["ts"] = IMPORT_PATTERNS["js"]
+
+
+def top_level_module(col) -> Column:
+    """First path segment of a module name ('a.b.c' → 'a', 'x/y' → 'x')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "[./].*$", "").alias("top_module")
+
+
+def extract_imports(
+    df: DataFrame,
+    content_col: str = "content",
+    lang_col: str = "lang",
+    id_cols: Sequence[str] = ("doc_id",),
+    languages: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """One row per distinct (id, module) import found in each file.
+
+    Output: ``id_cols + (lang, module, top_module)``. Unknown/NULL
+    languages produce no rows (safe over a mixed corpus). The module
+    arrays are built and deduplicated INSIDE the projection, then the
+    id/lang/module triple is exploded — content never transits the
+    explode.
+    """
+    langs = list(languages) if languages is not None else list(IMPORT_PATTERNS)
+    c = F.col(content_col)
+
+    def mods_for(lang: str) -> Column:
+        arrs = [
+            F.regexp_extract_all(c, F.lit(pat), F.lit(1))
+            for pat in IMPORT_PATTERNS[lang]
+        ]
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = F.concat(out, a)
+        return F.array_distinct(out)
+
+    expr = F.lit(None).cast("array<string>")
+    for lang in langs:
+        expr = F.when(F.col(lang_col) == lang, mods_for(lang)).otherwise(expr)
+
+    ids = [F.col(x) for x in id_cols]
+    narrow = df.select(*ids, F.col(lang_col).alias("lang"), expr.alias("__mods"))
+    exploded = narrow.where(
+        F.col("__mods").isNotNull() & (F.size("__mods") > 0)
+    ).select(*[c_.alias(n) for c_, n in zip(ids, id_cols)], "lang",
+             F.explode("__mods").alias("module"))
+    return exploded.select(
+        *id_cols, "lang", "module", top_level_module("module")
+    )
+
+
+def module_popularity(
+    imports: DataFrame,
+    module_col: str = "module",
+    repo_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct-importer count per module: (module, n_repos), the
+    corpus-wide "what does everyone depend on" ranking. One distinct +
+    one count aggregation, both map-side-partial."""
+    return (
+        imports.select(module_col, repo_col)
+        .distinct()
+        .groupBy(module_col)
+        .agg(F.count(F.lit(1)).alias("n_repos"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank over a simple directed graph: returns (node, rank) with
+    sum(rank) == 1 up to float error.
+
+    Semantics (the classic formulation, mirrored exactly by the unrolled
+    SQL oracle): edges are deduplicated; self-loops dropped; each round
+      rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u)/outdeg(u) + dangling/N )
+    where dangling is the total rank parked on nodes without out-edges.
+
+    Per round: one equi-join on src + one groupBy(dst) sum (O(|E|) shuffle)
+    plus a one-row dangling aggregate; ranks are lineage-truncated so the
+    analyzed plan stays O(1) across rounds.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not (0.0 < damping < 1.0):
+        raise ValueError("damping must be in (0, 1)")
+
+    e = (
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+        .where(F.col("__src") != F.col("__dst"))
+        .dropDuplicates(["__src", "__dst"])
+    )
+    e = _truncate_lineage(e)
+    nodes = _truncate_lineage(
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    deg = _truncate_lineage(
+        e.groupBy(F.col("__src").alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    d = float(damping)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        ranks = _truncate_lineage(ranks)
+        dangling = (
+            ranks.join(deg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "__src"), "__src")
+            .join(deg.withColumnRenamed("node", "__src"), "__src")
+            .select(F.col("__dst").alias("node"),
+                    (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__insum"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - d) / n)
+                + F.lit(d)
+                * (F.coalesce(F.col("__insum"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+    return ranks

@@ -1,0 +1,156 @@
+"""extract_imports / module_popularity / pagerank (functions/graph.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter4j_spark.functions import (
+    extract_imports,
+    module_popularity,
+    pagerank,
+)
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return spark.createDataFrame(
+        [
+            (1, "python", "import os\nfrom pkg.sub import thing\nimport os\n"),
+            (2, "js", "const _ = require('lodash');\nimport x from 'react';\n"),
+            (3, "java",
+             "import java.util.List;\nimport static org.junit.Assert.ok;\n"),
+            (4, "go", 'import "fmt"\n'),
+            (5, "rust", "use std::io;\n"),  # unknown lang -> no rows
+            (6, None, "import os\n"),       # NULL lang -> no rows
+            (7, "python", "x = 1\n"),       # no imports -> no rows
+        ],
+        "doc_id long, lang string, content string",
+    )
+
+
+class TestExtractImports:
+    def test_rows(self, spark, src):
+        got = {
+            (r["doc_id"], r["module"]): r["top_module"]
+            for r in extract_imports(src).collect()
+        }
+        assert got == {
+            (1, "os"): "os",                      # deduped (imported twice)
+            (1, "pkg.sub"): "pkg",
+            (2, "lodash"): "lodash",
+            (2, "react"): "react",
+            (3, "java.util.List"): "java",
+            (3, "org.junit.Assert.ok"): "org",
+            (4, "fmt"): "fmt",
+        }
+
+    def test_indented_and_double_quotes(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "python", "    import a.b\n"),
+                (2, "js", 'const x = require("dq");\nimport y from "dq2";\n'),
+            ],
+            "doc_id long, lang string, content string",
+        )
+        mods = {r["module"] for r in extract_imports(df).collect()}
+        assert mods == {"a.b", "dq", "dq2"}
+
+    def test_content_not_in_explode_input(self, spark, src):
+        """content is projected away before the explode (generate) node."""
+        plan = (
+            extract_imports(src)._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+
+        gen = re.search(r"Generate explode\(([^)]*\))", plan)
+        assert gen is not None
+        assert "content" not in gen.group(0)
+
+
+class TestModulePopularity:
+    def test_distinct_importers(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "python", "import os\nimport os\n"),
+                (2, "python", "import os\nimport re\n"),
+                (3, "python", "import re\n"),
+            ],
+            "doc_id long, lang string, content string",
+        )
+        pop = {
+            r["module"]: r["n_repos"]
+            for r in module_popularity(
+                extract_imports(df), "module", "doc_id"
+            ).collect()
+        }
+        assert pop == {"os": 2, "re": 2}
+
+
+def _py_pagerank(edges, d, n_iter):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, t in edges:
+        if s != t:
+            out.setdefault(s, set()).add(t)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dang = sum(r[v] for v in nodes if v not in out)
+        r = {
+            v: (1 - d) / n
+            + d
+            * (
+                sum(r[u] / len(out[u]) for u in nodes if u in out and v in out[u])
+                + dang / n
+            )
+            for v in nodes
+        }
+    return r
+
+
+class TestPagerank:
+    EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a"), ("c", "c")]
+
+    def test_reference_parity(self, spark):
+        E = spark.createDataFrame(self.EDGES, "src string, dst string")
+        got = {r["node"]: r["rank"] for r in
+               pagerank(E, n_iter=5, damping=0.85).collect()}
+        exp = _py_pagerank(self.EDGES, 0.85, 5)  # self-loop dropped both sides
+        assert set(got) == set(exp)
+        for v in exp:
+            assert abs(got[v] - exp[v]) < 1e-12
+
+    def test_rank_sums_to_one(self, spark):
+        E = spark.createDataFrame(self.EDGES, "src string, dst string")
+        total = pagerank(E, n_iter=4).agg(F.sum("rank")).collect()[0][0]
+        assert abs(total - 1.0) < 1e-9
+
+    def test_partition_invariance(self, spark):
+        E = spark.createDataFrame(self.EDGES, "src string, dst string")
+        a = {r["node"]: round(r["rank"], 9) for r in
+             pagerank(E, n_iter=3).collect()}
+        b = {r["node"]: round(r["rank"], 9) for r in
+             pagerank(E.repartition(7), n_iter=3).collect()}
+        assert a == b
+
+    def test_duplicate_edges_collapse(self, spark):
+        E1 = spark.createDataFrame(self.EDGES, "src string, dst string")
+        E2 = spark.createDataFrame(self.EDGES * 3, "src string, dst string")
+        a = {r["node"]: round(r["rank"], 9) for r in
+             pagerank(E1, n_iter=3).collect()}
+        b = {r["node"]: round(r["rank"], 9) for r in
+             pagerank(E2, n_iter=3).collect()}
+        assert a == b
+
+    def test_all_dangling_graph(self, spark):
+        # single edge: b is dangling; ranks still sum to 1
+        E = spark.createDataFrame([("a", "b")], "src string, dst string")
+        got = {r["node"]: r["rank"] for r in pagerank(E, n_iter=2).collect()}
+        assert abs(sum(got.values()) - 1.0) < 1e-12
+        assert got["b"] > got["a"]
+
+    def test_validation(self, spark):
+        E = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError):
+            pagerank(E, n_iter=0)
+        with pytest.raises(ValueError):
+            pagerank(E, damping=1.0)
