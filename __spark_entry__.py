@@ -2016,6 +2016,42 @@ def q_hll_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war sibling sketch (sketches/ams.py): per-lang second
+    frequency moment (self-join size) estimate. Keys doc_id%37 give a
+    per-lang multiset with real repeat structure; the estimate is a
+    deterministic function of (key multiset, seed) — counters are plain
+    sums, so it is partition-invariant bit-for-bit — and is pinned within
+    3x the single-group-mean std (sqrt(2/128)) of the exact F2, which the
+    oracle recomputes exactly as sum(count^2). Measured headroom at this
+    seed: rel err <= 0.083 vs the 0.375 envelope."""
+    from cuckoofilter4j_spark.operators import ams_estimates, build_sketch
+
+    keyed = _docs(spark, sf_dir).select(
+        "lang",
+        F.concat("lang", F.lit("-"), (F.col("doc_id") % 37).cast("string"))
+        .alias("key"),
+    )
+    sk = build_sketch(
+        keyed, "key", "ams", ["lang"], groups=8, per_group=128, seed=SEED
+    )
+    est = ams_estimates(sk, ["lang"])
+    exact = (
+        keyed.groupBy("lang", "key")
+        .count()
+        .groupBy("lang")
+        .agg(F.sum(F.col("count") * F.col("count")).alias("exact_f2"))
+    )
+    return est.join(exact, "lang").select(
+        "lang",
+        "exact_f2",
+        (
+            F.abs(F.col("f2_estimate") - F.col("exact_f2"))
+            <= 3 * F.col("std_error") * F.col("exact_f2")
+        ).alias("within_bound"),
+    )
+
+
 def q_cms_count_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sibling sketch: insert every key 3x; estimates never
     undercount and stay within true + eps*N (deterministic at this seed)."""
@@ -3068,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "bloom_might_contain": q_bloom_might_contain,
         "hll_distinct_bound": q_hll_distinct_bound,
+        "ams_f2": q_ams_f2,
         "cms_count_bound": q_cms_count_bound,
         "kll_quantile_bound": q_kll_quantile_bound,
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
@@ -4448,6 +4485,16 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": "SELECT lang, TRUE AS dedup_ok FROM (SELECT DISTINCT lang FROM documents)",
         "bloom_might_contain": "SELECT doc_id, TRUE AS might_contain FROM documents",
         "hll_distinct_bound": "SELECT lang, TRUE AS within_bound FROM (SELECT DISTINCT lang FROM documents)",
+        # exact F2 = sum of squared per-key counts; the estimate side is a
+        # deterministic hash function of the key multiset, flagged in-bound
+        "ams_f2": """
+            WITH c AS (
+              SELECT lang, lang || '-' || CAST(doc_id % 37 AS VARCHAR) AS key,
+                     count(*) AS n
+              FROM documents GROUP BY 1, 2)
+            SELECT lang, sum(n * n) AS exact_f2, TRUE AS within_bound
+            FROM c GROUP BY lang
+        """,
         "cms_count_bound": "SELECT doc_id, TRUE AS count_ok FROM documents",
         "kll_quantile_bound": "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.25), (0.5), (0.75)) t(q)",
         "tdigest_quantile_bound": "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.1), (0.5), (0.9)) t(q)",

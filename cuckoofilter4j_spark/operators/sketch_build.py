@@ -29,6 +29,7 @@ from pyspark.sql.types import (
 )
 
 from cuckoofilter4j_spark.sketches import (
+    AmsSketch,
     BloomFilter,
     CountMinSketch,
     FrequentDirections,
@@ -40,6 +41,9 @@ from cuckoofilter4j_spark.sketches import (
 )
 
 _FACTORIES = {
+    "ams": lambda params, seed: AmsSketch(
+        int(params.get("groups", 8)), int(params.get("per_group", 16)), seed
+    ),
     "bloom": lambda params, seed: BloomFilter.create(
         int(params["max_keys"]), float(params.get("fpp", 0.01)), seed
     ),
@@ -58,6 +62,7 @@ _FACTORIES = {
 }
 
 _DECODERS = {
+    "ams": AmsSketch.from_bytes,
     "bloom": BloomFilter.from_bytes,
     "hll": HyperLogLog.from_bytes,
     "cms": CountMinSketch.from_bytes,
@@ -72,7 +77,7 @@ _DECODERS = {
 def _ingest(kind: str, sk, series: pd.Series) -> None:
     if kind == "bloom":
         sk.put_batch(series)
-    elif kind in ("hll", "cms", "theta", "mg"):
+    elif kind in ("hll", "cms", "theta", "mg", "ams"):
         sk.add_batch(series)
     elif kind == "fd":  # vector column: (m, d) matrix per batch
         sk.update_batch(np.asarray(series.tolist(), dtype=np.float64))
@@ -145,7 +150,7 @@ def build_sketch(
 
     int_types = (IntegerType, LongType, ShortType)
     arrow_ok = (
-        kind_ in ("bloom", "hll", "cms", "theta")
+        kind_ in ("bloom", "hll", "cms", "theta", "ams")
         and isinstance(df.schema[key_col].dataType, BinaryType)
         and all(isinstance(df.schema[c].dataType, int_types) for c in gcols)
     )
@@ -437,6 +442,38 @@ def hll_estimates(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
             out["estimate"] = [
                 HyperLogLog.from_bytes(bytes(b)).estimate() for b in pdf["sketch"]
             ]
+            out["rows_in"] = pdf["rows_in"]
+            yield out
+
+    return sketches.mapInPandas(proj, schema)
+
+
+def ams_estimates(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Project (group cols, f2_estimate, std_error, rows_in) from built AMS
+    sketch rows. f2_estimate is the median-of-means second-moment estimate
+    (deterministic at a given seed; partition-invariant because counters
+    are plain sums)."""
+    gcols = list(group_cols)
+    from pyspark.sql.types import DoubleType
+
+    from cuckoofilter4j_spark.sketches import AmsSketch as _Ams
+
+    by_name = {f.name: f for f in sketches.schema.fields}
+    schema = StructType(
+        [StructField(c, by_name[c].dataType, True) for c in gcols]
+        + [
+            StructField("f2_estimate", DoubleType(), False),
+            StructField("std_error", DoubleType(), False),
+            StructField("rows_in", LongType(), False),
+        ]
+    )
+
+    def proj(batches):
+        for pdf in batches:
+            out = pdf[gcols].copy()
+            sks = [_Ams.from_bytes(bytes(b)) for b in pdf["sketch"]]
+            out["f2_estimate"] = [sk.estimate() for sk in sks]
+            out["std_error"] = [sk.std_error() for sk in sks]
             out["rows_in"] = pdf["rows_in"]
             yield out
 

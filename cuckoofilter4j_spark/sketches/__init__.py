@@ -3,6 +3,7 @@ Bloom ... as mergeable UDAFs"): numpy kernels sharing the cuckoo filter's
 word-matrix hashing, plus Spark builders with the partial/final (UDAF) shape.
 """
 
+from cuckoofilter4j_spark.sketches.ams import AmsSketch
 from cuckoofilter4j_spark.sketches.bloom import BloomFilter
 from cuckoofilter4j_spark.sketches.cms import CountMinSketch
 from cuckoofilter4j_spark.sketches.fd import FrequentDirections
@@ -13,6 +14,7 @@ from cuckoofilter4j_spark.sketches.tdigest import TDigest
 from cuckoofilter4j_spark.sketches.theta import ThetaSketch
 
 __all__ = [
+    "AmsSketch",
     "BloomFilter",
     "CountMinSketch",
     "FrequentDirections",

@@ -1,0 +1,183 @@
+"""Mergeable AMS "tug-of-war" sketch for the second frequency moment F2.
+
+F2 = Σ_key count(key)² is the self-join size — the quantity a query
+planner needs to cost a join on a key column and the pipeline needs to
+quantify duplication skew ("how heavy-tailed is this corpus?") without
+enumerating keys. None of the sibling sketches answer it: HLL/theta see
+only distinctness (F0), CMS point-queries single keys, MG keeps only the
+heavy tail.
+
+Alon-Matias-Szegedy (STOC'96): each estimator j keeps a signed sum
+S_j = Σ_key count(key)·s_j(key) with 4-wise-ish independent signs
+s_j(key) ∈ {−1,+1}; E[S_j²] = F2 and Var[S_j²] ≤ 2·F2². Averaging
+``per_group`` estimators divides the variance; the median of ``groups``
+group-means gives the standard (ε, δ) guarantee. Signs come from seeded
+xxh64 bits of the key (one hash word per 64 estimators, same
+key-encoding contract as every sketch in this package), so the whole
+sketch is a DETERMINISTIC function of the key multiset and the seed:
+
+  * counters are plain sums → merge = elementwise add (associative,
+    commutative) → estimates are partition/order invariant at any
+    parallelism, bit-for-bit;
+  * exact-zero property: an empty sketch estimates 0.
+
+Ingest is fully vectorized: each Arrow batch is pre-aggregated
+(value_counts), each DISTINCT key hashed once per 64-estimator word, the
+±1 sign matrix unpacked with np.unpackbits, and the counter update is
+one weighted matrix sum — no per-row Python.
+
+No counterpart in the reference (membership only); sketch-family
+extension (SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+_MAGIC = b"AMS1"
+_M64 = (1 << 64) - 1
+# distinct odd salt per hash word, golden-ratio stepped
+_SALT_STEP = 0x9E3779B97F4A7C15
+
+
+class AmsSketch:
+    """groups × per_group signed-sum counters; see module doc."""
+
+    _HDR = struct.Struct("<4sHHQq")  # magic, groups, per_group, seed, n
+
+    def __init__(self, groups: int = 8, per_group: int = 16, seed: int = 42):
+        if not (1 <= groups <= 64) or not (1 <= per_group <= 1024):
+            raise ValueError(
+                f"groups in [1,64], per_group in [1,1024]; got ({groups}, {per_group})"
+            )
+        self.groups = int(groups)
+        self.per_group = int(per_group)
+        self.seed = int(seed) & _M64
+        total = self.groups * self.per_group
+        self._n_words = (total + 63) // 64
+        self.counters = np.zeros(total, dtype=np.int64)
+        self.n = 0  # total items ingested (across merges)
+
+    # -- ingest ----------------------------------------------------------------
+    def _sign_matrix(self, keys) -> np.ndarray:
+        """(n_keys, total) ±1 int64 sign matrix from seeded xxh64 bits."""
+        from cuckoofilter4j_spark.core import encode_keys
+        from cuckoofilter4j_spark.hashing import xxh64_words
+
+        words = (
+            keys
+            if isinstance(keys, np.ndarray) and keys.ndim == 2 and keys.dtype == np.uint64
+            else encode_keys(keys)
+        )
+        total = self.groups * self.per_group
+        cols = []
+        for w in range(self._n_words):
+            h = xxh64_words(words, (self.seed + (w + 1) * _SALT_STEP) & _M64)
+            # little-endian uint64 -> 64 bits per key, bit i = estimator w*64+i
+            bits = np.unpackbits(
+                h.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            cols.append(bits)
+        bits = np.concatenate(cols, axis=1)[:, :total].astype(np.int64)
+        return 2 * bits - 1
+
+    def add_batch(self, keys) -> int:
+        """Ingest a batch (pandas Series / iterable). Pre-aggregates so each
+        distinct key in the batch is hashed once."""
+        if (
+            isinstance(keys, np.ndarray)
+            and keys.ndim == 2
+            and keys.dtype == np.uint64
+        ):
+            # pre-encoded word matrix (the Arrow fast path): dedup rows
+            uniq, w = np.unique(keys, axis=0, return_counts=True)
+            w = w.astype(np.int64)
+        elif isinstance(keys, pd.Series):
+            counts = keys.value_counts(sort=False)
+            uniq = pd.Series(counts.index)
+            w = counts.to_numpy(np.int64)
+        else:
+            lst = list(keys)
+            if not lst:
+                return 0
+            uniq_vals, w = np.unique(np.array(lst, dtype=object), return_counts=True)
+            uniq = pd.Series(uniq_vals)
+            w = w.astype(np.int64)
+        if len(uniq) == 0:
+            return 0
+        signs = self._sign_matrix(uniq)
+        self.counters += (w[:, None] * signs).sum(axis=0)
+        n = int(w.sum())
+        self.n += n
+        return n
+
+    # -- estimate --------------------------------------------------------------
+    def estimate(self) -> float:
+        """Median-of-means F2 estimate (exact 0 on an empty sketch)."""
+        sq = self.counters.astype(np.float64) ** 2
+        means = sq.reshape(self.groups, self.per_group).mean(axis=1)
+        return float(np.median(means))
+
+    def std_error(self) -> float:
+        """Relative std of ONE group mean: sqrt(2/per_group). The median of
+        `groups` means concentrates well inside this."""
+        return float(np.sqrt(2.0 / self.per_group))
+
+    # -- merge -----------------------------------------------------------------
+    def merge_in_place(self, other: "AmsSketch") -> None:
+        if not isinstance(other, AmsSketch):
+            raise TypeError("ams merge requires an AmsSketch")
+        if (self.groups, self.per_group, self.seed) != (
+            other.groups,
+            other.per_group,
+            other.seed,
+        ):
+            raise ValueError("ams merge requires identical (groups, per_group, seed)")
+        self.counters += other.counters
+        self.n += other.n
+
+    def merge(self, other: "AmsSketch") -> "AmsSketch":
+        out = self.copy()
+        out.merge_in_place(other)
+        return out
+
+    def copy(self) -> "AmsSketch":
+        out = AmsSketch(self.groups, self.per_group, self.seed)
+        out.counters = self.counters.copy()
+        out.n = self.n
+        return out
+
+    # -- serde -----------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        return (
+            self._HDR.pack(_MAGIC, self.groups, self.per_group, self.seed, self.n)
+            + self.counters.astype("<i8").tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "AmsSketch":
+        if len(data) < cls._HDR.size or data[:4] != _MAGIC:
+            raise ValueError("not an AMS1 sketch blob")
+        magic, groups, per_group, seed, n = cls._HDR.unpack_from(data)
+        out = cls(groups, per_group, seed)
+        body = np.frombuffer(data, dtype="<i8", offset=cls._HDR.size)
+        if body.size != groups * per_group:
+            raise ValueError(
+                f"ams blob counter mismatch: {body.size} != {groups * per_group}"
+            )
+        out.counters = body.astype(np.int64)
+        out.n = int(n)
+        return out
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, AmsSketch)
+            and (self.groups, self.per_group, self.seed, self.n)
+            == (other.groups, other.per_group, other.seed, other.n)
+            and bool(np.array_equal(self.counters, other.counters))
+        )
+
+    __hash__ = None

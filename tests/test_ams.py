@@ -1,0 +1,122 @@
+"""AMS tug-of-war F2 sketch (sketches/ams.py) — kernel + Spark builder."""
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cuckoofilter4j_spark.sketches import AmsSketch
+
+
+def _zipf_keys(n=20000, vocab=400, seed=0):
+    rng = np.random.default_rng(seed)
+    return [f"k{int(v) % vocab}" for v in rng.zipf(1.5, n)]
+
+
+def _f2(keys):
+    return sum(c * c for c in collections.Counter(keys).values())
+
+
+class TestKernel:
+    def test_estimate_within_published_bound(self):
+        keys = _zipf_keys()
+        sk = AmsSketch(groups=8, per_group=64, seed=42)
+        sk.add_batch(pd.Series(keys))
+        f2 = _f2(keys)
+        # median of 8 means, each with relative std sqrt(2/64)=0.177:
+        # 3 sigma of one mean is a conservative deterministic envelope
+        assert abs(sk.estimate() - f2) <= 3 * sk.std_error() * f2
+
+    def test_merge_bit_identical_to_single_shot(self):
+        keys = _zipf_keys(9000)
+        full = AmsSketch(seed=7)
+        full.add_batch(pd.Series(keys))
+        parts = [AmsSketch(seed=7) for _ in range(3)]
+        for i, p in enumerate(parts):
+            p.add_batch(pd.Series(keys[i * 3000 : (i + 1) * 3000]))
+        merged = parts[0]
+        merged.merge_in_place(parts[1])
+        merged.merge_in_place(parts[2])
+        assert merged == full  # counters are sums: bit-exact, any split
+
+    def test_batch_order_invariant(self):
+        keys = _zipf_keys(5000, seed=3)
+        a = AmsSketch(seed=1)
+        a.add_batch(pd.Series(keys))
+        b = AmsSketch(seed=1)
+        b.add_batch(pd.Series(keys[::-1]))
+        assert a == b
+
+    def test_serde_roundtrip(self):
+        sk = AmsSketch(groups=4, per_group=32, seed=9)
+        sk.add_batch(pd.Series(["a", "b", "a"]))
+        back = AmsSketch.from_bytes(sk.to_bytes())
+        assert back == sk
+        assert back.estimate() == sk.estimate()
+
+    def test_from_bytes_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            AmsSketch.from_bytes(b"garbage")
+        with pytest.raises(ValueError):
+            AmsSketch.from_bytes(AmsSketch(seed=1).to_bytes()[:-8])
+
+    def test_merge_requires_matching_config(self):
+        a, b = AmsSketch(seed=1), AmsSketch(seed=2)
+        with pytest.raises(ValueError):
+            a.merge_in_place(b)
+        with pytest.raises(ValueError):
+            AmsSketch(groups=4).merge_in_place(AmsSketch(groups=8))
+        with pytest.raises(TypeError):
+            a.merge_in_place(object())
+
+    def test_empty_sketch_estimates_zero(self):
+        assert AmsSketch().estimate() == 0.0
+        sk = AmsSketch()
+        assert sk.add_batch(pd.Series([], dtype=object)) == 0
+
+    def test_duplicates_scale_quadratically(self):
+        # F2 of k copies of one key is k^2 and the estimator is EXACT on a
+        # single-key stream (all counters are +-k, squares are k^2)
+        sk = AmsSketch(seed=5)
+        sk.add_batch(pd.Series(["same"] * 17))
+        assert sk.estimate() == 17.0 * 17.0
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            AmsSketch(groups=0)
+        with pytest.raises(ValueError):
+            AmsSketch(per_group=2048)
+
+
+class TestSpark:
+    def test_build_and_estimates_partition_invariant(self, spark):
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.operators import ams_estimates, build_sketch
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        keyed = docs.select(
+            "lang",
+            F.concat("lang", F.lit("-"), (F.col("doc_id") % 37).cast("string"))
+            .alias("key"),
+        )
+        outs = []
+        for parts in (1, 8):
+            sk = build_sketch(
+                keyed.repartition(parts), "key", "ams", ["lang"],
+                groups=8, per_group=32, seed=42,
+            )
+            est = ams_estimates(sk, ["lang"])
+            outs.append({r["lang"]: r["f2_estimate"] for r in est.collect()})
+        assert outs[0] == outs[1]  # sums: bit-exact at any parallelism
+
+        exact = {
+            r["lang"]: r["f2"]
+            for r in keyed.groupBy("lang", "key").count()
+            .groupBy("lang")
+            .agg(F.sum(F.col("count") * F.col("count")).alias("f2"))
+            .collect()
+        }
+        for lang, est_v in outs[0].items():
+            assert abs(est_v - exact[lang]) <= 3 * np.sqrt(2 / 32) * exact[lang]
