@@ -1018,6 +1018,37 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(corpus, "text", "doc_id", threshold=0.9).select("doc_id")
 
 
+def q_dedup_corpus_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention (dedup_corpus keep='best'): each exact
+    group and each duplicate cluster keeps its highest-scored member (ties
+    -> min id) instead of the min id — the 'keep the clean variant' policy.
+    Scores are integer-deterministic ((doc_id*7)%101), so the oracle
+    recomputes the exact kept set with a packed (100-score)*1e5+id ordering
+    key over the same recursive-CTE transitive closure. The fixture's
+    verbatim copies mean the winner is OFTEN the +10000 copy — a kept set
+    keep='min_id' could never produce, so the two policies are
+    distinguished by value."""
+    from cuckoofilter4j_spark.functions import dedup_corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "text").filter(F.col("doc_id") < 200)
+    corpus = (
+        d.unionByName(
+            d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        ).unionByName(
+            d.select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat("text", F.lit(" x")).alias("text"),
+            )
+        )
+    )
+    scored = corpus.withColumn(
+        "score", ((F.col("doc_id") * 7) % 101).cast("long")
+    )
+    return dedup_corpus(
+        scored, "text", "doc_id", threshold=0.9, keep="best", score_col="score"
+    ).select("doc_id")
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution (functions/cluster.py): connected
     components over a deterministic chained edge list (doc ↔ doc+10000,
@@ -3085,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dedup_substrings": q_dedup_substrings,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_corpus_best": q_dedup_corpus_best,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_star": q_dup_clusters_star,
         "dup_clusters_auto": q_dup_clusters_auto,
@@ -4377,6 +4409,51 @@ def oracle_sql() -> dict[str, str]:
         # by recursive CTE, keep each component's min id — the Spark side's
         # LSH stage only NOMINATES candidates, so both engines compute the
         # identical kept set
+        "dedup_corpus_best": """
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200
+              UNION ALL SELECT doc_id + 10000, text
+                FROM documents WHERE doc_id < 200
+              UNION ALL SELECT doc_id + 20000, text || ' x'
+                FROM documents WHERE doc_id < 200
+            ),
+            surv AS (
+              SELECT CAST(min((100 - (doc_id * 7) % 101) * 100000 + doc_id)
+                          % 100000 AS BIGINT) AS id, text
+              FROM corpus GROUP BY text
+            ),
+            shn AS (
+              SELECT id,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(text) - 4, 1) + 1),
+                       i -> text[i:i+4])) AS s
+              FROM surv
+            ),
+            shs AS (SELECT id, s, len(s) AS ns FROM shn),
+            edges AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM shs a JOIN shs b
+                ON a.id < b.id
+               AND least(a.ns, b.ns) >= 0.9 * greatest(a.ns, b.ns)
+              WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                          / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.9
+            ),
+            sym AS (SELECT ia AS src, ib AS dst FROM edges
+                    UNION SELECT ib, ia FROM edges),
+            reach AS (
+              SELECT id AS a, id AS b FROM surv
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+            ),
+            roots AS (SELECT a AS id, min(b) AS root FROM reach GROUP BY a),
+            winners AS (
+              SELECT r.root,
+                     min((100 - (s.id * 7) % 101) * 100000 + s.id) AS packed
+              FROM roots r JOIN surv s ON s.id = r.id
+              GROUP BY r.root
+            )
+            SELECT CAST(packed % 100000 AS BIGINT) AS doc_id FROM winners
+        """,
         "dedup_corpus": """
             WITH RECURSIVE corpus AS (
               SELECT doc_id, text FROM documents

@@ -633,6 +633,8 @@ def dedup_corpus(
     max_bucket_size: Optional[int] = None,
     algorithm: str = "auto",
     stats_out: Optional[dict] = None,
+    keep: str = "min_id",
+    score_col: Optional[str] = None,
 ) -> DataFrame:
     """One-call end-to-end corpus deduplication — the full training-data
     pipeline composed from this module's verified stages:
@@ -649,7 +651,16 @@ def dedup_corpus(
                               exact Jaccard decides which are duplicates
       4. connected components (auto: propagation -> star fallback) over the
          verified edges; each cluster keeps its MINIMUM id (deterministic
-         canonical pick, same rule as exact_dedup)
+         canonical pick, same rule as exact_dedup) — or, with
+         keep="best" + score_col=<numeric column>, the member with the
+         HIGHEST score (ties -> min id). Quality-aware retention is the
+         standard refinement over arbitrary-canonical dedup: when a page
+         exists in both a clean and a boilerplate-ridden variant, keep the
+         clean one. The best-pick applies at BOTH collapse points (the
+         exact stage-1 collapse and the final cluster pick), stays one
+         min_by aggregation each (no windows), and is exactly as
+         deterministic as min_id: the kept set is a pure function of
+         (texts, ids, scores).
 
     Returns the kept rows of `df` (all original columns). Pass `stats_out`
     to receive {"clusters": the persisted (id, cluster_id) DataFrame,
@@ -665,9 +676,27 @@ def dedup_corpus(
     """
     from cuckoofilter4j_spark.functions.cluster import dup_clusters
 
+    if keep not in ("min_id", "best"):
+        raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
+    if keep == "best" and score_col is None:
+        raise ValueError("keep='best' requires score_col")
     if stats_out is None:
         stats_out = {}
-    survivors = exact_dedup(df, text_col, id_col)
+
+    def best_ord():
+        # max score, ties -> min id (numeric score: negate and take min)
+        return F.struct(
+            (-F.col(score_col)).alias("__ns"), F.col(id_col).alias("__id")
+        )
+
+    if keep == "best":
+        cols = df.columns
+        agg = df.groupBy(content_sha(text_col).alias("__sha")).agg(
+            F.min_by(F.struct(*cols), best_ord()).alias("__row")
+        )
+        survivors = agg.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+    else:
+        survivors = exact_dedup(df, text_col, id_col)
     cands = minhash_dup_pairs(
         survivors,
         text_col,
@@ -691,6 +720,22 @@ def dedup_corpus(
     stats_out["edges"] = edges
     cc = dup_clusters(edges, max_iter=None, algorithm=algorithm)
     stats_out["clusters"] = cc
+    if keep == "best":
+        # winner per cluster: one min_by aggregation over (cluster, score)
+        scored = survivors.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("__score")
+        )
+        members = cc.join(scored, "id")
+        winners = members.groupBy("cluster_id").agg(
+            F.min_by(
+                F.col("id"),
+                F.struct((-F.col("__score")).alias("__ns"), F.col("id").alias("__id")),
+            ).alias("id")
+        )
+        losers = members.join(winners.select("id"), "id", "left_anti").select(
+            F.col("id").alias(id_col)
+        )
+        return survivors.join(losers, on=id_col, how="left_anti")
     dropped = cc.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )

@@ -99,3 +99,65 @@ def test_hot_bucket_cap_passthrough(spark, corpus):
     assert drops["hot_buckets"] == 0  # nothing near the cap on this fixture
     stats["clusters"].unpersist()
     stats["signatures"].unpersist()
+
+
+class TestKeepBest:
+    ROWS = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", 5),
+        (2, "the quick brown fox jumps over the lazy dog again and again", 9),
+        (3, "the quick brown fox jumps over the lazy dog again and againx", 7),
+        (10, "completely different text about distributed sketches here", 1),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, score long"
+        )
+
+    def test_best_keeps_highest_score(self, spark):
+        from cuckoofilter4j_spark.functions import dedup_corpus
+
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_corpus(
+                self._df(spark), "text", "doc_id", threshold=0.9,
+                keep="best", score_col="score",
+            ).collect()
+        )
+        # 2 beats 1 at the exact stage (same text, score 9>5) and beats the
+        # near-dup 3 at the cluster stage (9>7); 10 untouched
+        assert kept == [2, 10]
+
+    def test_min_id_unchanged(self, spark):
+        from cuckoofilter4j_spark.functions import dedup_corpus
+
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_corpus(
+                self._df(spark), "text", "doc_id", threshold=0.9
+            ).collect()
+        )
+        assert kept == [1, 10]
+
+    def test_tie_breaks_to_min_id(self, spark):
+        from cuckoofilter4j_spark.functions import dedup_corpus
+
+        df = spark.createDataFrame(
+            [(7, "same text body repeated for the tie break case", 4),
+             (3, "same text body repeated for the tie break case", 4)],
+            "doc_id long, text string, score long",
+        )
+        kept = [r["doc_id"] for r in dedup_corpus(
+            df, "text", "doc_id", keep="best", score_col="score"
+        ).collect()]
+        assert kept == [3]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from cuckoofilter4j_spark.functions import dedup_corpus
+
+        with _pytest.raises(ValueError, match="score_col"):
+            dedup_corpus(self._df(spark), "text", "doc_id", keep="best")
+        with _pytest.raises(ValueError, match="keep"):
+            dedup_corpus(self._df(spark), "text", "doc_id", keep="nope")
