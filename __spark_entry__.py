@@ -2940,6 +2940,30 @@ def _import_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entropy_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-based secret scanning (functions/pii.py scan_entropy_secrets):
+    every doc gets a planted hex credential (sha256 of its text) plus a
+    24-char low-entropy pad; the detector must keep exactly the
+    high-entropy tokens. Candidates come from one Catalyst
+    regexp_extract_all (deduped in-projection — text never transits the
+    explode); entropy is the shared vectorized kernel, pinned to 6 decimals
+    against DuckDB's entropy() aggregate over the same token set."""
+    from cuckoofilter4j_spark.functions.pii import scan_entropy_secrets
+
+    fx = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" key"),
+            F.sha2(F.col("text"), 256),
+            F.lit(" "),
+            F.lit("x" * 24),
+        ).alias("t"),
+    )
+    out = scan_entropy_secrets(fx, "t", ["doc_id"], min_entropy=3.5)
+    return out.select("doc_id", "token", F.round("entropy", 6).alias("entropy"))
+
+
 def q_code_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Import extraction (functions/graph.py extract_imports): per-language
     regexp_extract_all under one CASE, Java∩RE2 patterns, modules deduped
@@ -3095,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_checksum": q_corpus_checksum,
         "code_entropy": q_code_entropy,
         "ident_tokens": q_ident_tokens,
+        "entropy_secrets": q_entropy_secrets,
         "code_imports": q_code_imports,
         "module_popularity": q_module_popularity,
         "repo_pagerank": q_repo_pagerank,
@@ -3790,6 +3815,28 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ident_split = '' THEN 0
                         ELSE len(split(ident_split, ' ')) END AS n_tokens
             FROM s
+        """,
+        # same candidate regex + DuckDB entropy() per token; filter on the
+        # rounded value only matters within 5e-7 of 3.5 (planted tokens sit
+        # at ~3.9 hex / 0.0 pad)
+        "entropy_secrets": """
+            WITH fx AS (
+              SELECT doc_id,
+                     text || ' key' || sha256(text) || ' ' || repeat('x', 24)
+                       AS t
+              FROM documents),
+            tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(t, '[A-Za-z0-9+/=_-]{20,}', 0))
+                       AS token
+              FROM fx),
+            e AS (
+              SELECT doc_id, token, entropy(c) AS ent
+              FROM (SELECT doc_id, token, unnest(split(token, '')) AS c
+                    FROM tok)
+              GROUP BY doc_id, token)
+            SELECT doc_id, token, round(ent, 6) AS entropy
+            FROM e WHERE ent >= 3.5
         """,
         # identical Java∩RE2 pattern strings as IMPORT_PATTERNS; DISTINCT
         # mirrors the in-projection array_distinct

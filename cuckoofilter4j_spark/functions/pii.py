@@ -147,3 +147,52 @@ def scrub_corpus(
     return df.withColumn("pii_redacted", pii_any(text_col, types)).withColumn(
         text_col, redacted
     )
+
+
+# --------------------------------------------------------------------------
+# Entropy-based secret scanning (trufflehog-style)
+# --------------------------------------------------------------------------
+
+# Candidate alphabet: the hex/base64/token charset real credentials use.
+# Java ∩ RE2 subset; '-' last in the class so no escape semantics differ.
+SECRET_TOKEN_RE = "[A-Za-z0-9+/=_-]{20,}"
+
+
+def scan_entropy_secrets(
+    df: DataFrame,
+    text_col: str,
+    id_cols=("doc_id",),
+    *,
+    min_entropy: float = 3.5,
+    token_re: str = SECRET_TOKEN_RE,
+) -> DataFrame:
+    """High-entropy token detection — the complement of the regex battery:
+    pattern detectors catch KNOWN credential shapes, entropy catches the
+    unknown ones (random API keys, signed blobs) the way trufflehog's
+    entropy pass does (>= ~3 bits/char for hex, ~4.5 for base64 — the
+    default 3.5 splits hex-random from natural identifiers).
+
+    Output: one row per distinct (id, token) candidate that clears
+    ``min_entropy``: ``id_cols + (token, entropy)``.
+
+    Shape: candidate tokens come from one Catalyst ``regexp_extract_all``
+    and are deduplicated INSIDE the projection, so document text never
+    transits the explode; entropy runs the vectorized numpy kernel
+    (functions/code.py char_entropy) over the — much smaller — candidate
+    relation. Scan-local end to end: no shuffle anywhere.
+    """
+    from cuckoofilter4j_spark.functions.code import char_entropy
+
+    ids = [F.col(c) for c in id_cols]
+    cands = df.select(
+        *ids,
+        F.array_distinct(
+            F.regexp_extract_all(F.col(text_col), F.lit(token_re), F.lit(0))
+        ).alias("__toks"),
+    )
+    tok = cands.where(F.size("__toks") > 0).select(
+        *id_cols, F.explode("__toks").alias("token")
+    )
+    return tok.withColumn("entropy", char_entropy("token")).where(
+        F.col("entropy") >= F.lit(float(min_entropy))
+    )

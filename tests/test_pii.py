@@ -155,3 +155,43 @@ def test_slack_and_jwt_detectors(spark):
     assert rows[1]["n_jwt"] == 1 and rows[1]["red"].endswith("<JWT>")
     assert rows[2]["n_slack_token"] == 0 and rows[2]["n_jwt"] == 0
     assert rows[3]["n_slack_token"] == 1  # xoxp-1-a too short; xoxa- matches
+
+
+class TestEntropySecrets:
+    def test_detects_random_not_padding(self, spark):
+        from cuckoofilter4j_spark.functions.pii import scan_entropy_secrets
+
+        df = spark.createDataFrame(
+            [
+                (1, "k 9f86d081884c7d659a2feaa0c55ad015a3bf4f1b2b0b822cd15d6c15b0f00a08 ."),
+                (2, "pad xxxxxxxxxxxxxxxxxxxxxxxxxxxx only"),
+                (3, "short words"),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = scan_entropy_secrets(df, "text").collect()
+        assert {r["doc_id"] for r in out} == {1}
+        assert out[0]["entropy"] >= 3.5
+
+    def test_dedup_within_doc(self, spark):
+        from cuckoofilter4j_spark.functions.pii import scan_entropy_secrets
+
+        tok = "9f86d081884c7d659a2feaa0c55ad015"
+        df = spark.createDataFrame(
+            [(1, f"{tok} again {tok}")], "doc_id long, text string"
+        )
+        assert scan_entropy_secrets(df, "text").count() == 1
+
+    def test_plan_no_text_in_explode(self, spark):
+        from cuckoofilter4j_spark.functions.pii import scan_entropy_secrets
+
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        plan = (
+            scan_entropy_secrets(df, "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+
+        gen = re.search(r"Generate explode\([^)]*\)", plan)
+        assert gen and "text" not in gen.group(0)
