@@ -2940,6 +2940,17 @@ def _import_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (functions/profile.py): per-column null /
+    distinct / range audit of the documents table as ONE aggregation
+    (exact mode — Spark plans the multi-column count DISTINCT via one
+    Expand). Every stat engine-exact vs per-column DuckDB aggregates;
+    min/max cast to string under binary collation in both engines."""
+    from cuckoofilter4j_spark.functions.profile import profile_table
+
+    return profile_table(_docs(spark, sf_dir), exact=True)
+
+
 def q_entropy_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropy-based secret scanning (functions/pii.py scan_entropy_secrets):
     every doc gets a planted hex credential (sha256 of its text) plus a
@@ -3119,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_checksum": q_corpus_checksum,
         "code_entropy": q_code_entropy,
         "ident_tokens": q_ident_tokens,
+        "table_profile": q_table_profile,
         "entropy_secrets": q_entropy_secrets,
         "code_imports": q_code_imports,
         "module_popularity": q_module_popularity,
@@ -3819,6 +3831,47 @@ def oracle_sql() -> dict[str, str]:
         # same candidate regex + DuckDB entropy() per token; filter on the
         # rounded value only matters within 5e-7 of 3.5 (planted tokens sit
         # at ~3.9 hex / 0.0 pad)
+        "table_profile": """
+            SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+                   count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_str,
+                   CAST(max(doc_id) AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'text' AS "column", 'string' AS dtype,
+                   count(*) AS n_rows,
+                   count(*) - count(text) AS n_nulls,
+                   count(DISTINCT text) AS n_distinct,
+                   CAST(min(text) AS VARCHAR) AS min_str,
+                   CAST(max(text) AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'lang' AS "column", 'string' AS dtype,
+                   count(*) AS n_rows,
+                   count(*) - count(lang) AS n_nulls,
+                   count(DISTINCT lang) AS n_distinct,
+                   CAST(min(lang) AS VARCHAR) AS min_str,
+                   CAST(max(lang) AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'source' AS "column", 'string' AS dtype,
+                   count(*) AS n_rows,
+                   count(*) - count(source) AS n_nulls,
+                   count(DISTINCT source) AS n_distinct,
+                   CAST(min(source) AS VARCHAR) AS min_str,
+                   CAST(max(source) AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars' AS "column", 'bigint' AS dtype,
+                   count(*) AS n_rows,
+                   count(*) - count(n_chars) AS n_nulls,
+                   count(DISTINCT n_chars) AS n_distinct,
+                   CAST(min(n_chars) AS VARCHAR) AS min_str,
+                   CAST(max(n_chars) AS VARCHAR) AS max_str
+            FROM documents
+        """,
         "entropy_secrets": """
             WITH fx AS (
               SELECT doc_id,

@@ -1,0 +1,74 @@
+"""One-pass table profiling: per-column null / distinct / range audit.
+
+The standard data-quality gate between pipeline stages ("did the rewrite
+null out a column? did cardinality collapse?") as ONE aggregation over
+the table — not one job per column.
+
+Output: one row per profiled column —
+  (column, dtype, n_rows, n_nulls, n_distinct, min_str, max_str)
+
+``exact=False`` (default) uses approx_count_distinct (HLL, scan-local
+partials — the 100 TB mode); ``exact=True`` uses count(DISTINCT col),
+which Spark plans via one Expand over the profiled columns (rows × cols
+intermediate — affordable for audits, exact for oracles). min/max are
+cast to string so one schema fits every column type; NULL for all-null
+columns.
+
+Reference scope note: no counterpart in the reference (membership only);
+pipeline extension surface (SURVEY §2 extensions). Composes with
+corpus_checksum (functions/versioning.py): checksum says WHETHER two
+tables differ, the profile says WHERE.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["profile_table"]
+
+
+def profile_table(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    *,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-column profile of ``df`` as one aggregation; see module doc."""
+    names = list(cols) if cols is not None else list(df.columns)
+    dtypes = dict(df.dtypes)
+    missing = [c for c in names if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in names:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"__nn_{c}"))
+        aggs.append(
+            (
+                F.count_distinct(col)
+                if exact
+                else F.approx_count_distinct(col)
+            ).alias(f"__nd_{c}")
+        )
+        aggs.append(F.min(col).cast("string").alias(f"__mn_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"__mx_{c}"))
+    one = df.agg(*aggs)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.col("__n_rows").alias("n_rows"),
+                (F.col("__n_rows") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_str"),
+                F.col(f"__mx_{c}").alias("max_str"),
+            )
+            for c in names
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

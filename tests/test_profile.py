@@ -1,0 +1,46 @@
+"""profile_table (functions/profile.py)."""
+
+import pytest
+
+from cuckoofilter4j_spark.functions.profile import profile_table
+
+
+class TestProfile:
+    def test_exact_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, "x"), (None, None), (2, "y")], "a long, b string"
+        )
+        p = {r["column"]: r for r in profile_table(df, exact=True).collect()}
+        assert p["a"]["n_rows"] == 4 and p["a"]["n_nulls"] == 1
+        assert p["a"]["n_distinct"] == 2
+        assert (p["a"]["min_str"], p["a"]["max_str"]) == ("1", "2")
+        assert p["b"]["n_nulls"] == 2 and p["b"]["n_distinct"] == 2
+        assert p["b"]["dtype"] == "string"
+
+    def test_all_null_column(self, spark):
+        df = spark.createDataFrame([(1, None), (2, None)], "a long, b string")
+        p = {r["column"]: r for r in profile_table(df, exact=True).collect()}
+        assert p["b"]["n_nulls"] == 2 and p["b"]["n_distinct"] == 0
+        assert p["b"]["min_str"] is None and p["b"]["max_str"] is None
+
+    def test_approx_mode_close(self, spark):
+        df = spark.range(5000).selectExpr("id", "CAST(id % 321 AS STRING) AS s")
+        p = {r["column"]: r for r in profile_table(df).collect()}
+        assert abs(p["s"]["n_distinct"] - 321) <= 0.1 * 321
+        assert p["id"]["n_rows"] == 5000
+
+    def test_column_subset_and_validation(self, spark):
+        df = spark.createDataFrame([(1, "x")], "a long, b string")
+        assert profile_table(df, ["b"], exact=True).count() == 1
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            profile_table(df, ["nope"])
+
+    def test_single_aggregation_plan(self, spark):
+        """exact=False profiles N columns in ONE scan-local aggregate: the
+        plan has exactly one Exchange (partial -> final agg) and no Expand."""
+        df = spark.createDataFrame([(1, "x")], "a long, b string")
+        plan = (
+            profile_table(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") <= 1
+        assert "Expand" not in plan
