@@ -665,6 +665,75 @@ def pipeline_ops_bench(spark, reps: int = 2) -> dict:
     return {"docs": n_docs, "vectors": n_vec, "timings_sec": timings}
 
 
+def audit_ops_bench(spark, reps: int = 2) -> dict:
+    """Non-headline section: wall times of the audit/graph additions at
+    SF_DIR — order-invariant corpus checksum, one-pass table profile
+    (approx mode: one scan-local aggregate), snapshot diff, entropy-secret
+    scan, and 3-round PageRank over a synthetic dependency graph. Separate
+    from the headline suite so round-over-round headline totals stay
+    comparable; same best-of-interleaved-reps drift defense."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.functions import (
+        corpus_checksum,
+        corpus_diff,
+        pagerank,
+        profile_table,
+    )
+    from cuckoofilter4j_spark.functions.pii import scan_entropy_secrets
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    n_docs = docs.count()
+    d = F.col("doc_id")
+    old = docs.select("doc_id", "text")
+    new = old.filter(d % 10 != 0).unionByName(
+        old.filter(d % 10 == 2).select(
+            (d + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("new:"), F.col("text")).alias("text"),
+        )
+    )
+    edges = docs.select(
+        (d % 997).alias("src"), ((d * d + 3) % 1999).alias("dst")
+    )
+
+    def b_checksum(_):
+        _materialize(
+            corpus_checksum(docs, ["doc_id", "text"], group_cols=["lang"])
+        )
+
+    def b_profile(_):
+        _materialize(profile_table(docs))
+
+    def b_diff(_):
+        _materialize(corpus_diff(old, new, ["doc_id"], "text"))
+
+    def b_secrets(_):
+        _materialize(scan_entropy_secrets(docs, "text", ["doc_id"]))
+
+    def b_pagerank(_):
+        _materialize(pagerank(edges, n_iter=3))
+
+    qs = {
+        "corpus_checksum": b_checksum,
+        "table_profile": b_profile,
+        "corpus_diff": b_diff,
+        "entropy_secrets": b_secrets,
+        "pagerank_3iter": b_pagerank,
+    }
+    timings: dict = {}
+    try:
+        for _rep in range(max(1, reps)):
+            for name, fn in qs.items():
+                t0 = time.perf_counter()
+                fn(spark)
+                dt = round(time.perf_counter() - t0, 3)
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
+    finally:
+        docs.unpersist()
+    return {"docs": n_docs, "timings_sec": timings}
+
+
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--insert-throughput":
         cores, rows = int(sys.argv[2]), int(sys.argv[3])
@@ -683,6 +752,7 @@ def main():
     state = headline_queries(spark)
     event_ops = event_ops_bench(spark)
     pipeline_ops = pipeline_ops_bench(spark)
+    audit_ops = audit_ops_bench(spark)
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         ensure_staged(spark, SCALE_ROWS)  # stage at full width, not in a child
         if SCALE_METHOD == "bucketed":
@@ -706,6 +776,7 @@ def main():
         },
         "event_ops": event_ops,
         "pipeline_ops": pipeline_ops,
+        "audit_ops": audit_ops,
     }
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
