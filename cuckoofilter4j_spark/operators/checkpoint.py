@@ -117,7 +117,7 @@ def checkpointed_sketch_build(
     **params,
 ) -> DataFrame:
     """Resumable build for ANY sketch kind in the family (bloom / hll /
-    cms / kll / tdigest / theta / mg) — the same unit-hash + anti-join
+    cms / kll / tdigest / theta / mg / ams / fd) — the same unit-hash + anti-join
     resume protocol as the cuckoo `checkpointed_build`, generalized over
     `operators.build_sketch`.
 
@@ -125,7 +125,7 @@ def checkpointed_sketch_build(
     stamp) append to parquet as soon as they are built; re-running after a
     crash recomputes only units missing from the checkpoint. For the
     order-invariant kinds (bloom OR, hll register-max, cms cell-sum, theta
-    k-min) the final merged sketch is BYTE-IDENTICAL to a direct
+    k-min, ams counter-sum) the final merged sketch is BYTE-IDENTICAL to a direct
     single-shot build; for the order-sensitive kinds (kll / tdigest / mg)
     any retained duplicate of a unit is a valid partial and the published
     error bounds hold regardless of which copy survives (their per-unit

@@ -121,3 +121,32 @@ def test_duplicate_unit_rows_dedupe(spark, docs):
 def test_unknown_kind_rejected(spark, docs):
     with pytest.raises(ValueError, match="kind"):
         checkpointed_sketch_build(docs, "/tmp/x", "text", "nope", num_units=2)
+
+
+def test_ams_resume_byte_identical_to_direct(spark, docs):
+    """AMS counters are plain sums (order/split invariant), so a
+    lose-two-units resume must merge back BYTE-identical to a single-shot
+    build — the same guarantee class as hll/bloom/cms/theta."""
+    keyed = docs.select("lang", sha256_key("text").alias("key"))
+    ckpt = tempfile.mkdtemp(prefix="skckpt_ams_")
+    dirs = [ckpt]
+    try:
+        checkpointed_sketch_build(
+            keyed, ckpt, "key", "ams", ["lang"], num_units=8,
+            groups=8, per_group=32,
+        ).count()
+        ckpt2 = _lose_units(spark, ckpt, [1, 6])
+        dirs.append(ckpt2)
+        resumed = checkpointed_sketch_build(
+            keyed, ckpt2, "key", "ams", ["lang"], num_units=8,
+            groups=8, per_group=32,
+        )
+        direct = build_sketch(
+            keyed, "key", "ams", ["lang"], groups=8, per_group=32
+        )
+        res = {r["lang"]: bytes(r["sketch"]) for r in resumed.collect()}
+        dir_ = {r["lang"]: bytes(r["sketch"]) for r in direct.collect()}
+        assert res == dir_
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
