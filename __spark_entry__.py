@@ -2940,6 +2940,52 @@ def _import_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ckf_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FPP-aware exact anti join (operators/join.py pruned_anti_join):
+    probe-negative rows (definitely absent — zero false negatives) bypass
+    the join; only the probe-positive sliver (members + fpp impostors) is
+    verified by a real left_anti join. Result row-identical to the plain
+    anti join — the 'subtract a blacklist' shape where the shuffle moves
+    ~(s+fpp) of the big side."""
+    from cuckoofilter4j_spark.operators import (
+        build_filter_sharded,
+        pruned_anti_join,
+    )
+
+    docs = _docs(spark, sf_dir)
+    small = docs.filter(F.col("doc_id") % 3 == 0).select(
+        sha256_key("text").alias("key")
+    )
+    big = docs.select("doc_id", sha256_key("text").alias("key"))
+    sk = build_filter_sharded(
+        small, "key", num_shards=8, max_keys=2048, fpp=FPP, seed=SEED
+    )
+    out = pruned_anti_join(big, small, "key", sk, "key", num_shards=8)
+    return out.select("doc_id")
+
+
+def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against an already-kept corpus: the cuckoo
+    filter built over the OLD corpus's content keys routes the NEW
+    snapshot through pruned_anti_join (unchanged content drops without
+    joining; only probe-positives verify), then exact_dedup collapses the
+    increment internally. This is the filter doing the job the north star
+    describes — membership at corpus scale gating a pipeline stage."""
+    from cuckoofilter4j_spark.operators import (
+        build_filter_sharded,
+        pruned_anti_join,
+    )
+
+    old, new = _version_snapshots(spark, sf_dir)
+    old_k = old.select(sha256_key("text").alias("key"))
+    sk = build_filter_sharded(
+        old_k, "key", num_shards=8, max_keys=2048, fpp=FPP, seed=SEED
+    )
+    new_k = new.select("doc_id", "text", sha256_key("text").alias("key"))
+    inc = pruned_anti_join(new_k, old_k, "key", sk, "key", num_shards=8)
+    return exact_dedup(inc, "text", "doc_id").select("doc_id")
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profiler (functions/profile.py): per-column null /
     distinct / range audit of the documents table as ONE aggregation
@@ -3130,6 +3176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_checksum": q_corpus_checksum,
         "code_entropy": q_code_entropy,
         "ident_tokens": q_ident_tokens,
+        "ckf_anti_join": q_ckf_anti_join,
+        "dedup_increment": q_dedup_increment,
         "table_profile": q_table_profile,
         "entropy_secrets": q_entropy_secrets,
         "code_imports": q_code_imports,
@@ -3831,6 +3879,28 @@ def oracle_sql() -> dict[str, str]:
         # same candidate regex + DuckDB entropy() per token; filter on the
         # rounded value only matters within 5e-7 of 3.5 (planted tokens sit
         # at ~3.9 hex / 0.0 pad)
+        # exact anti-join result: all docs whose content key is not among
+        # the doc_id%3==0 subset (texts are distinct at this sf)
+        "ckf_anti_join": """
+            SELECT doc_id FROM documents
+            WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)
+        """,
+        "dedup_increment": """
+            WITH new_t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END
+                       AS text
+              FROM documents WHERE doc_id % 10 <> 0
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, 'new:' || text AS text
+              FROM documents WHERE doc_id % 10 = 2
+            ),
+            inc AS (
+              SELECT doc_id, text FROM new_t
+              WHERE text NOT IN (SELECT text FROM documents)
+            )
+            SELECT min(doc_id) AS doc_id FROM inc GROUP BY text
+        """,
         "table_profile": """
             SELECT 'doc_id' AS "column", 'bigint' AS dtype,
                    count(*) AS n_rows,

@@ -97,3 +97,53 @@ def pruned_join(
         big, sketches, key_col, group_cols, sharded=sharded, num_shards=num_shards
     )
     return survivors.join(small, on, how)
+
+
+def pruned_anti_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Union[str, Sequence[str]],
+    sketches,
+    key_col: str = "key",
+    sharded: bool = True,
+    group_cols: Optional[Sequence[str]] = None,
+    num_shards: Optional[int] = None,
+) -> DataFrame:
+    """EXACT left-anti join with the real join reduced to the filter's
+    probe-POSITIVE sliver.
+
+    The naive pruning that `pruned_join` rejects for anti joins ("drop
+    probe-negatives, then anti-join") is wrong — probe-negatives are
+    exactly the anti join's result rows. The correct composition splits
+    on the probe instead:
+
+        probe-negative rows  → DEFINITELY not in `small` (zero false
+                               negatives) → emitted directly, no join
+        probe-positive rows  → MAYBE in `small` (members + fpp impostors)
+                               → verified by a real left_anti join
+
+    Result is row-identical to ``big.join(small, on, 'left_anti')``. With
+    match selectivity s and false-positive rate fpp, the anti join's
+    shuffle moves ~(s + fpp) of the big side instead of all of it — the
+    "subtract a 10^9-key blacklist from a 10^12-row corpus" shape (and the
+    exact-phase of incremental dedup: new content minus already-kept
+    content). Cost note: `big` is scanned twice (once per branch of the
+    split); at scale that is the cheap half of the trade against shuffling
+    the entire big side into the anti join.
+    """
+    if sharded and group_cols:
+        raise ValueError(
+            "group_cols is incompatible with sharded=True (shard-hash "
+            "routing); pass sharded=False for per-group sketches"
+        )
+    if sharded:
+        probed = might_contain_sharded(
+            big, sketches, key_col, result_col=_PRUNE_COL, num_shards=num_shards
+        )
+    else:
+        probed = might_contain(
+            big, sketches, key_col, group_cols, result_col=_PRUNE_COL
+        )
+    negatives = probed.filter(~F.col(_PRUNE_COL)).drop(_PRUNE_COL)
+    positives = probed.filter(F.col(_PRUNE_COL)).drop(_PRUNE_COL)
+    return negatives.unionByName(positives.join(small, on, "left_anti"))

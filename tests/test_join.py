@@ -96,3 +96,68 @@ def test_pruned_join_rejects_outer_and_anti(spark):
         pruned_join(big, small, F.col("l_orderkey") == F.col("o_orderkey"), {}, "key", how="left_anti")
     with pytest.raises(ValueError, match="anti"):
         pruned_join(big, small, F.col("l_orderkey") == F.col("o_orderkey"), {}, "key", how="left")
+
+
+class TestPrunedAntiJoin:
+    def _fixture(self, spark):
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.operators import (
+            build_filter_sharded,
+            sha256_key,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        small = docs.filter(F.col("doc_id") % 4 == 0).select(
+            sha256_key("text").alias("key")
+        )
+        big = docs.select("doc_id", sha256_key("text").alias("key"))
+        sk = build_filter_sharded(
+            small, "key", num_shards=4, max_keys=2048, fpp=0.01, seed=42
+        )
+        return big, small, sk
+
+    def test_row_identical_to_plain_anti(self, spark):
+        from cuckoofilter4j_spark.operators import pruned_anti_join
+
+        big, small, sk = self._fixture(spark)
+        got = sorted(
+            r["doc_id"]
+            for r in pruned_anti_join(
+                big, small, "key", sk, "key", num_shards=4
+            ).collect()
+        )
+        exp = sorted(
+            r["doc_id"] for r in big.join(small, "key", "left_anti").collect()
+        )
+        assert got == exp and len(got) > 0
+
+    def test_empty_small_side_keeps_everything(self, spark):
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.operators import (
+            build_filter_sharded,
+            pruned_anti_join,
+            sha256_key,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        big = docs.select("doc_id", sha256_key("text").alias("key"))
+        empty = big.filter(F.lit(False)).select("key")
+        sk = build_filter_sharded(
+            empty, "key", num_shards=4, max_keys=64, fpp=0.01, seed=42
+        )
+        n = pruned_anti_join(big, empty, "key", sk, "key", num_shards=4).count()
+        assert n == big.count()
+
+    def test_grouped_requires_unsharded(self, spark):
+        import pytest as _pytest
+
+        from cuckoofilter4j_spark.operators import pruned_anti_join
+
+        big, small, sk = self._fixture(spark)
+        with _pytest.raises(ValueError, match="group_cols"):
+            pruned_anti_join(
+                big, small, "key", sk, "key",
+                sharded=True, group_cols=["lang"],
+            )
