@@ -1800,6 +1800,22 @@ def q_tumbling_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned 2h/30min sliding rollup per event_type
+    (functions/events.py sliding_rollup): every event lands in exactly
+    window/slide = 4 overlapping windows (Spark plans one Expand then the
+    same map-side-partial hash aggregation as tumbling). The oracle
+    enumerates the identical window starts per event with generate_series
+    over integer micros — counts and micro-unit sums engine-exact."""
+    from cuckoofilter4j_spark.functions.events import sliding_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sliding_rollup(
+        ev, ts_col="ts", window_seconds=7200, slide_seconds=1800,
+        group_cols=["event_type"], value_col="value",
+    )
+
+
 def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window rollup: the events table is replayed as a
     3-file stream (maxFilesPerTrigger=1, availableNow) through the
@@ -3135,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "asof_join_events": q_asof_join_events,
         "tumbling_rollup_events": q_tumbling_rollup_events,
+        "sliding_rollup_events": q_sliding_rollup_events,
         "stream_window_rollup": q_stream_window_rollup,
         "stream_sessionize": q_stream_sessionize,
         "zorder_key": q_zorder_key,
@@ -3638,6 +3655,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # epoch-aligned 1-day windows: floor(epoch_us/day)*day mirrors
         # F.window's start arithmetic exactly (integer micros)
+        # every event's 4 overlapping window starts enumerated with
+        # generate_series over integer micros (start = slide multiples in
+        # (t-W, t]); same micro-unit integer sum discipline as tumbling
+        "sliding_rollup_events": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(round(value * 1000000) AS BIGINT) AS vmic,
+                     (epoch_us(ts) // 1800000000) * 1800 AS top_s
+              FROM events
+            ),
+            x AS (
+              SELECT event_type, vmic,
+                     unnest(generate_series(top_s - 7200 + 1800, top_s, 1800))
+                       AS window_start_s
+              FROM e
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(vmic) AS BIGINT) AS value_micro,
+                   CAST(window_start_s AS BIGINT) AS window_start_s
+            FROM x GROUP BY event_type, window_start_s
+        """,
         "tumbling_rollup_events": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_events,

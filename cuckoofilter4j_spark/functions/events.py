@@ -306,3 +306,51 @@ def tumbling_rollup(
         )
         .drop("window")
     )
+
+
+def sliding_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_seconds: int = 86400,
+    slide_seconds: int = 3600,
+    group_cols: Sequence[str] = (),
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Epoch-aligned sliding-window rollup: every event is counted into the
+    window/slide overlapping windows containing it (Spark's
+    ``window(ts, W, S)`` — one Expand of window/slide rows per event, then
+    the same hash aggregation with map-side partials as the tumbling form).
+
+    Emits ``window_start_s`` (BIGINT unix seconds — window starts are the
+    epoch-aligned slide multiples in ``(t - W, t]``, identical to the SQL
+    ``range(ceil((t-W)/S)*S .. floor(t/S)*S step S)``, so an oracle
+    reproduces every row exactly), ``n_events`` and the optional
+    micro-unit ``value_micro`` sum (order-invariant integer accumulation).
+
+    ``window_seconds`` must be a multiple of ``slide_seconds`` (the only
+    shape where every window is epoch-aligned — same contract as Spark).
+    """
+    w, s = int(window_seconds), int(slide_seconds)
+    if w <= 0 or s <= 0 or w % s != 0:
+        raise ValueError(
+            f"window_seconds must be a positive multiple of slide_seconds, "
+            f"got ({window_seconds}, {slide_seconds})"
+        )
+    win = F.window(F.col(ts_col), f"{w} seconds", f"{s} seconds")
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 1_000_000).cast("bigint")).alias(
+                "value_micro"
+            )
+        )
+    micros = _micros_fn(df, ts_col)
+    return (
+        df.groupBy(win.alias("window"), *group_cols)
+        .agg(*aggs)
+        .withColumn(
+            "window_start_s",
+            (micros(F.col("window.start")) / F.lit(1_000_000)).cast("bigint"),
+        )
+        .drop("window")
+    )

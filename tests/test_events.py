@@ -406,3 +406,72 @@ def test_streaming_session_window(spark, tmp_path):
         for r in session_stats(df, gap_seconds=3600, order_cols=["event_id"]).collect()
     )
     assert got == want
+
+
+class TestSlidingRollup:
+    def test_reference_parity(self, spark):
+        """Every event lands in exactly W/S windows; counts/sums match a
+        python enumeration of epoch-aligned slide multiples in (t-W, t]."""
+        import collections
+        import datetime as dt
+
+        from cuckoofilter4j_spark.functions.events import sliding_rollup
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 0, 15, 0), 2.5),
+            (2, dt.datetime(2024, 1, 1, 0, 45, 0), 1.0),
+            (3, dt.datetime(2024, 1, 1, 1, 59, 59), -0.5),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        out = {
+            r["window_start_s"]: (r["n_events"], r["value_micro"])
+            for r in sliding_rollup(
+                df, "ts", window_seconds=3600, slide_seconds=900,
+                value_col="value",
+            ).collect()
+        }
+        exp_n = collections.Counter()
+        exp_v = collections.Counter()
+        for _, ts, v in rows:
+            t = int(ts.timestamp())
+            top = (t // 900) * 900
+            for start in range(top - 3600 + 900, top + 1, 900):
+                exp_n[start] += 1
+                exp_v[start] += round(v * 1_000_000)
+        assert out == {k: (exp_n[k], exp_v[k]) for k in exp_n}
+        # each event contributes to exactly W/S = 4 windows
+        assert sum(n for n, _ in out.values()) == 4 * len(rows)
+
+    def test_validation(self, spark):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from cuckoofilter4j_spark.functions.events import sliding_rollup
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 1.0)],
+            "event_id long, ts timestamp, value double",
+        )
+        with _pytest.raises(ValueError, match="multiple"):
+            sliding_rollup(df, "ts", window_seconds=100, slide_seconds=33)
+
+    def test_tumbling_degenerate(self, spark):
+        """slide == window reduces exactly to the tumbling rollup."""
+        from cuckoofilter4j_spark.functions.events import (
+            sliding_rollup,
+            tumbling_rollup,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = {
+            (r["event_type"], r["window_start_s"]): r["n_events"]
+            for r in sliding_rollup(
+                ev, "ts", 3600, 3600, ["event_type"]
+            ).collect()
+        }
+        b = {
+            (r["event_type"], r["window_start_s"]): r["n_events"]
+            for r in tumbling_rollup(ev, "ts", 3600, ["event_type"]).collect()
+        }
+        assert a == b
