@@ -2836,6 +2836,21 @@ def _version_snapshots(spark: SparkSession, sf_dir: str):
     return old, new.unionByName(added)
 
 
+def q_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic uniform sample (sampling.py bottom_k_sample):
+    the k=100 rows with the smallest sha256 draw — the KMV/bottom-k
+    construction, partitioning-independent and engine-reproducible (the
+    oracle is literally ORDER BY draw LIMIT k). Plans as
+    TakeOrderedAndProject: per-task bottom-k, no global sort (pinned in
+    pytest)."""
+    from cuckoofilter4j_spark.functions.sampling import bottom_k_sample
+
+    return bottom_k_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"), ["doc_id"], 100,
+        salt="gate",
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (functions/versioning.py corpus_diff): every logical
     doc_id classified added/removed/modified/unchanged by the 60-bit sha256
@@ -3189,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_fork_pairs": q_repo_fork_pairs,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
+        "bottom_k_sample": q_bottom_k_sample,
         "corpus_diff": q_corpus_diff,
         "corpus_checksum": q_corpus_checksum,
         "code_entropy": q_code_entropy,
@@ -3825,6 +3841,10 @@ def oracle_sql() -> dict[str, str]:
         # the identical digest arithmetic replayed in DuckDB: sha256 over the
         # null-tagged unit-separated framing, first 15 hex chars as a 60-bit
         # int — statuses and digests are engine-exact, not statistical
+        "bottom_k_sample": f"""
+            SELECT doc_id, lang FROM documents
+            ORDER BY {_HSH} LIMIT 100
+        """,
         "corpus_diff": """
             WITH old_t AS (SELECT doc_id, text FROM documents),
             new_t AS (

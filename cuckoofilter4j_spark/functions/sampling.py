@@ -281,3 +281,34 @@ def select_by_budget(
         .filter(F.col(cum_col) <= F.lit(budget))
         .drop("__pid")
     )
+
+
+def bottom_k_sample(
+    df: DataFrame,
+    cols: Sequence[Union[str, Column]],
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-k deterministic uniform sample: the k rows with the smallest
+    sha256 draw over ``cols`` (ties impossible up to hash collision).
+
+    The fixed-size complement of ``hash_sample``'s fixed-rate draw — the
+    KMV/bottom-k construction (the same sample frame the theta sketch
+    retains), so two tables sampled with the same cols/salt yield
+    COMPARABLE samples: their overlap estimates Jaccard. Deterministic,
+    partitioning-independent, engine-reproducible: the oracle is literally
+    ``ORDER BY draw LIMIT k``.
+
+    Scale shape: Spark plans order-by-limit as TakeOrderedAndProject —
+    each task keeps its local bottom-k and only k rows per task reach the
+    driver-side final heap; no global sort, no full shuffle.
+    """
+    if k <= 0:
+        return df.filter(F.lit(False))
+    draw = sample_hash_hex(cols, salt)
+    return (
+        df.withColumn("__draw", draw)
+        .orderBy("__draw")
+        .limit(int(k))
+        .drop("__draw")
+    )

@@ -142,3 +142,46 @@ def test_mix_corpora_plan_is_scan_local(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestBottomKSample:
+    def test_exactly_k_and_partition_invariant(self, spark):
+        from cuckoofilter4j_spark.functions.sampling import bottom_k_sample
+
+        df = spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS s")
+        a = sorted(r["id"] for r in bottom_k_sample(df, ["s"], 50).collect())
+        b = sorted(
+            r["id"]
+            for r in bottom_k_sample(df.repartition(13), ["s"], 50).collect()
+        )
+        assert a == b and len(a) == 50
+
+    def test_comparable_samples_overlap(self, spark):
+        """Bottom-k draws from two overlapping tables are comparable: the
+        shared rows draw identical hashes, so the overlap of the samples
+        reflects the overlap of the tables."""
+        from cuckoofilter4j_spark.functions.sampling import bottom_k_sample
+
+        df = spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS s")
+        sub = df.filter("id < 800")
+        a = {r["id"] for r in bottom_k_sample(df, ["s"], 100).collect()}
+        b = {r["id"] for r in bottom_k_sample(sub, ["s"], 100).collect()}
+        # every sampled sub-row below df's k-th draw must be in df's sample
+        assert len(a & b) >= 60  # ~80% expected overlap
+
+    def test_k_zero_and_oversized(self, spark):
+        from cuckoofilter4j_spark.functions.sampling import bottom_k_sample
+
+        df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s")
+        assert bottom_k_sample(df, ["s"], 0).count() == 0
+        assert bottom_k_sample(df, ["s"], 99).count() == 10
+
+    def test_plan_take_ordered(self, spark):
+        from cuckoofilter4j_spark.functions.sampling import bottom_k_sample
+
+        df = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS s")
+        plan = (
+            bottom_k_sample(df, ["s"], 5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
