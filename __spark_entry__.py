@@ -1816,6 +1816,32 @@ def q_sliding_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (functions/events.py interval_join): every
+    100th event opens a 45-minute half-open interval; all events are the
+    points. The bucketized rewrite (intervals explode to covered buckets,
+    points equi-join on THEIR bucket, exact filter after — each matching
+    pair meets in exactly one bucket, no dedup) replaces the cartesian a
+    naive inequality join plans. Per-interval counts and micro-unit sums
+    engine-exact vs DuckDB's plain inequality join."""
+    from cuckoofilter4j_spark.functions.events import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select("ts", "value")
+    ivs = ev.filter(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("s"),
+        F.expr("ts + INTERVAL 45 MINUTES").alias("e"),
+    )
+    j = interval_join(pts, ivs, "ts", "s", "e", bucket_seconds=1800)
+    return j.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+            "value_micro"
+        ),
+    )
+
+
 def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window rollup: the events table is replayed as a
     3-file stream (maxFilesPerTrigger=1, availableNow) through the
@@ -3167,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "tumbling_rollup_events": q_tumbling_rollup_events,
         "sliding_rollup_events": q_sliding_rollup_events,
+        "interval_join_events": q_interval_join_events,
         "stream_window_rollup": q_stream_window_rollup,
         "stream_sessionize": q_stream_sessionize,
         "zorder_key": q_zorder_key,
@@ -3692,6 +3719,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vmic) AS BIGINT) AS value_micro,
                    CAST(window_start_s AS BIGINT) AS window_start_s
             FROM x GROUP BY event_type, window_start_s
+        """,
+        # plain inequality join: the semantics the bucketized rewrite must
+        # reproduce exactly
+        "interval_join_events": """
+            WITH iv AS (
+              SELECT event_id AS interval_id, epoch_us(ts) AS s_us,
+                     epoch_us(ts) + 2700000000 AS e_us
+              FROM events WHERE event_id % 100 = 0
+            ),
+            p AS (
+              SELECT epoch_us(ts) AS t_us,
+                     CAST(round(value * 1000000) AS BIGINT) AS vmic
+              FROM events
+            )
+            SELECT interval_id,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(sum(vmic) AS BIGINT) AS value_micro
+            FROM iv JOIN p ON t_us >= s_us AND t_us < e_us
+            GROUP BY interval_id
         """,
         "tumbling_rollup_events": """
             SELECT event_type,

@@ -354,3 +354,65 @@ def sliding_rollup(
         )
         .drop("window")
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (start <= t < end, half-open) WITHOUT the
+    cartesian a naive inequality join plans.
+
+    The bucketized range-join rewrite (the same strategy engines with a
+    native range join — e.g. the Databricks range-join hint — apply):
+    each interval explodes to the time buckets it covers, each point maps
+    to ITS bucket, and the join becomes an equi-join on bucket followed by
+    the exact inequality filter. Every matching (point, interval) pair
+    meets in EXACTLY one bucket — the point's — so no post-join dedup is
+    needed. Shuffle is O(points + Σ interval_len/bucket) rows on the
+    bucket key instead of a cartesian; pick ``bucket_seconds`` near the
+    typical interval length (long intervals cost len/bucket exploded rows,
+    short buckets cost join fan-in).
+
+    Both timestamp columns may be TIMESTAMP or TIMESTAMP_NTZ (each side is
+    converted to integer epoch micros independently — no cross-side
+    coercion). Output: all columns of ``points`` then of ``intervals``
+    (names must be disjoint); empty (end <= start) intervals match
+    nothing. All arithmetic integer micros — engine-exact.
+    """
+    b_us = int(bucket_seconds) * 1_000_000
+    if b_us <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"points/intervals column names must be disjoint: {overlap}")
+
+    t = micros_col(points, ts_col)
+    s = micros_col(intervals, start_col)
+    e = micros_col(intervals, end_col)
+
+    p = points.withColumn("__t_us", t).withColumn(
+        "__bkt", F.floor(F.col("__t_us") / b_us)
+    )
+    iv = (
+        intervals.withColumn("__s_us", s)
+        .withColumn("__e_us", e)
+        .where(F.col("__e_us") > F.col("__s_us"))
+        .withColumn(
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__s_us") / b_us),
+                    F.floor((F.col("__e_us") - 1) / b_us),
+                )
+            ),
+        )
+    )
+    joined = p.join(iv, "__bkt").where(
+        (F.col("__t_us") >= F.col("__s_us")) & (F.col("__t_us") < F.col("__e_us"))
+    )
+    return joined.select(*points.columns, *intervals.columns)

@@ -475,3 +475,88 @@ class TestSlidingRollup:
             for r in tumbling_rollup(ev, "ts", 3600, ["event_type"]).collect()
         }
         assert a == b
+
+
+class TestIntervalJoin:
+    def test_exact_pairs_and_bucket_crossing(self, spark):
+        import datetime as dt
+
+        from cuckoofilter4j_spark.functions.events import interval_join
+
+        pts = spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1, 0, i, 0)) for i in range(60)],
+            "pid long, ts timestamp",
+        )
+        ivs = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 0, 10), dt.datetime(2024, 1, 1, 0, 20)),
+                (2, dt.datetime(2024, 1, 1, 0, 15), dt.datetime(2024, 1, 1, 0, 15)),
+                (3, dt.datetime(2024, 1, 1, 0, 55), dt.datetime(2024, 1, 1, 1, 5)),
+            ],
+            "iid long, s timestamp, e timestamp",
+        )
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in interval_join(pts, ivs, "ts", "s", "e", 600).collect()
+        )
+        exp = sorted([(p, 1) for p in range(10, 20)] + [(p, 3) for p in range(55, 60)])
+        assert got == exp  # half-open, empty interval matches nothing,
+        # bucket-crossing interval pairs appear exactly once
+
+    def test_matches_naive_inequality_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.functions.events import interval_join
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        pts = ev.select("event_id", "ts")
+        ivs = ev.filter(F.col("event_id") % 50 == 0).select(
+            F.col("event_id").alias("iid"),
+            F.col("ts").alias("s"),
+            F.expr("ts + INTERVAL 40 MINUTES").alias("e"),
+        )
+        fast = sorted(
+            (r["event_id"], r["iid"])
+            for r in interval_join(pts, ivs, "ts", "s", "e", 900).collect()
+        )
+        naive = sorted(
+            (r["event_id"], r["iid"])
+            for r in pts.join(
+                ivs, (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
+            ).collect()
+        )
+        assert fast == naive and len(fast) > 0
+
+    def test_no_cartesian_in_plan(self, spark):
+        import datetime as dt
+
+        from cuckoofilter4j_spark.functions.events import interval_join
+
+        pts = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1))], "pid long, ts timestamp"
+        )
+        ivs = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+            "iid long, s timestamp, e timestamp",
+        )
+        plan = (
+            interval_join(pts, ivs, "ts", "s", "e", 3600)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+    def test_validation(self, spark):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from cuckoofilter4j_spark.functions.events import interval_join
+
+        pts = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1))], "pid long, ts timestamp"
+        )
+        with _pytest.raises(ValueError, match="disjoint"):
+            interval_join(pts, pts, "ts", "ts", "ts")
+        ivs = pts.selectExpr("pid AS iid", "ts AS s", "ts AS e")
+        with _pytest.raises(ValueError, match="bucket_seconds"):
+            interval_join(pts, ivs, "ts", "s", "e", 0)
