@@ -480,6 +480,60 @@ def ams_estimates(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
     return sketches.mapInPandas(proj, schema)
 
 
+def ams_inner_products(
+    sketches_a: DataFrame,
+    sketches_b: DataFrame,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group JOIN-SIZE estimates from two AMS sketch tables built with
+    the same (groups, per_group, seed): E[S_a·S_b] = Σ_key
+    count_a(key)·count_b(key) — the output cardinality of ``A JOIN B ON
+    key`` from two tiny mergeable summaries, the number a planner wants
+    before committing to the shuffle.
+
+    Output: (group cols, join_size_estimate, f2_a, f2_b, rows_a, rows_b).
+    One inner equi-join of the (small) sketch relations + a scan-local
+    projection; estimates deterministic at a given seed."""
+    gcols = list(group_cols)
+    from pyspark.sql.types import DoubleType
+
+    from cuckoofilter4j_spark.sketches import AmsSketch as _Ams
+    from cuckoofilter4j_spark.sketches.ams import inner_product as _ip
+
+    a = sketches_a.select(
+        *gcols, F.col("sketch").alias("__sk_a"), F.col("rows_in").alias("rows_a")
+    )
+    b = sketches_b.select(
+        *gcols, F.col("sketch").alias("__sk_b"), F.col("rows_in").alias("rows_b")
+    )
+    j = a.join(b, gcols)
+    by_name = {f.name: f for f in j.schema.fields}
+    schema = StructType(
+        [StructField(c, by_name[c].dataType, True) for c in gcols]
+        + [
+            StructField("join_size_estimate", DoubleType(), False),
+            StructField("f2_a", DoubleType(), False),
+            StructField("f2_b", DoubleType(), False),
+            StructField("rows_a", LongType(), False),
+            StructField("rows_b", LongType(), False),
+        ]
+    )
+
+    def proj(batches):
+        for pdf in batches:
+            out = pdf[gcols].copy()
+            ska = [_Ams.from_bytes(bytes(x)) for x in pdf["__sk_a"]]
+            skb = [_Ams.from_bytes(bytes(x)) for x in pdf["__sk_b"]]
+            out["join_size_estimate"] = [_ip(x, y) for x, y in zip(ska, skb)]
+            out["f2_a"] = [x.estimate() for x in ska]
+            out["f2_b"] = [y.estimate() for y in skb]
+            out["rows_a"] = pdf["rows_a"]
+            out["rows_b"] = pdf["rows_b"]
+            yield out
+
+    return j.mapInPandas(proj, schema)
+
+
 def kll_quantiles(
     sketches: DataFrame, group_cols: Sequence[str], qs: Sequence[float]
 ) -> DataFrame:

@@ -181,3 +181,31 @@ class AmsSketch:
         )
 
     __hash__ = None
+
+
+def _check_pair(a: "AmsSketch", b: "AmsSketch") -> None:
+    if not isinstance(a, AmsSketch) or not isinstance(b, AmsSketch):
+        raise TypeError("ams inner product requires two AmsSketch instances")
+    if (a.groups, a.per_group, a.seed) != (b.groups, b.per_group, b.seed):
+        raise ValueError(
+            "ams inner product requires identical (groups, per_group, seed)"
+        )
+
+
+def inner_product(a: "AmsSketch", b: "AmsSketch") -> float:
+    """Median-of-means estimate of the JOIN SIZE between the two key
+    multisets: E[S_a[j]·S_b[j]] = Σ_key count_a(key)·count_b(key) (AMS
+    STOC'96 §3 — the same sign vectors make the cross terms vanish in
+    expectation). One group-mean's std is ≈ sqrt(2/per_group) ·
+    sqrt(F2(a)·F2(b)).
+
+    This is what a planner wants before committing to a shuffle: the
+    output cardinality of ``A JOIN B ON key`` from two O(groups ×
+    per_group × 8)-byte summaries, mergeable across partitions.
+    Deterministic given (key multisets, seed) — same invariance class as
+    ``estimate()``.
+    """
+    _check_pair(a, b)
+    prod = a.counters.astype(np.float64) * b.counters.astype(np.float64)
+    means = prod.reshape(a.groups, a.per_group).mean(axis=1)
+    return float(np.median(means))

@@ -120,3 +120,48 @@ class TestSpark:
         }
         for lang, est_v in outs[0].items():
             assert abs(est_v - exact[lang]) <= 3 * np.sqrt(2 / 32) * exact[lang]
+
+
+class TestInnerProduct:
+    def test_join_size_estimate(self):
+        import collections
+
+        from cuckoofilter4j_spark.sketches.ams import inner_product
+
+        A = _zipf_keys(15000, 300, seed=1)
+        B = _zipf_keys(8000, 300, seed=2)
+        ca, cb = collections.Counter(A), collections.Counter(B)
+        true = sum(ca[k] * cb.get(k, 0) for k in ca)
+        f2a = sum(v * v for v in ca.values())
+        f2b = sum(v * v for v in cb.values())
+        sa = AmsSketch(8, 128, seed=42)
+        sa.add_batch(pd.Series(A))
+        sb = AmsSketch(8, 128, seed=42)
+        sb.add_batch(pd.Series(B))
+        est = inner_product(sa, sb)
+        assert abs(est - true) <= 3 * np.sqrt(2 / 128) * np.sqrt(f2a * f2b)
+
+    def test_disjoint_keys_estimate_near_zero(self):
+        from cuckoofilter4j_spark.sketches.ams import inner_product
+
+        sa = AmsSketch(8, 128, seed=3)
+        sa.add_batch(pd.Series([f"a{i}" for i in range(500)]))
+        sb = AmsSketch(8, 128, seed=3)
+        sb.add_batch(pd.Series([f"b{i}" for i in range(500)]))
+        # true inner product 0; envelope 3*sqrt(2/128)*sqrt(500*500) = 187
+        assert abs(inner_product(sa, sb)) <= 187
+
+    def test_self_inner_product_is_f2_estimate(self):
+        from cuckoofilter4j_spark.sketches.ams import inner_product
+
+        sk = AmsSketch(8, 64, seed=5)
+        sk.add_batch(pd.Series(_zipf_keys(4000, 100, seed=4)))
+        assert inner_product(sk, sk) == sk.estimate()
+
+    def test_config_mismatch_rejected(self):
+        from cuckoofilter4j_spark.sketches.ams import inner_product
+
+        with pytest.raises(ValueError):
+            inner_product(AmsSketch(seed=1), AmsSketch(seed=2))
+        with pytest.raises(TypeError):
+            inner_product(AmsSketch(), object())
