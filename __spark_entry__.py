@@ -1842,6 +1842,54 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING rollup (streaming/windows.py windowed_rollup with
+    slide_seconds): the events table replayed as a 3-file stream through
+    the same 2h/30min sliding windows as the batch gate; the final
+    complete-mode memory-sink table must equal the batch sliding_rollup
+    value-for-value (shared oracle)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from cuckoofilter4j_spark.streaming.windows import windowed_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="ckf_ssr_")
+    try:
+        for i in range(3):
+            (ev.filter(F.col("event_id") % 3 == i)
+               .coalesce(1).write.parquet(f"{base}/src/f={i}"))
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src/f=*")
+        )
+        agg = windowed_rollup(
+            stream, ts_col="ts", window_seconds=7200,
+            group_cols=["event_type"], value_col="value",
+            slide_seconds=1800,
+        )
+        name = f"ssr_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window rollup: the events table is replayed as a
     3-file stream (maxFilesPerTrigger=1, availableNow) through the
@@ -3247,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rollup_events": q_sliding_rollup_events,
         "interval_join_events": q_interval_join_events,
         "stream_window_rollup": q_stream_window_rollup,
+        "stream_sliding_rollup": q_stream_sliding_rollup,
         "stream_sessionize": q_stream_sessionize,
         "zorder_key": q_zorder_key,
         "chunk_documents": q_chunk_documents,
@@ -3755,6 +3804,25 @@ def oracle_sql() -> dict[str, str]:
         # generate_series over integer micros (start = slide multiples in
         # (t-W, t]); same micro-unit integer sum discipline as tumbling
         "sliding_rollup_events": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(round(value * 1000000) AS BIGINT) AS vmic,
+                     (epoch_us(ts) // 1800000000) * 1800 AS top_s
+              FROM events
+            ),
+            x AS (
+              SELECT event_type, vmic,
+                     unnest(generate_series(top_s - 7200 + 1800, top_s, 1800))
+                       AS window_start_s
+              FROM e
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(vmic) AS BIGINT) AS value_micro,
+                   CAST(window_start_s AS BIGINT) AS window_start_s
+            FROM x GROUP BY event_type, window_start_s
+        """,
+        "stream_sliding_rollup": """
             WITH e AS (
               SELECT event_type,
                      CAST(round(value * 1000000) AS BIGINT) AS vmic,

@@ -44,18 +44,36 @@ def windowed_rollup(
     group_cols: Sequence[str] = (),
     value_col: Optional[str] = None,
     watermark_delay_seconds: Optional[int] = None,
+    slide_seconds: Optional[int] = None,
 ) -> DataFrame:
     """Streaming tumbling-window rollup; same columns as the batch
     ``tumbling_rollup`` (``window_start_s``, ``n_events``[, ``value_micro``]).
+
+    ``slide_seconds`` switches to SLIDING windows (the streaming twin of
+    ``functions.events.sliding_rollup`` — same epoch-aligned multiple-of
+    contract; state grows by the window/slide overlap factor, so the
+    watermark matters even more here).
 
     ``watermark_delay_seconds`` bounds state (and defines lateness) —
     required for ``append``-mode sinks; omit it only for ``complete``-mode
     memory-sink use.
     """
+    w = int(window_seconds)
+    if slide_seconds is not None:
+        s_ = int(slide_seconds)
+        if w <= 0 or s_ <= 0 or w % s_ != 0:
+            raise ValueError(
+                f"window_seconds must be a positive multiple of slide_seconds,"
+                f" got ({window_seconds}, {slide_seconds})"
+            )
     src = stream_df
     if watermark_delay_seconds is not None:
         src = src.withWatermark(ts_col, f"{int(watermark_delay_seconds)} seconds")
-    win = F.window(F.col(ts_col), f"{int(window_seconds)} seconds")
+    win = (
+        F.window(F.col(ts_col), f"{w} seconds", f"{int(slide_seconds)} seconds")
+        if slide_seconds is not None
+        else F.window(F.col(ts_col), f"{w} seconds")
+    )
     aggs = [F.count("*").alias("n_events")]
     if value_col is not None:
         aggs.append(

@@ -258,3 +258,16 @@ def test_broadcast_probe_composes_with_structured_streaming(spark, tmp_path):
     assert member_hits == n
     absent_hits = got.join(absent, ["lang", "key"]).filter("might_contain").count()
     assert absent_hits <= int(0.03 * n) + 1
+
+
+def test_windowed_rollup_slide_validation(spark):
+    from cuckoofilter4j_spark.streaming.windows import windowed_rollup
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("timestamp AS ts", "CAST(value AS DOUBLE) AS value")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        windowed_rollup(stream, "ts", window_seconds=100, slide_seconds=33)
