@@ -2962,6 +2962,21 @@ def _version_snapshots(spark: SparkSession, sf_dir: str):
     return old, new.unionByName(added)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sampling (sampling.py
+    weighted_bottom_k, Efraimidis-Spirakis exponential race): 100 winners
+    by key = -ln(u)/w with w = doc_id%7+1. u is bit-identical across
+    engines (52-bit hash fraction); ln differs by <= 1 ulp while the
+    measured k-th boundary gap is 1.3e-3 — the DuckDB oracle replays the
+    same race and must select the identical rows."""
+    from cuckoofilter4j_spark.functions.sampling import weighted_bottom_k
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", ((F.col("doc_id") % 7) + 1).alias("w")
+    )
+    return weighted_bottom_k(docs, ["doc_id"], "w", 100, salt="gate")
+
+
 def q_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k deterministic uniform sample (sampling.py bottom_k_sample):
     the k=100 rows with the smallest sha256 draw — the KMV/bottom-k
@@ -3332,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_fork_pairs": q_repo_fork_pairs,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
+        "weighted_sample": q_weighted_sample,
         "bottom_k_sample": q_bottom_k_sample,
         "corpus_diff": q_corpus_diff,
         "corpus_checksum": q_corpus_checksum,
@@ -4008,6 +4024,14 @@ def oracle_sql() -> dict[str, str]:
         # the identical digest arithmetic replayed in DuckDB: sha256 over the
         # null-tagged unit-separated framing, first 15 hex chars as a 60-bit
         # int — statuses and digests are engine-exact, not statistical
+        "weighted_sample": """
+            SELECT doc_id, lang, doc_id % 7 + 1 AS w FROM documents
+            ORDER BY -ln((CAST(concat('0x', substr(sha256(concat_ws(chr(31),
+                       'gate', CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT)
+                       + 0.5) / 4503599627370496.0)
+                     / CAST(doc_id % 7 + 1 AS DOUBLE)
+            LIMIT 100
+        """,
         "bottom_k_sample": f"""
             SELECT doc_id, lang FROM documents
             ORDER BY {_HSH} LIMIT 100

@@ -312,3 +312,49 @@ def bottom_k_sample(
         .limit(int(k))
         .drop("__draw")
     )
+
+
+def weighted_bottom_k(
+    df: DataFrame,
+    cols: Sequence[Union[str, Column]],
+    weight_col: Union[str, Column],
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-k deterministic WEIGHTED sample without replacement
+    (Efraimidis-Spirakis 2006, the exponential-race form): each row draws
+    u uniform from its sha256 hash and races with key = -ln(u)/w; the k
+    smallest keys win. P(row in sample) is the weighted
+    without-replacement probability — quality-score-proportional
+    subcorpus selection with all of hash_sample's guarantees
+    (deterministic, partitioning-independent, append-stable,
+    engine-reproducible).
+
+    u = (first 13 hex chars of the draw + 0.5) / 2^52 — 52 bits, exactly
+    representable, so u is BIT-identical across engines; ln differs by at
+    most 1 ulp between libms, which is ~12 orders of magnitude below any
+    realistic selection boundary gap (the DuckDB oracle replays the same
+    formula). Rows with NULL or non-positive weight are excluded (they
+    have zero selection probability). Plans as TakeOrderedAndProject —
+    per-task bottom-k, no global sort.
+    """
+    if k <= 0:
+        return df.filter(F.lit(False))
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    hx = F.substring(
+        F.sha2(F.concat_ws(SEP, F.lit(salt), *[c.cast("string") for c in cs]), 256),
+        1,
+        13,
+    )
+    u = (F.conv(hx, 16, 10).cast("long") + F.lit(0.5)) / F.lit(float(1 << 52))
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    key = -F.log(u) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__wkey", key)
+        .orderBy("__wkey")
+        .limit(int(k))
+        .drop("__wkey")
+    )

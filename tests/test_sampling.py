@@ -185,3 +185,49 @@ class TestBottomKSample:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestWeightedBottomK:
+    def test_partition_invariant_and_exactly_k(self, spark):
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.functions.sampling import weighted_bottom_k
+
+        df = spark.range(2000).select(
+            "id", ((F.col("id") % 5) + 1).alias("w")
+        )
+        a = sorted(r["id"] for r in weighted_bottom_k(df, ["id"], "w", 80).collect())
+        b = sorted(
+            r["id"]
+            for r in weighted_bottom_k(df.repartition(11), ["id"], "w", 80).collect()
+        )
+        assert a == b and len(a) == 80
+
+    def test_weight_proportional_inclusion(self, spark):
+        """Rows with 10x the weight should be sampled far more often —
+        check the aggregate rate over a single large draw."""
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.functions.sampling import weighted_bottom_k
+
+        df = spark.range(4000).select(
+            "id", F.when(F.col("id") < 2000, 10.0).otherwise(1.0).alias("w")
+        )
+        picked = weighted_bottom_k(df, ["id"], "w", 400).collect()
+        heavy = sum(1 for r in picked if r["id"] < 2000)
+        assert heavy > 300  # expected ~360 of 400 under 10:1 weights
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.functions.sampling import weighted_bottom_k
+
+        df = spark.range(100).select(
+            "id",
+            F.when(F.col("id") < 50, F.lit(None).cast("double"))
+            .when(F.col("id") < 75, -1.0)
+            .otherwise(1.0)
+            .alias("w"),
+        )
+        ids = {r["id"] for r in weighted_bottom_k(df, ["id"], "w", 1000).collect()}
+        assert ids == set(range(75, 100))
