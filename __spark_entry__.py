@@ -1816,6 +1816,29 @@ def q_sliding_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection (functions/events.py window_anomalies):
+    hourly tumbling counts per event_type, z=3 outliers against that
+    type's other windows. A planted 40x burst (events 0-39 all moved into
+    one hour via a CASE fixture) must flag while normal hours must not.
+    The z-test runs in INTEGER arithmetic — (n·c−S)² > z²·(c·Q−S²) — so
+    every flag is engine-exact, no float std."""
+    from cuckoofilter4j_spark.functions.events import window_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # plant a burst: the first 40 event_ids all land in one hour
+    burst = ev.select(
+        F.when(
+            F.col("event_id") < 40,
+            F.expr("TIMESTAMP_NTZ '2024-06-01 07:30:00'"),
+        ).otherwise(F.col("ts")).alias("ts"),
+        "event_type",
+    )
+    return window_anomalies(
+        burst, "ts", ["event_type"], window_seconds=3600, z=3
+    )
+
+
 def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join (functions/events.py interval_join): every
     100th event opens a 45-minute half-open interval; all events are the
@@ -3112,6 +3135,20 @@ def _import_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional composition report (functions/profile.py
+    corpus_cube): counts + exact n_chars sums for every subset of
+    (lang, source) in ONE pass — Spark plans grouping sets as a single
+    Expand + map-side-partial hash aggregation. grouping flags
+    disambiguate rollup NULLs; every cell engine-exact vs DuckDB's
+    GROUP BY CUBE."""
+    from cuckoofilter4j_spark.functions.profile import corpus_cube
+
+    return corpus_cube(
+        _docs(spark, sf_dir), ["lang", "source"], sum_cols=["n_chars"]
+    )
+
+
 def q_ckf_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FPP-aware exact anti join (operators/join.py pruned_anti_join):
     probe-negative rows (definitely absent — zero false negatives) bypass
@@ -3308,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "tumbling_rollup_events": q_tumbling_rollup_events,
         "sliding_rollup_events": q_sliding_rollup_events,
+        "window_anomalies": q_window_anomalies,
         "interval_join_events": q_interval_join_events,
         "stream_window_rollup": q_stream_window_rollup,
         "stream_sliding_rollup": q_stream_sliding_rollup,
@@ -3353,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_checksum": q_corpus_checksum,
         "code_entropy": q_code_entropy,
         "ident_tokens": q_ident_tokens,
+        "corpus_cube": q_corpus_cube,
         "ckf_anti_join": q_ckf_anti_join,
         "dedup_increment": q_dedup_increment,
         "table_profile": q_table_profile,
@@ -3857,6 +3896,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(window_start_s AS BIGINT) AS window_start_s
             FROM x GROUP BY event_type, window_start_s
         """,
+        # integer z-test replayed verbatim: (n*c - s)^2 > 9*(c*q - s^2)
+        "window_anomalies": """
+            WITH b AS (
+              SELECT CASE WHEN event_id < 40
+                          THEN TIMESTAMP '2024-06-01 07:30:00' ELSE ts END AS ts,
+                     event_type
+              FROM events),
+            w AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+                     count(*) AS n_events
+              FROM b GROUP BY 1, 2),
+            st AS (
+              SELECT event_type, count(*) AS c, sum(n_events) AS s,
+                     sum(n_events * n_events) AS q
+              FROM w GROUP BY 1)
+            SELECT w.event_type,
+                   CAST(window_start_s AS BIGINT) AS window_start_s,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   ((n_events * c - s) * (n_events * c - s)
+                    > 9 * (c * q - s * s)) AS is_anomaly
+            FROM w JOIN st USING (event_type)
+        """,
         # plain inequality join: the semantics the bucketized rewrite must
         # reproduce exactly
         "interval_join_events": """
@@ -4129,6 +4191,14 @@ def oracle_sql() -> dict[str, str]:
         # same candidate regex + DuckDB entropy() per token; filter on the
         # rounded value only matters within 5e-7 of 3.5 (planted tokens sit
         # at ~3.9 hex / 0.0 pad)
+        "corpus_cube": """
+            SELECT lang, source,
+                   CAST(grouping(lang) AS INT) AS grouping_lang,
+                   CAST(grouping(source) AS INT) AS grouping_source,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS sum_n_chars
+            FROM documents GROUP BY CUBE(lang, source)
+        """,
         # exact anti-join result: all docs whose content key is not among
         # the doc_id%3==0 subset (texts are distinct at this sf)
         "ckf_anti_join": """

@@ -416,3 +416,47 @@ def interval_join(
         (F.col("__t_us") >= F.col("__s_us")) & (F.col("__t_us") < F.col("__e_us"))
     )
     return joined.select(*points.columns, *intervals.columns)
+
+
+def window_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    window_seconds: int = 3600,
+    z: int = 3,
+) -> DataFrame:
+    """Flag tumbling windows whose event COUNT is a z-score outlier
+    against that key's other observed windows — the volume-anomaly pass
+    (traffic spike / dead feed) over an event stream.
+
+    The test is evaluated in INTEGER arithmetic, so it is engine-exact
+    (no float std): with per-window counts n, per-key S = Σn, Q = Σn²,
+    c = #observed windows,
+
+        |n − S/c| > z·σ   ⇔   (n·c − S)² > z²·(c·Q − S²)
+
+    (both sides multiplied by c²; σ² = (c·Q − S²)/c² is the population
+    variance). Only OBSERVED windows participate (an entirely-empty
+    window produces no row — run over a dense window spine if silence
+    must alarm). Products stay in BIGINT: safe while n < 2³¹ and
+    c·Q < 2⁶³ — far beyond any real per-key window census.
+
+    Output: key_cols + (window_start_s, n_events, is_anomaly). One
+    tumbling aggregation + one tiny per-key stats aggregation + a
+    broadcast-size join back.
+    """
+    keys = list(key_cols)
+    w = tumbling_rollup(df, ts_col, window_seconds, keys)
+    stats = w.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum("n_events").alias("__s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("__q"),
+    )
+    j = w.join(F.broadcast(stats), keys) if keys else w.crossJoin(F.broadcast(stats))
+    lhs = F.col("n_events") * F.col("__c") - F.col("__s")
+    rhs = F.lit(int(z) * int(z)) * (
+        F.col("__c") * F.col("__q") - F.col("__s") * F.col("__s")
+    )
+    return j.select(
+        *keys, "window_start_s", "n_events", (lhs * lhs > rhs).alias("is_anomaly")
+    )

@@ -72,3 +72,33 @@ def profile_table(
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def corpus_cube(
+    df: DataFrame,
+    dims: Sequence[str],
+    *,
+    count_col: str = "n_docs",
+    sum_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Multi-dimensional corpus composition report: one pass computes the
+    counts (and integer sums) for EVERY subset of ``dims`` — per (lang,
+    source), per lang, per source, and the grand total — via grouping
+    sets (``cube``), the OLAP rollup Spark plans as a single Expand +
+    hash aggregation with map-side partials (never one job per
+    dimension subset).
+
+    Output: ``dims`` (NULL on rolled-up dimensions) + per-dim
+    ``grouping_<d>`` flags (1 = rolled up — disambiguates a real NULL
+    value from a rollup row, exactly SQL's GROUPING()) + ``count_col`` +
+    ``sum_<c>`` for each of ``sum_cols`` (integer columns; sums stay
+    engine-exact).
+    """
+    ds = list(dims)
+    if not ds:
+        raise ValueError("dims must be non-empty")
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    for c in sum_cols or []:
+        aggs.append(F.sum(F.col(c)).alias(f"sum_{c}"))
+    gflags = [F.grouping(d).cast("int").alias(f"grouping_{d}") for d in ds]
+    return df.cube(*ds).agg(*gflags, *aggs)

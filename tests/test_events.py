@@ -560,3 +560,58 @@ class TestIntervalJoin:
         ivs = pts.selectExpr("pid AS iid", "ts AS s", "ts AS e")
         with _pytest.raises(ValueError, match="bucket_seconds"):
             interval_join(pts, ivs, "ts", "s", "e", 0)
+
+
+class TestWindowAnomalies:
+    def test_burst_flags_and_normals_dont(self, spark):
+        import datetime as dt
+
+        from cuckoofilter4j_spark.functions.events import window_anomalies
+
+        rows = []
+        # 10 steady hours of 5 events, one hour of 60
+        for h in range(10):
+            for i in range(5):
+                rows.append((dt.datetime(2024, 1, 1, h, i), "a"))
+        for i in range(60):
+            rows.append((dt.datetime(2024, 1, 1, 12, i % 60), "a"))
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+        out = {
+            r["window_start_s"]: r["is_anomaly"]
+            for r in window_anomalies(df, "ts", ["event_type"], 3600).collect()
+        }
+        burst = int(dt.datetime(2024, 1, 1, 12).timestamp() // 3600 * 3600)
+        assert out[burst] is True
+        assert sum(out.values()) == 1  # only the burst window flags
+
+    def test_integer_test_matches_float_zscore(self, spark):
+        import datetime as dt
+        import statistics
+
+        from cuckoofilter4j_spark.functions.events import window_anomalies
+
+        rows = [
+            (dt.datetime(2024, 1, 1, h, i), "k")
+            for h in range(8)
+            for i in range(h + 1)  # varying counts 1..8
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+        got = {
+            r["window_start_s"]: (r["n_events"], r["is_anomaly"])
+            for r in window_anomalies(df, "ts", ["event_type"], 3600, z=2).collect()
+        }
+        ns = [n for n, _ in got.values()]
+        mu = statistics.mean(ns)
+        sig = statistics.pstdev(ns)
+        for n, flag in got.values():
+            assert flag == (abs(n - mu) > 2 * sig)
+
+    def test_no_keys_global(self, spark):
+        import datetime as dt
+
+        from cuckoofilter4j_spark.functions.events import window_anomalies
+
+        rows = [(dt.datetime(2024, 1, 1, 0, i), 1.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        out = window_anomalies(df, "ts", [], 3600).collect()
+        assert len(out) == 1 and out[0]["is_anomaly"] is False
