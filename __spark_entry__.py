@@ -3206,6 +3206,66 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(_docs(spark, sf_dir), exact=True)
 
 
+def q_code_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-structure metrics (functions/code.py): declaration-site counts
+    (per-language regex heuristic), TODO/FIXME density per 100 lines, and
+    max indentation width (tabs = 4 spaces) — the StarCoder-style
+    complexity signals. Synthetic per-language fixture with
+    doc_id-parameterized def counts, debt markers, and indent runs; the
+    oracle runs the IDENTICAL pattern strings in DuckDB so every value is
+    engine-exact."""
+    from cuckoofilter4j_spark.functions.code import (
+        def_count,
+        max_indent_depth,
+        todo_density,
+    )
+
+    d = F.col("doc_id")
+    lang = (
+        F.when(d % 3 == 0, F.lit("python"))
+        .when(d % 3 == 1, F.lit("js"))
+        .otherwise(F.lit("java"))
+    )
+    content = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.repeat(F.lit("def f():\n    x = 1\n"), (d % 5 + 1).cast("int")),
+                F.when(d % 4 == 0, F.lit("# TODO later\n")).otherwise(F.lit("")),
+                F.repeat(F.lit(" "), ((d % 6) * 2).cast("int")),
+                F.lit("pass\n"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.repeat(
+                    F.lit("function f(a){ return a; }\n"), (d % 3 + 1).cast("int")
+                ),
+                F.lit("const g = (x) => x; // FIXME\n"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("public class X {\n"),
+                F.repeat(
+                    F.lit("\tpublic int m(int a) { return a; }\n"),
+                    (d % 4 + 1).cast("int"),
+                ),
+                F.lit("}\n"),
+            )
+        )
+    )
+    fx = _docs(spark, sf_dir).select("doc_id", lang.alias("lang"), content.alias("c"))
+    return fx.select(
+        "doc_id",
+        "lang",
+        def_count("c", F.col("lang")),
+        F.round(todo_density("c"), 6).alias("todo_per_100_lines"),
+        max_indent_depth("c"),
+    )
+
+
 def q_entropy_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropy-based secret scanning (functions/pii.py scan_entropy_secrets):
     every doc gets a planted hex credential (sha256 of its text) plus a
@@ -3395,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_anti_join": q_ckf_anti_join,
         "dedup_increment": q_dedup_increment,
         "table_profile": q_table_profile,
+        "code_metrics": q_code_metrics,
         "entropy_secrets": q_entropy_secrets,
         "code_imports": q_code_imports,
         "module_popularity": q_module_popularity,
@@ -4187,6 +4248,55 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ident_split = '' THEN 0
                         ELSE len(split(ident_split, ' ')) END AS n_tokens
             FROM s
+        """,
+        # identical pattern strings as _DEF_PATTERNS / TODO_RE; indent
+        # formula replayed term-for-term (tab = +3 extra over its 1 char)
+        "code_metrics": r"""
+            WITH fx AS (
+              SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'python'
+                                WHEN 1 THEN 'js' ELSE 'java' END AS lang,
+                CASE doc_id % 3
+                  WHEN 0 THEN repeat('def f():' || chr(10) || '    x = 1'
+                                     || chr(10), CAST(doc_id % 5 + 1 AS INT))
+                          || (CASE WHEN doc_id % 4 = 0
+                                   THEN '# TODO later' || chr(10) ELSE '' END)
+                          || repeat(' ', CAST((doc_id % 6) * 2 AS INT))
+                          || 'pass' || chr(10)
+                  WHEN 1 THEN repeat('function f(a){ return a; }' || chr(10),
+                                     CAST(doc_id % 3 + 1 AS INT))
+                          || 'const g = (x) => x; // FIXME' || chr(10)
+                  ELSE 'public class X {' || chr(10)
+                       || repeat(chr(9) || 'public int m(int a) { return a; }'
+                                 || chr(10), CAST(doc_id % 4 + 1 AS INT))
+                       || '}' || chr(10)
+                END AS c
+              FROM documents),
+            pats AS (
+              SELECT doc_id, lang, c,
+                CASE lang
+                  WHEN 'python' THEN len(regexp_extract_all(c,
+                    '(?m)^[ \t]*(?:(?:async[ \t]+)?def|class)[ \t]+\w+', 0))
+                  WHEN 'js' THEN len(regexp_extract_all(c,
+                    'function[ \t]+\w+|=>', 0))
+                  WHEN 'java' THEN len(regexp_extract_all(c,
+                    '(?m)^[ \t]*(?:public|protected|private|static|final|\s)*[\w<>\[\]]+\s+\w+\s*\([^;{]*\)\s*\{', 0))
+                  ELSE 0 END AS n_defs,
+                len(regexp_extract_all(c, '(?i)\b(?:todo|fixme|hack|xxx)\b', 0))
+                  AS n_marks,
+                len(regexp_split_to_array(c, '\n')) AS n_lines,
+                list_max(list_prepend(CAST(0 AS BIGINT), list_transform(
+                  regexp_split_to_array(c, '\n'),
+                  l -> length(l) - length(regexp_replace(l, '^[ \t]+', ''))
+                       + 3 * (length(regexp_extract(l, '^[ \t]+', 0))
+                              - length(regexp_replace(
+                                  regexp_extract(l, '^[ \t]+', 0),
+                                  '\t', '', 'g')))))) AS mi
+              FROM fx)
+            SELECT doc_id, lang, CAST(n_defs AS INT) AS n_defs,
+                   round(n_marks * 100.0 / n_lines, 6) AS todo_per_100_lines,
+                   CAST(mi AS INT) AS max_indent
+            FROM pats
         """,
         # same candidate regex + DuckDB entropy() per token; filter on the
         # rounded value only matters within 5e-7 of 3.5 (planted tokens sit

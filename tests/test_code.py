@@ -435,3 +435,60 @@ class TestSplitIdentifiers:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+class TestCodeMetrics:
+    def test_def_count_per_lang(self, spark):
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.functions.code import def_count
+
+        rows = [
+            (1, "python", "def a():\n    pass\nclass B:\n    async def c(self):\n        pass\n"),
+            (2, "js", "function f(x){}\nconst g = (x) => x;\n"),
+            (3, "java", "public class X {\n    public int foo(int a) {\n        return a;\n    }\n}\n"),
+            (4, "go", "func main() {\n}\nfunc (r *T) Method() {\n}\n"),
+            (5, "rust", "fn main() {}\n"),
+            (6, None, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+        got = {r["doc_id"]: r["n_defs"] for r in
+               df.select("doc_id", def_count("content", F.col("lang"))).collect()}
+        assert got == {1: 3, 2: 2, 3: 1, 4: 2, 5: 0, 6: 0}
+
+    def test_todo_density_and_indent(self, spark):
+        from cuckoofilter4j_spark.functions.code import (
+            max_indent_depth,
+            todo_density,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "# TODO x\ncode\n\tfixme: later\n        \tdeep\n"), (2, None)],
+            "doc_id long, content string",
+        )
+        rows = df.select(
+            "doc_id", todo_density("content"), max_indent_depth("content")
+        ).collect()
+        # 2 markers over 5 lines (trailing empty line counts) = 40/100
+        assert abs(rows[0]["todo_per_100_lines"] - 40.0) < 1e-9
+        # "        \t" = 8 spaces + tab(4) = 12
+        assert rows[0]["max_indent"] == 12
+        assert rows[1]["todo_per_100_lines"] is None
+        assert rows[1]["max_indent"] is None
+
+    def test_plan_no_python(self, spark):
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.functions.code import (
+            def_count,
+            max_indent_depth,
+            todo_density,
+        )
+
+        df = spark.createDataFrame([("python", "def a(): pass")], "lang string, c string")
+        plan = (
+            df.select(def_count("c", F.col("lang")), todo_density("c"),
+                      max_indent_depth("c"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
