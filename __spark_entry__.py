@@ -1865,6 +1865,48 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ttl_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (TTL) membership via generational rotation
+    (streaming/incremental.py RotatingFilterMaintainer): three
+    micro-batches (documents split by doc_id%3) drive the foreachBatch
+    contract directly with generations=2 — after batch 2 the window covers
+    batches 1-2 and batch 0's generation is dropped. Within-window keys
+    keep the zero-false-negative guarantee (all_present TRUE, exact);
+    expired keys revert to the ambient fp rate (fp_ok = members/keys <=
+    0.05, deterministic at this seed — measured 0)."""
+    import shutil
+    import tempfile
+
+    from cuckoofilter4j_spark.streaming import RotatingFilterMaintainer
+
+    docs = _docs_keyed(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="ckf_ttl_")
+    try:
+        m = RotatingFilterMaintainer(
+            store, key_col="key", max_keys=4096, generations=2,
+            rotate_every=1, seed=SEED,
+        )
+        for i in range(3):
+            m(docs.filter(F.col("doc_id") % 3 == i).select("key"), i)
+        probed = m.might_contain_window(
+            docs.select("doc_id", "key"), "key"
+        ).withColumn("epoch", (F.col("doc_id") % 3).cast("int"))
+        agg = probed.groupBy("epoch").agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("might_contain").cast("long")).alias("__members"),
+        )
+        out = agg.select(
+            "epoch",
+            "n_keys",
+            (F.col("__members") == F.col("n_keys")).alias("all_present"),
+            (F.col("__members") <= F.col("n_keys") * 0.05).alias("fp_ok"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLIDING rollup (streaming/windows.py windowed_rollup with
     slide_seconds): the events table replayed as a 3-file stream through
@@ -3409,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": q_interval_join_events,
         "stream_window_rollup": q_stream_window_rollup,
         "stream_sliding_rollup": q_stream_sliding_rollup,
+        "stream_ttl_membership": q_stream_ttl_membership,
         "stream_sessionize": q_stream_sessionize,
         "zorder_key": q_zorder_key,
         "chunk_documents": q_chunk_documents,
@@ -3937,6 +3980,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vmic) AS BIGINT) AS value_micro,
                    CAST(window_start_s AS BIGINT) AS window_start_s
             FROM x GROUP BY event_type, window_start_s
+        """,
+        "stream_ttl_membership": """
+            SELECT CAST(doc_id % 3 AS INT) AS epoch,
+                   count(*) AS n_keys,
+                   (doc_id % 3 >= 1) AS all_present,
+                   (doc_id % 3 = 0) AS fp_ok
+            FROM documents GROUP BY doc_id % 3
         """,
         "stream_sliding_rollup": """
             WITH e AS (

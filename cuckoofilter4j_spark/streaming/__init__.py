@@ -2,9 +2,15 @@
 cuckoo-filter-backed stateful dedup."""
 
 from cuckoofilter4j_spark.streaming.incremental import (
+    RotatingFilterMaintainer,
     StreamingFilterMaintainer,
     streaming_dedup,
 )
 from cuckoofilter4j_spark.streaming.windows import windowed_rollup
 
-__all__ = ["StreamingFilterMaintainer", "streaming_dedup", "windowed_rollup"]
+__all__ = [
+    "RotatingFilterMaintainer",
+    "StreamingFilterMaintainer",
+    "streaming_dedup",
+    "windowed_rollup",
+]

@@ -239,3 +239,101 @@ def streaming_dedup(
     return grouped.applyInPandasWithState(
         dedup, out_schema, state_schema, "append", timeout_conf
     )
+
+
+class RotatingFilterMaintainer(StreamingFilterMaintainer):
+    """Sliding-window (TTL) membership: per-GENERATION cuckoo sketches with
+    deterministic rotation — "have we seen this key in the last
+    ``generations × rotate_every`` micro-batch epochs?".
+
+    Each epoch inserts into generation ``epoch_id // rotate_every`` (a pure
+    function of the replayed epoch id, so restart-replays land in the same
+    generation); generations older than the newest ``generations`` are
+    dropped at promotion time. Membership within the window keeps the
+    cuckoo guarantee (zero false negatives); expired keys revert to the
+    ambient false-positive rate.
+
+    This is the scalable TTL shape: rotation frees space without retaining
+    any keys. The alternative — one filter + ``delete_keys_sharded`` of
+    each expiring epoch's key set — gives exact-boundary expiry but must
+    persist every epoch's keys for the length of the window; use that when
+    the boundary must be exact and the key spine is affordable.
+
+    Store layout: ``epoch=<n>/`` holds ALL live generations' sketch rows
+    stamped with a ``__gen`` column; ``_CURRENT`` promotion is identical to
+    the base class (per-epoch idempotent).
+    """
+
+    GEN_COL = "__gen"
+
+    def __init__(self, *args, generations: int = 3, rotate_every: int = 1, **kw):
+        super().__init__(*args, **kw)
+        if generations < 1 or rotate_every < 1:
+            raise ValueError("generations and rotate_every must be >= 1")
+        self.generations = int(generations)
+        self.rotate_every = int(rotate_every)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        out_dir = os.path.join(self.store_dir, f"epoch={epoch_id}")
+        spark = batch_df.sparkSession
+        if self._read_current_epoch(spark) >= epoch_id:
+            return  # replayed epoch after restart: already promoted
+        gen = int(epoch_id) // self.rotate_every
+        partials = build_filter(
+            batch_df.select(*self.group_cols, self.key_col),
+            key_col=self.key_col,
+            group_cols=self.group_cols,
+            max_keys=self.max_keys,
+            fpp=self.fpp,
+            seed=self.seed,
+            min_max_keys=self.min_max_keys,
+            sizing=self.sizing,
+        ).withColumn(self.GEN_COL, F.lit(gen))
+        prev = self.current(spark)
+        live = partials if prev is None else prev.unionByName(partials)
+        live = live.filter(F.col(self.GEN_COL) > gen - self.generations)
+        merged = merge_sketches(live, self.group_cols + [self.GEN_COL])
+        merged.write.mode("overwrite").parquet(out_dir)
+        from cuckoofilter4j_spark.sources.fs import replace_text
+
+        replace_text(spark, self._current_path(), str(epoch_id))
+
+    def might_contain_window(
+        self, df: DataFrame, key_col: Optional[str] = None,
+        result_col: str = "might_contain",
+    ) -> DataFrame:
+        """Probe against ALL live generations (OR of per-generation probes —
+        zero false negatives within the window). Ungrouped stores only (the
+        grouped form would route by group THEN fan over generations; compose
+        might_contain per generation for that)."""
+        from cuckoofilter4j_spark.operators.probe import might_contain
+
+        if self.group_cols:
+            raise ValueError(
+                "might_contain_window supports ungrouped stores; probe "
+                "per-generation with might_contain for grouped stores"
+            )
+        spark = df.sparkSession
+        sketches = self.current(spark)
+        if sketches is None:
+            return df.withColumn(result_col, F.lit(False))
+        gens = [r[self.GEN_COL] for r in sketches.select(self.GEN_COL).collect()]
+        out = df
+        cols = []
+        for g in sorted(gens):
+            c = f"__mc_gen_{g}"
+            out = might_contain(
+                out,
+                sketches.filter(F.col(self.GEN_COL) == g).drop(self.GEN_COL),
+                key_col or self.key_col,
+                None,
+                result_col=c,
+            )
+            cols.append(c)
+        if not cols:
+            flag = F.lit(False)
+        elif len(cols) == 1:
+            flag = F.col(cols[0])
+        else:
+            flag = F.greatest(*[F.col(c) for c in cols])
+        return out.withColumn(result_col, flag).drop(*cols)

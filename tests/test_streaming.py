@@ -271,3 +271,76 @@ def test_windowed_rollup_slide_validation(spark):
 
     with _pytest.raises(ValueError, match="multiple"):
         windowed_rollup(stream, "ts", window_seconds=100, slide_seconds=33)
+
+
+class TestRotatingFilter:
+    def test_window_semantics_and_rotation(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.streaming import RotatingFilterMaintainer
+
+        store = str(tmp_path / "rot")
+        m = RotatingFilterMaintainer(
+            store, key_col="key", max_keys=4096, generations=2,
+            rotate_every=1, seed=42,
+        )
+
+        def batch(i):
+            return spark.range(i * 100, (i + 1) * 100).select(
+                F.sha2(F.col("id").cast("string"), 256).alias("key")
+            )
+
+        for i in range(3):
+            m(batch(i), i)
+        probe = spark.range(0, 300).select(
+            "id", F.sha2(F.col("id").cast("string"), 256).alias("key")
+        )
+        mem = {r["id"]: r["might_contain"]
+               for r in m.might_contain_window(probe).collect()}
+        assert all(mem[i] for i in range(100, 300))  # zero FN in window
+        assert sum(mem[i] for i in range(100)) <= 5  # expired ~ fp rate
+        gens = sorted(
+            r["__gen"] for r in m.current(spark).select("__gen").collect()
+        )
+        assert gens == [1, 2]  # generation 0 dropped
+
+    def test_replayed_epoch_is_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.streaming import RotatingFilterMaintainer
+
+        store = str(tmp_path / "rot2")
+        m = RotatingFilterMaintainer(
+            store, key_col="key", max_keys=1024, generations=3, seed=1
+        )
+        b = spark.range(50).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("key")
+        )
+        m(b, 0)
+        before = {bytes(r["sketch"]) for r in m.current(spark).collect()}
+        m(b, 0)  # crash-replay of a promoted epoch: no-op
+        after = {bytes(r["sketch"]) for r in m.current(spark).collect()}
+        assert before == after
+
+    def test_grouped_store_probe_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from cuckoofilter4j_spark.streaming import RotatingFilterMaintainer
+
+        m = RotatingFilterMaintainer(
+            str(tmp_path / "rot3"), key_col="key", group_cols=["lang"],
+            max_keys=256,
+        )
+        df = spark.createDataFrame([("x",)], "key string")
+        with _pytest.raises(ValueError, match="ungrouped"):
+            m.might_contain_window(df)
+
+    def test_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from cuckoofilter4j_spark.streaming import RotatingFilterMaintainer
+
+        with _pytest.raises(ValueError, match="generations"):
+            RotatingFilterMaintainer(
+                str(tmp_path / "x"), key_col="key", max_keys=256, generations=0
+            )
