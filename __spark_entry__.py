@@ -3248,6 +3248,20 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(_docs(spark, sf_dir), exact=True)
 
 
+def q_text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND retrieval (functions/scoring.py boolean_search): docs
+    containing ALL of {hash, stream, vector} — the candidate-set filter
+    companion to BM25's ranking. The exploded term relation is filtered to
+    the query terms BEFORE the shuffle; AND is one distinct + one
+    count-per-doc aggregation. Engine-exact vs the identical SQL."""
+    from cuckoofilter4j_spark.functions.scoring import boolean_search
+
+    return boolean_search(
+        _docs(spark, sf_dir), "text", "doc_id",
+        ["hash", "stream", "vector"], mode="and",
+    )
+
+
 def q_code_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-structure metrics (functions/code.py): declaration-site counts
     (per-language regex heuristic), TODO/FIXME density per 100 lines, and
@@ -3498,6 +3512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ckf_anti_join": q_ckf_anti_join,
         "dedup_increment": q_dedup_increment,
         "table_profile": q_table_profile,
+        "text_boolean_search": q_text_boolean_search,
         "code_metrics": q_code_metrics,
         "entropy_secrets": q_entropy_secrets,
         "code_imports": q_code_imports,
@@ -4301,6 +4316,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # identical pattern strings as _DEF_PATTERNS / TODO_RE; indent
         # formula replayed term-for-term (tab = +3 extra over its 1 char)
+        "text_boolean_search": """
+            WITH tt AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+', 0))
+                         AS term
+                FROM documents) t
+              WHERE term IN ('hash', 'stream', 'vector'))
+            SELECT doc_id, count(*) AS n_terms_matched
+            FROM tt GROUP BY doc_id HAVING count(*) = 3
+        """,
         "code_metrics": r"""
             WITH fx AS (
               SELECT doc_id,

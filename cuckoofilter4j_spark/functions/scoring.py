@@ -330,3 +330,37 @@ def bigram_logprob(
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         "mean_logprob",
     )
+
+
+def boolean_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: Sequence[str],
+    mode: str = "and",
+) -> DataFrame:
+    """Boolean retrieval: documents containing ALL (``mode='and'``) or ANY
+    (``mode='or'``) of the query terms (same tokenizer as BM25: lowercase
+    [a-z]+ runs). The filter companion to bm25_search's ranking — the
+    candidate-set primitive for 'must contain X and Y' corpus queries.
+
+    Returns (id, n_terms_matched). Shape: the exploded relation is
+    filtered to the QUERY terms before any shuffle (the exchange carries
+    matches only, same as bm25_search); AND is then one distinct + one
+    count-per-doc aggregation testing n_distinct_terms == len(terms).
+    """
+    qs = sorted({t.lower() for t in terms})
+    if not qs:
+        raise ValueError("terms must be non-empty")
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    tt = doc_terms(df, text_col, id_col).where(F.col("term").isin(qs))
+    matched = (
+        tt.select(id_col, "term")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_terms_matched"))
+    )
+    if mode == "and":
+        matched = matched.where(F.col("n_terms_matched") == len(qs))
+    return matched

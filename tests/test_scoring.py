@@ -235,3 +235,43 @@ def test_bigram_partitioning_invariant(spark, docs):
     a = {tuple(r) for r in bigram_logprob(docs, "t", "id").collect()}
     b = {tuple(r) for r in bigram_logprob(docs.repartition(7), "t", "id").collect()}
     assert a == b
+
+
+class TestBooleanSearch:
+    def test_and_or_modes(self, spark):
+        from cuckoofilter4j_spark.functions.scoring import boolean_search
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),
+                (2, "alpha beta"),
+                (3, "beta"),
+                (4, "delta"),
+            ],
+            "doc_id long, text string",
+        )
+        both = {r["doc_id"] for r in
+                boolean_search(df, "text", "doc_id", ["alpha", "beta"]).collect()}
+        assert both == {1, 2}
+        any_ = {r["doc_id"]: r["n_terms_matched"] for r in
+                boolean_search(df, "text", "doc_id", ["alpha", "beta"],
+                               mode="or").collect()}
+        assert any_ == {1: 2, 2: 2, 3: 1}
+
+    def test_case_and_dup_terms(self, spark):
+        from cuckoofilter4j_spark.functions.scoring import boolean_search
+
+        df = spark.createDataFrame([(1, "Alpha ALPHA beta")], "doc_id long, text string")
+        got = boolean_search(df, "text", "doc_id", ["ALPHA", "alpha", "beta"]).collect()
+        assert len(got) == 1 and got[0]["n_terms_matched"] == 2  # deduped query
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from cuckoofilter4j_spark.functions.scoring import boolean_search
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="non-empty"):
+            boolean_search(df, "text", "doc_id", [])
+        with _pytest.raises(ValueError, match="mode"):
+            boolean_search(df, "text", "doc_id", ["x"], mode="not")
