@@ -931,6 +931,32 @@ def q_repo_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fork_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork-family resolution (functions/code.py fork_families): the
+    repo_fork_pairs fixture extended with a verbatim MIRROR of org0 —
+    mirror0/org0 pair at jaccard 1.0, fork0/org0 at |fork|/|org| — so the
+    family {fork0, mirror0, org0} must close transitively onto 'fork0'
+    (lexicographic min) even though fork0 and mirror0 also pair directly.
+    Oracle recomputes the exact edge set + a recursive-CTE closure."""
+    from cuckoofilter4j_spark.functions.code import fork_families
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string")).alias("repo"),
+        (F.col("doc_id") % 211).alias("k"),
+    )
+    fork = (
+        d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 3 == 0))
+        .select(F.lit("fork0").alias("repo"), (F.col("doc_id") % 211).alias("k"))
+    )
+    mirror = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(F.lit("mirror0").alias("repo"), (F.col("doc_id") % 211).alias("k"))
+    )
+    corpus = base.unionByName(fork).unionByName(mirror)
+    return fork_families(corpus, "repo", "k", threshold=0.3)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII / secret detection + redaction (functions/pii.py): every pattern
     is written in the Java-regex ∩ RE2 subset, so the DuckDB oracle applies
@@ -3500,6 +3526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_file_snapshot": q_latest_file_snapshot,
         "pii_scrub": q_pii_scrub,
         "repo_fork_pairs": q_repo_fork_pairs,
+        "fork_families": q_fork_families,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "weighted_sample": q_weighted_sample,
@@ -4184,6 +4211,39 @@ def oracle_sql() -> dict[str, str]:
         # 4-line fixture; integer-exact counts make the double divisions
         # bit-identical across engines
         "pii_scrub": _pii_sql(),
+        "fork_families": """
+            WITH RECURSIVE rk AS (
+              SELECT DISTINCT 'org' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+                     doc_id % 211 AS k FROM documents
+              UNION
+              SELECT DISTINCT 'fork0' AS repo, doc_id % 211 AS k
+              FROM documents WHERE doc_id % 7 = 0 AND doc_id % 3 = 0
+              UNION
+              SELECT DISTINCT 'mirror0' AS repo, doc_id % 211 AS k
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            sizes AS (SELECT repo, count(*) AS n FROM rk GROUP BY repo),
+            pairs AS (
+              SELECT a.repo AS ra, b.repo AS rb, count(*) AS n_common
+              FROM rk a JOIN rk b ON a.k = b.k AND a.repo < b.repo
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT ra, rb FROM pairs
+              JOIN sizes sa ON sa.repo = ra
+              JOIN sizes sb ON sb.repo = rb
+              WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.3
+            ),
+            sym AS (SELECT ra AS src, rb AS dst FROM edges
+                    UNION SELECT rb, ra FROM edges),
+            nodes AS (SELECT src AS id FROM sym),
+            reach AS (
+              SELECT id AS a, id AS b FROM nodes
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+            )
+            SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
         "repo_fork_pairs": """
             WITH rk AS (
               SELECT DISTINCT 'org' || CAST(doc_id % 7 AS VARCHAR) AS repo,

@@ -492,3 +492,21 @@ class TestCodeMetrics:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan
+
+
+class TestForkFamilies:
+    def test_transitive_family(self, spark):
+        from cuckoofilter4j_spark.functions.code import fork_families
+
+        rows = []
+        for i in range(40):
+            rows.append(("upstream", i))
+            rows.append(("mirror", i))           # identical
+            if i % 2 == 0:
+                rows.append(("fork", i))         # half of upstream
+            rows.append(("unrelated", 1000 + i))
+        df = spark.createDataFrame(rows, "repo string, k long")
+        fam = {r["id"]: r["cluster_id"]
+               for r in fork_families(df, "repo", "k", threshold=0.4).collect()}
+        assert fam == {"upstream": "fork", "mirror": "fork", "fork": "fork"}
+        assert "unrelated" not in fam  # singleton: no qualifying pair
