@@ -3217,6 +3217,18 @@ def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (functions/profile.py value_histogram):
+    n_chars over [0, 640) in 16 bins as ONE map-side-partial hash
+    aggregation, edge values clamped into the boundary bins. Explicit
+    bounds make every edge and count engine-exact."""
+    from cuckoofilter4j_spark.functions.profile import value_histogram
+
+    return value_histogram(
+        _docs(spark, sf_dir), "n_chars", bins=16, lo=0.0, hi=640.0
+    )
+
+
 def q_ckf_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FPP-aware exact anti join (operators/join.py pruned_anti_join):
     probe-negative rows (definitely absent — zero false negatives) bypass
@@ -3536,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_entropy": q_code_entropy,
         "ident_tokens": q_ident_tokens,
         "corpus_cube": q_corpus_cube,
+        "value_histogram": q_value_histogram,
         "ckf_anti_join": q_ckf_anti_join,
         "dedup_increment": q_dedup_increment,
         "table_profile": q_table_profile,
@@ -4437,6 +4450,18 @@ def oracle_sql() -> dict[str, str]:
         # same candidate regex + DuckDB entropy() per token; filter on the
         # rounded value only matters within 5e-7 of 3.5 (planted tokens sit
         # at ~3.9 hex / 0.0 pad)
+        "value_histogram": """
+            WITH h AS (
+              SELECT least(greatest(CAST(floor(
+                       (CAST(n_chars AS DOUBLE) - 0.0) / 40.0) AS INT), 0), 15)
+                       AS bin,
+                     count(*) AS n
+              FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+            SELECT bin,
+                   CAST(bin AS DOUBLE) * 40.0 AS bin_lo,
+                   CAST(bin + 1 AS DOUBLE) * 40.0 AS bin_hi, n
+            FROM h
+        """,
         "corpus_cube": """
             SELECT lang, source,
                    CAST(grouping(lang) AS INT) AS grouping_lang,

@@ -102,3 +102,54 @@ def corpus_cube(
         aggs.append(F.sum(F.col(c)).alias(f"sum_{c}"))
     gflags = [F.grouping(d).cast("int").alias(f"grouping_{d}") for d in ds]
     return df.cube(*ds).agg(*gflags, *aggs)
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int = 20,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column as ONE hash aggregation
+    (map-side partials): bin i covers [lo + i·w, lo + (i+1)·w) with
+    w = (hi − lo)/bins; values == hi land in the last bin (closed top),
+    values outside [lo, hi] are clamped into the edge bins so every
+    non-null row is counted. NULLs are excluded.
+
+    With explicit ``lo``/``hi`` the bin edges — and therefore every count
+    — are engine-exact (pure double arithmetic replayed identically by a
+    SQL oracle). Omitting them computes min/max first (one extra tiny
+    aggregate, same exactness).
+
+    Output: group_cols + (bin, bin_lo, bin_hi, n). Empty bins are absent
+    (join against a spine if dense output is needed).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    gcols = list(group_cols or [])
+    c = F.col(col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else float(lo)
+        hi = float(row["hi"]) if hi is None else float(hi)
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        raise ValueError(f"hi must exceed lo, got [{lo}, {hi}]")
+    w = (hi - lo) / bins
+    raw = F.floor((c - F.lit(lo)) / F.lit(w)).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    out = (
+        df.where(c.isNotNull())
+        .groupBy(*gcols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out.select(
+        *gcols,
+        "bin",
+        (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+        (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+        "n",
+    )

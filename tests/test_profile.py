@@ -44,3 +44,45 @@ class TestProfile:
         )
         assert plan.count("Exchange") <= 1
         assert "Expand" not in plan
+
+
+class TestValueHistogram:
+    def test_counts_and_edges(self, spark):
+        from cuckoofilter4j_spark.functions.profile import value_histogram
+
+        df = spark.createDataFrame(
+            [(v,) for v in [0.0, 5.0, 9.999, 10.0, 25.0, -3.0, 100.0, None]],
+            "v double",
+        )
+        got = {r["bin"]: (r["bin_lo"], r["bin_hi"], r["n"]) for r in
+               value_histogram(df, "v", bins=3, lo=0.0, hi=30.0).collect()}
+        # bin 0: [0,10) gets 0, 5, 9.999 plus clamped -3 -> 4
+        # bin 1: [10,20) gets 10 -> 1
+        # bin 2: [20,30) gets 25 plus clamped 100 -> 2; NULL excluded
+        assert got == {0: (0.0, 10.0, 4), 1: (10.0, 20.0, 1), 2: (20.0, 30.0, 2)}
+
+    def test_auto_bounds_and_total(self, spark):
+        from cuckoofilter4j_spark.functions.profile import value_histogram
+
+        df = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+        h = value_histogram(df, "v", bins=10)
+        rows = h.collect()
+        assert sum(r["n"] for r in rows) == 1000
+        assert min(r["bin_lo"] for r in rows) == 0.0
+        assert max(r["bin_hi"] for r in rows) == 999.0
+
+    def test_grouped_and_validation(self, spark):
+        import pytest as _pytest
+
+        from cuckoofilter4j_spark.functions.profile import value_histogram
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 1.0)], "g string, v double"
+        )
+        out = value_histogram(df, "v", bins=2, lo=0.0, hi=4.0, group_cols=["g"])
+        got = {(r["g"], r["bin"]): r["n"] for r in out.collect()}
+        assert got == {("a", 0): 1, ("a", 1): 1, ("b", 0): 1}
+        with _pytest.raises(ValueError, match="bins"):
+            value_histogram(df, "v", bins=0, lo=0, hi=1)
+        with _pytest.raises(ValueError, match="hi"):
+            value_histogram(df, "v", bins=2, lo=1.0, hi=1.0)
