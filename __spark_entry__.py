@@ -3217,6 +3217,30 @@ def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (functions/profile.py quantile_bins): 8 bins
+    over events.value from ONE KLL aggregation + one counting scan — no
+    sort, no window. Guarantees pinned per bin: count within 2·(3/k)·n of
+    n/bins (measured dev ≤ 9 vs bound 150 at this seed) and the bin counts
+    sum to the exact non-null total; boundaries monotone."""
+    from cuckoofilter4j_spark.functions.profile import quantile_bins
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bins, k = 8, 400
+    out = quantile_bins(ev, "value", bins=bins, k=k)
+    n_exact = ev.where(F.col("value").isNotNull()).count()
+    bound = 2.0 * (3.0 / k) * n_exact
+    total = out.agg(F.sum("n").alias("t")).collect()[0]["t"]
+    return out.select(
+        "bin",
+        (F.abs(F.col("n") - F.lit(n_exact / bins)) <= F.lit(bound)).alias(
+            "within_balance"
+        ),
+        F.lit(int(total) == int(n_exact)).alias("total_ok"),
+        (F.col("lo") < F.col("hi")).alias("monotone"),
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram (functions/profile.py value_histogram):
     n_chars over [0, 640) in 16 bins as ONE map-side-partial hash
@@ -3549,6 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ident_tokens": q_ident_tokens,
         "corpus_cube": q_corpus_cube,
         "value_histogram": q_value_histogram,
+        "quantile_bins": q_quantile_bins,
         "ckf_anti_join": q_ckf_anti_join,
         "dedup_increment": q_dedup_increment,
         "table_profile": q_table_profile,
@@ -4450,6 +4475,11 @@ def oracle_sql() -> dict[str, str]:
         # same candidate regex + DuckDB entropy() per token; filter on the
         # rounded value only matters within 5e-7 of 3.5 (planted tokens sit
         # at ~3.9 hex / 0.0 pad)
+        "quantile_bins": """
+            SELECT CAST(range AS INT) AS bin, TRUE AS within_balance,
+                   TRUE AS total_ok, TRUE AS monotone
+            FROM range(8)
+        """,
         "value_histogram": """
             WITH h AS (
               SELECT least(greatest(CAST(floor(

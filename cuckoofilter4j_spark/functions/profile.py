@@ -153,3 +153,54 @@ def value_histogram(
         (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
         "n",
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int = 10,
+    k: int = 400,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-DEPTH histogram — the complement of ``value_histogram``'s
+    equi-width bins: boundaries are the i/bins quantiles from ONE KLL
+    sketch aggregation (scan-local partials), then one more scan assigns
+    bins and counts. Two passes total, no sort, no window — the shape
+    that survives a 10^12-row column where exact ntile would global-sort.
+
+    Bin semantics: bin i covers [q_i, q_{i+1}) (last bin closed). Each
+    bin's count deviates from n/bins by at most ~2·(3/k)·n (two boundary
+    rank errors at the published KLL bound); NULLs excluded.
+
+    Output: (bin, lo, hi, n). Boundaries come from the sketch — the
+    oracle-checkable guarantees are the count-balance bound and the exact
+    total, not the boundary values themselves.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    from cuckoofilter4j_spark.operators.sketch_build import build_sketch
+    from cuckoofilter4j_spark.sketches import KllSketch
+
+    c = F.col(col).cast("double")
+    vals = df.where(c.isNotNull()).select(c.alias("__v"))
+    sk_df = build_sketch(vals, "__v", "kll", None, k=k, seed=seed)
+    blob = bytes(sk_df.collect()[0]["sketch"])
+    sk = KllSketch.from_bytes(blob)
+    qs = [i / bins for i in range(1, bins)]
+    bounds = sk.quantiles(qs)  # interior boundaries, ascending
+    b = F.lit(0)
+    for edge in bounds:
+        b = b + (F.col("__v") >= F.lit(float(edge))).cast("int")
+    out = vals.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+    lo_map = {0: float("-inf")}
+    hi_map = {bins - 1: float("inf")}
+    for i, edge in enumerate(bounds):
+        lo_map[i + 1] = float(edge)
+        hi_map[i] = float(edge)
+    lo_expr = F.lit(None).cast("double")
+    hi_expr = F.lit(None).cast("double")
+    for i in range(bins):
+        lo_expr = F.when(F.col("bin") == i, F.lit(lo_map.get(i))).otherwise(lo_expr)
+        hi_expr = F.when(F.col("bin") == i, F.lit(hi_map.get(i))).otherwise(hi_expr)
+    return out.select("bin", lo_expr.alias("lo"), hi_expr.alias("hi"), "n")

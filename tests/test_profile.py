@@ -86,3 +86,34 @@ class TestValueHistogram:
             value_histogram(df, "v", bins=0, lo=0, hi=1)
         with _pytest.raises(ValueError, match="hi"):
             value_histogram(df, "v", bins=2, lo=1.0, hi=1.0)
+
+
+class TestQuantileBins:
+    def test_balance_total_and_edges(self, spark):
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.functions.profile import quantile_bins
+
+        df = spark.range(10000).selectExpr("CAST(id AS DOUBLE) AS v")
+        out = sorted(quantile_bins(df, "v", bins=5, k=400).collect(),
+                     key=lambda r: r["bin"])
+        assert sum(r["n"] for r in out) == 10000
+        bound = 2 * (3 / 400) * 10000
+        for r in out:
+            assert abs(r["n"] - 2000) <= bound
+        assert out[0]["lo"] == float("-inf") and out[-1]["hi"] == float("inf")
+        for a, b in zip(out, out[1:]):
+            assert a["hi"] == b["lo"]  # contiguous boundaries
+
+    def test_nulls_excluded_and_validation(self, spark):
+        import pytest as _pytest
+
+        from cuckoofilter4j_spark.functions.profile import quantile_bins
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(100)] + [(None,)], "v double"
+        )
+        out = quantile_bins(df, "v", bins=2, k=200)
+        assert sum(r["n"] for r in out.collect()) == 100
+        with _pytest.raises(ValueError, match="bins"):
+            quantile_bins(df, "v", bins=0)
