@@ -2210,6 +2210,43 @@ def q_bloom_might_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probed.select("doc_id", "might_contain")
 
 
+def q_sketch_sql_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sibling sketches as SQL predicates (register_sketch_probe_udf): a
+    bloom filter over every key answers WHERE in_corpus(key) — zero false
+    negatives makes the member probe exact — and a CMS over keys inserted
+    3x answers seen_times(key) >= 3 for every member (never undercounts).
+    Both flags deterministic; same vectorized kernels as the DataFrame
+    probes."""
+    from cuckoofilter4j_spark.operators import (
+        build_sketch,
+        register_sketch_probe_udf,
+    )
+
+    keyed = _docs_keyed(spark, sf_dir).select("doc_id", "key")
+    blob = bytes(
+        build_sketch(keyed, "key", "bloom", None, max_keys=4096, fpp=FPP,
+                     seed=SEED).collect()[0]["sketch"]
+    )
+    tripled = keyed.select(
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("i"), "key"
+    ).select("key")
+    cblob = bytes(
+        build_sketch(tripled, "key", "cms", None, eps=0.001, delta=0.01,
+                     seed=SEED).collect()[0]["sketch"]
+    )
+    register_sketch_probe_udf(spark, "ckf_gate_bloom", blob, "bloom")
+    register_sketch_probe_udf(spark, "ckf_gate_cms", cblob, "cms")
+    keyed.createOrReplaceTempView("ckf_gate_probes")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               ckf_gate_bloom(key) AS bloom_member,
+               ckf_gate_cms(key) >= 3 AS cms_at_least_3
+        FROM ckf_gate_probes
+        """
+    )
+
+
 def q_hll_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sibling sketch: per-lang distinct-count estimate within the
     published error bound (5 sigma of 1.04/sqrt(m)) of the exact count."""
@@ -3620,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_store_recall": q_ann_ivf_store_recall,
         "emb_near_dup": q_emb_near_dup,
         "bloom_might_contain": q_bloom_might_contain,
+        "sketch_sql_probe": q_sketch_sql_probe,
         "hll_distinct_bound": q_hll_distinct_bound,
         "ams_f2": q_ams_f2,
         "ams_join_size": q_ams_join_size,
@@ -5352,6 +5390,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup": "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
         "stream_dedup": "SELECT lang, TRUE AS dedup_ok FROM (SELECT DISTINCT lang FROM documents)",
         "bloom_might_contain": "SELECT doc_id, TRUE AS might_contain FROM documents",
+        "sketch_sql_probe": "SELECT doc_id, TRUE AS bloom_member, TRUE AS cms_at_least_3 FROM documents",
         "hll_distinct_bound": "SELECT lang, TRUE AS within_bound FROM (SELECT DISTINCT lang FROM documents)",
         # exact F2 = sum of squared per-key counts; the estimate side is a
         # deterministic hash function of the key multiset, flagged in-bound

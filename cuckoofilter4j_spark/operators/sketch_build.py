@@ -783,3 +783,52 @@ def mg_heavy_hitters(
             yield pd.DataFrame(rows)[out_cols]
 
     return sketches.mapInPandas(proj, schema)
+
+
+def register_sketch_probe_udf(spark, name: str, sketch_bytes: bytes, kind: str):
+    """Register a sibling-sketch probe as a SQL-callable pandas UDF — the
+    SQL face of ``sketch_probe`` for a single (global) sketch:
+
+        register_sketch_probe_udf(spark, "in_train", blob, "bloom")
+        spark.sql("SELECT * FROM docs WHERE in_train(key)")
+        register_sketch_probe_udf(spark, "seen_times", blob, "cms")
+        spark.sql("SELECT key, seen_times(key) AS est FROM probes")
+
+    bloom → BOOLEAN mightContain (zero false negatives); cms → BIGINT
+    count estimate (never undercounts). The blob ships via broadcast and
+    each worker deserializes once (cached per UDF instance); probes are
+    the same vectorized batch kernels as the DataFrame path, so per-key
+    results are identical (pinned in tests). Per-group sketch tables must
+    use the DataFrame ``sketch_probe`` (SQL UDFs cannot route by group).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if kind not in ("bloom", "cms"):
+        raise ValueError(
+            f"kind must be 'bloom' (contains) or 'cms' (count), got {kind!r}"
+        )
+    dec = _DECODERS[kind]
+    blob = bytes(sketch_bytes)
+    bc = spark.sparkContext.broadcast(blob)
+    holder: dict = {}
+
+    def _sk():
+        if "sk" not in holder:
+            holder["sk"] = dec(bc.value)
+        return holder["sk"]
+
+    if kind == "bloom":
+
+        def _probe_pd(keys: pd.Series) -> pd.Series:
+            return pd.Series(_sk().contains_batch(keys))
+
+        probe = pandas_udf(_probe_pd, "boolean")
+    else:
+
+        def _probe_pd(keys: pd.Series) -> pd.Series:
+            return pd.Series(_sk().estimate_batch(keys).astype("int64"))
+
+        probe = pandas_udf(_probe_pd, "long")
+    spark.udf.register(name, probe)
+    return probe

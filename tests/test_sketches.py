@@ -345,3 +345,48 @@ def test_sharded_bloom_composes_from_existing_primitives(spark, docs):
     ).count()
     assert fp / max(n, 1) < 0.05
     keyed.unpersist()
+
+
+class TestSketchSqlUdf:
+    def test_bloom_and_cms_sql_parity(self, spark):
+        from pyspark.sql import functions as F
+
+        from cuckoofilter4j_spark.operators import (
+            build_sketch,
+            register_sketch_probe_udf,
+            sketch_probe,
+        )
+
+        keyed = spark.range(300).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("key")
+        )
+        blob = bytes(build_sketch(
+            keyed, "key", "bloom", None, max_keys=1024, fpp=0.01, seed=42
+        ).collect()[0]["sketch"])
+        register_sketch_probe_udf(spark, "t_bloom", blob, "bloom")
+        keyed.createOrReplaceTempView("t_probes")
+        # zero FN via SQL
+        n = spark.sql(
+            "SELECT count(*) AS n FROM t_probes WHERE t_bloom(key)"
+        ).collect()[0]["n"]
+        assert n == 300
+        # per-key parity with the DataFrame probe (incl. absent keys)
+        absent = spark.range(300, 600).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("key")
+        )
+        both = keyed.union(absent)
+        both.createOrReplaceTempView("t_probes2")
+        via_sql = {r["key"]: r["m"] for r in spark.sql(
+            "SELECT key, t_bloom(key) AS m FROM t_probes2").collect()}
+        via_df = {r["key"]: r["might_contain"] for r in sketch_probe(
+            both, {(): ("bloom", blob)}, "key", None, mode="contains"
+        ).collect()}
+        assert via_sql == via_df
+
+    def test_kind_validation(self, spark):
+        import pytest as _pytest
+
+        from cuckoofilter4j_spark.operators import register_sketch_probe_udf
+
+        with _pytest.raises(ValueError, match="kind"):
+            register_sketch_probe_udf(spark, "x", b"", "hll")
