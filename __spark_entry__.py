@@ -931,6 +931,66 @@ def q_repo_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _code_corpus_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star input table (repo, path, commit, lang, content) from
+    documents: base = doc_id%250 gives every file TWO commits at sf0.01
+    (doc_id and doc_id+250); base%7 plants xml payloads (0), long-line
+    blobs (1), and comment-only duplicate bodies (2) so every pipeline
+    stage has signal."""
+    d = F.col("doc_id")
+    base = (d % 250).cast("string")
+    lang = F.when(d % 2 == 0, F.lit("python")).otherwise(F.lit("js"))
+    comment = (
+        F.when(d % 2 == 0, F.concat(F.lit("# c"), d.cast("string"), F.lit("\n")))
+        .otherwise(F.concat(F.lit("// c"), d.cast("string"), F.lit("\n")))
+    )
+    body = (
+        F.when(d % 250 % 7 == 0, F.lit('<?xml version="1.0"?>\n<a/>\n'))
+        .when(d % 250 % 7 == 1, F.concat(*[F.lit("x" * 300)] * 5, F.lit("\n")))
+        .when(
+            (d % 250 % 7 == 2) & (d % 2 == 0),
+            F.lit("def f():\n    return 42\n"),
+        )
+        .when(
+            (d % 250 % 7 == 2) & (d % 2 == 1),
+            F.lit("function f(){ return 42; }\n"),
+        )
+        .when(
+            d % 2 == 0,
+            F.concat(F.lit("def f"), base, F.lit("():\n    return "), base, F.lit("\n")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("function f"), base, F.lit("(){ return "), base, F.lit("; }\n")
+            )
+        )
+    )
+    content = F.when(d % 250 % 7 == 0, body).otherwise(F.concat(comment, body))
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (d % 250 % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), base).alias("path"),
+        d.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def q_prepare_code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full code-corpus hygiene pipeline in one call
+    (functions/code.py prepare_code_corpus): latest-commit snapshot →
+    Stack/StarCoder quality filter → per-language comment strip → exact
+    content dedup (min (repo, path) per distinct stripped body). The
+    fixture plants stale commits, xml payloads, long-line blobs, and
+    comment-only duplicates; the oracle replays every stage — snapshot
+    via row_number over commit, the identical quality rules, the
+    identical strip patterns ('g' flag), min-per-content keep — and the
+    kept set plus the stripped text (md5) must match exactly."""
+    from cuckoofilter4j_spark.functions.code import prepare_code_corpus
+
+    out = prepare_code_corpus(_code_corpus_fixture(spark, sf_dir))
+    return out.select("repo", "path", "lang", F.md5("content").alias("content_md5"))
+
+
 def q_fork_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fork-family resolution (functions/code.py fork_families): the
     repo_fork_pairs fixture extended with a verbatim MIRROR of org0 —
@@ -3600,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repo_fork_pairs": q_repo_fork_pairs,
         "fork_families": q_fork_families,
+        "prepare_code_corpus": q_prepare_code_corpus,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "weighted_sample": q_weighted_sample,
@@ -4287,6 +4348,75 @@ def oracle_sql() -> dict[str, str]:
         # 4-line fixture; integer-exact counts make the double divisions
         # bit-identical across engines
         "pii_scrub": _pii_sql(),
+        # every stage replayed: snapshot (row_number over commit), the
+        # identical quality rules, identical strip patterns ('g'), and
+        # min-(repo,path)-per-content keep
+        "prepare_code_corpus": r"""
+            WITH fx AS (
+              SELECT 'r' || CAST(doc_id % 250 % 10 AS VARCHAR) AS repo,
+                     'p' || CAST(doc_id % 250 AS VARCHAR) AS path,
+                     doc_id AS commit,
+                     CASE WHEN doc_id % 2 = 0 THEN 'python' ELSE 'js' END AS lang,
+                     CASE WHEN doc_id % 250 % 7 = 0
+                          THEN '<?xml version="1.0"?>' || chr(10) || '<a/>' || chr(10)
+                          ELSE (CASE WHEN doc_id % 2 = 0 THEN '# c' ELSE '// c' END)
+                               || CAST(doc_id AS VARCHAR) || chr(10)
+                               || CASE WHEN doc_id % 250 % 7 = 1
+                                       THEN repeat('x', 1500) || chr(10)
+                                       WHEN doc_id % 250 % 7 = 2 AND doc_id % 2 = 0
+                                       THEN 'def f():' || chr(10) || '    return 42' || chr(10)
+                                       WHEN doc_id % 250 % 7 = 2
+                                       THEN 'function f(){ return 42; }' || chr(10)
+                                       WHEN doc_id % 2 = 0
+                                       THEN 'def f' || CAST(doc_id % 250 AS VARCHAR) || '():'
+                                            || chr(10) || '    return '
+                                            || CAST(doc_id % 250 AS VARCHAR) || chr(10)
+                                       ELSE 'function f' || CAST(doc_id % 250 AS VARCHAR)
+                                            || '(){ return '
+                                            || CAST(doc_id % 250 AS VARCHAR) || '; }' || chr(10)
+                                  END
+                     END AS content
+              FROM documents),
+            snap AS (
+              SELECT repo, path, lang, content FROM (
+                SELECT *, row_number() OVER (PARTITION BY repo, path
+                                             ORDER BY commit DESC) AS rn
+                FROM fx) WHERE rn = 1),
+            q AS (
+              SELECT repo, path, lang, content,
+                     list_transform(regexp_split_to_array(content, '
+'),
+                                    x -> length(x)) AS lens,
+                     length(regexp_replace(content, '[^\p{L}\p{N}]', '', 'g'))
+                       AS alnum,
+                     length(content) AS nch
+              FROM snap),
+            kept AS (
+              SELECT repo, path, lang, content FROM q
+              WHERE NOT (list_max(lens) > 1000)
+                AND NOT (list_sum(lens)::DOUBLE / len(lens) > 100.0)
+                AND NOT coalesce(alnum::DOUBLE / nullif(nch, 0) < 0.25, TRUE)
+                AND NOT regexp_matches(substr(content, 1, 300),
+                      '(?i)auto-?generated|do not edit|generated by')
+                AND NOT starts_with(ltrim(content), '<?xml')),
+            stripped AS (
+              SELECT repo, path, lang,
+                     CASE WHEN lang = 'python'
+                          THEN regexp_replace(content, '#[^
+]*', '', 'g')
+                          WHEN lang = 'js'
+                          THEN regexp_replace(regexp_replace(content,
+                                 '(?s)/\*.*?\*/', '', 'g'), '//[^
+]*', '', 'g')
+                          ELSE content END AS content
+              FROM kept),
+            dedup AS (
+              SELECT repo, path, lang, content FROM (
+                SELECT *, row_number() OVER (PARTITION BY content
+                                             ORDER BY repo, path) AS rn
+                FROM stripped) WHERE rn = 1)
+            SELECT repo, path, lang, md5(content) AS content_md5 FROM dedup
+        """,
         "fork_families": """
             WITH RECURSIVE rk AS (
               SELECT DISTINCT 'org' || CAST(doc_id % 7 AS VARCHAR) AS repo,

@@ -510,3 +510,50 @@ class TestForkFamilies:
                for r in fork_families(df, "repo", "k", threshold=0.4).collect()}
         assert fam == {"upstream": "fork", "mirror": "fork", "fork": "fork"}
         assert "unrelated" not in fam  # singleton: no qualifying pair
+
+
+class TestPrepareCodeCorpus:
+    ROWS = [
+        ("r1", "a.py", 2, "python", "# new\ndef f():\n    return 1\n"),
+        ("r1", "a.py", 1, "python", "stale version"),
+        ("r2", "b.py", 1, "python", "# other\ndef f():\n    return 1\n"),
+        ("r3", "x.xml", 1, "python", '<?xml version="1.0"?>\n<a/>'),
+        ("r4", "m.js", 1, "js", "x" * 2000),
+        ("r5", "c.py", 1, "python", "def g():\n    return 2\n"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS,
+            "repo string, path string, commit long, lang string, content string",
+        )
+
+    def test_all_stages(self, spark):
+        from cuckoofilter4j_spark.functions.code import prepare_code_corpus
+
+        out = {(r["repo"], r["path"]): r["content"]
+               for r in prepare_code_corpus(self._df(spark)).collect()}
+        # quality drops xml + minified; snapshot keeps commit 2;
+        # comment-only duplicate b.py collapses onto a.py (min repo,path)
+        assert set(out) == {("r1", "a.py"), ("r5", "c.py")}
+        assert "# new" not in out[("r1", "a.py")]
+        assert "stale" not in out[("r1", "a.py")]
+
+    def test_stages_skippable(self, spark):
+        from cuckoofilter4j_spark.functions.code import prepare_code_corpus
+
+        out = prepare_code_corpus(
+            self._df(spark), strip=False, quality=False, dedup_content=False
+        )
+        got = {(r["repo"], r["path"]): r["content"] for r in out.collect()}
+        assert len(got) == 5  # only snapshot-dedup applied
+        assert "# new" in got[("r1", "a.py")]  # not stripped
+
+    def test_deterministic_under_partitioning(self, spark):
+        from cuckoofilter4j_spark.functions.code import prepare_code_corpus
+
+        a = sorted((r["repo"], r["path"]) for r in
+                   prepare_code_corpus(self._df(spark)).collect())
+        b = sorted((r["repo"], r["path"]) for r in
+                   prepare_code_corpus(self._df(spark).repartition(7)).collect())
+        assert a == b
