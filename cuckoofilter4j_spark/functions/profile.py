@@ -133,6 +133,10 @@ def value_histogram(
     c = F.col(col).cast("double")
     if lo is None or hi is None:
         row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        if row["lo"] is None:
+            raise ValueError(
+                "value_histogram: no non-null values — pass explicit lo/hi"
+            )
         lo = float(row["lo"]) if lo is None else float(lo)
         hi = float(row["hi"]) if hi is None else float(hi)
     lo, hi = float(lo), float(hi)
@@ -185,7 +189,10 @@ def quantile_bins(
     c = F.col(col).cast("double")
     vals = df.where(c.isNotNull()).select(c.alias("__v"))
     sk_df = build_sketch(vals, "__v", "kll", None, k=k, seed=seed)
-    blob = bytes(sk_df.collect()[0]["sketch"])
+    sk_rows = sk_df.collect()
+    if not sk_rows:
+        raise ValueError("quantile_bins: no non-null values")
+    blob = bytes(sk_rows[0]["sketch"])
     sk = KllSketch.from_bytes(blob)
     qs = [i / bins for i in range(1, bins)]
     bounds = sk.quantiles(qs)  # interior boundaries, ascending

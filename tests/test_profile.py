@@ -117,3 +117,20 @@ class TestQuantileBins:
         assert sum(r["n"] for r in out.collect()) == 100
         with _pytest.raises(ValueError, match="bins"):
             quantile_bins(df, "v", bins=0)
+
+
+def test_empty_input_guards(spark):
+    import pytest as _pytest
+
+    from cuckoofilter4j_spark.functions.profile import (
+        quantile_bins,
+        value_histogram,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    with _pytest.raises(ValueError, match="non-null"):
+        value_histogram(empty, "v", bins=4)
+    with _pytest.raises(ValueError, match="non-null"):
+        quantile_bins(empty, "v", bins=4)
+    # explicit bounds still work on empty input (zero bins emitted)
+    assert value_histogram(empty, "v", bins=4, lo=0.0, hi=1.0).count() == 0
