@@ -1902,6 +1902,18 @@ def q_sliding_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (functions/events.py retention): per day, distinct
+    active users and how many return the NEXT day. One distinct on
+    (period, user) with map-side partials, a one-period-shifted semi-join,
+    two tiny aggregates — no windows, no per-user state. Counts exact vs
+    the identical SQL."""
+    from cuckoofilter4j_spark.functions.events import retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention(ev, "ts", "user_id", period_seconds=86400)
+
+
 def q_window_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection (functions/events.py window_anomalies):
     hourly tumbling counts per event_type, z=3 outliers against that
@@ -3620,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "tumbling_rollup_events": q_tumbling_rollup_events,
         "sliding_rollup_events": q_sliding_rollup_events,
+        "user_retention": q_user_retention,
         "window_anomalies": q_window_anomalies,
         "interval_join_events": q_interval_join_events,
         "stream_window_rollup": q_stream_window_rollup,
@@ -4185,6 +4198,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vmic) AS BIGINT) AS value_micro,
                    CAST(window_start_s AS BIGINT) AS window_start_s
             FROM x GROUP BY event_type, window_start_s
+        """,
+        "user_retention": """
+            WITH pu AS (
+              SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400 AS p,
+                     user_id
+              FROM events WHERE user_id IS NOT NULL),
+            act AS (SELECT p, count(*) AS n_active FROM pu GROUP BY p),
+            ret AS (
+              SELECT a.p, count(*) AS n_retained
+              FROM pu a JOIN pu b ON b.user_id = a.user_id
+                                 AND b.p = a.p + 86400
+              GROUP BY a.p)
+            SELECT CAST(act.p AS BIGINT) AS period_start_s,
+                   act.n_active,
+                   COALESCE(ret.n_retained, 0) AS n_retained,
+                   round(COALESCE(ret.n_retained, 0)::DOUBLE / act.n_active, 6)
+                     AS retention_frac
+            FROM act LEFT JOIN ret ON act.p = ret.p
         """,
         # integer z-test replayed verbatim: (n*c - s)^2 > 9*(c*q - s^2)
         "window_anomalies": """

@@ -460,3 +460,52 @@ def window_anomalies(
     return j.select(
         *keys, "window_start_s", "n_events", (lhs * lhs > rhs).alias("is_anomaly")
     )
+
+
+def retention(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period_seconds: int = 86400,
+) -> DataFrame:
+    """Period-over-period cohort retention: for every epoch-aligned period,
+    how many distinct users were active, and how many of them return in
+    the NEXT period — the activation/stickiness curve over an event
+    stream.
+
+    Output: (period_start_s, n_active, n_retained, retention_frac) —
+    n_retained = |users(p) ∩ users(p+1)|; the last period has
+    n_retained 0 (no next period to return in). All counts exact;
+    retention_frac = n_retained/n_active (integer-exact division).
+
+    Shape: one distinct on (period, user) — map-side partials collapse
+    per-user event bursts before the exchange — then a self-join shifted
+    by one period on (user, period) and two tiny aggregates. No windows,
+    no per-user state.
+    """
+    p_us = int(period_seconds) * 1_000_000
+    if p_us <= 0:
+        raise ValueError(f"period_seconds must be positive, got {period_seconds}")
+    t = micros_col(df, ts_col)
+    pu = (
+        df.where(F.col(user_col).isNotNull())
+        .select(
+            (F.floor(t / p_us) * int(period_seconds)).alias("__p"),
+            F.col(user_col).alias("__u"),
+        )
+        .distinct()
+    )
+    nxt = pu.select((F.col("__p") - int(period_seconds)).alias("__p"), "__u")
+    ret = pu.join(nxt, ["__p", "__u"], "left_semi").groupBy("__p").agg(
+        F.count(F.lit(1)).alias("n_retained")
+    )
+    act = pu.groupBy("__p").agg(F.count(F.lit(1)).alias("n_active"))
+    out = act.join(ret, "__p", "left").select(
+        F.col("__p").alias("period_start_s"),
+        "n_active",
+        F.coalesce(F.col("n_retained"), F.lit(0)).alias("n_retained"),
+    )
+    return out.withColumn(
+        "retention_frac",
+        F.round(F.col("n_retained").cast("double") / F.col("n_active"), 6),
+    )

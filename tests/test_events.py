@@ -615,3 +615,41 @@ class TestWindowAnomalies:
         df = spark.createDataFrame(rows, "ts timestamp, value double")
         out = window_anomalies(df, "ts", [], 3600).collect()
         assert len(out) == 1 and out[0]["is_anomaly"] is False
+
+
+class TestRetention:
+    def test_reference_counts(self, spark):
+        import datetime as dt
+
+        from cuckoofilter4j_spark.functions.events import retention
+
+        rows = []
+        for u in (1, 2, 3):
+            rows.append((u, dt.datetime(2024, 1, 1, 5)))
+        for u in (2, 3, 4):
+            rows.append((u, dt.datetime(2024, 1, 2, 6)))
+        rows.append((4, dt.datetime(2024, 1, 3, 7)))
+        rows.append((2, dt.datetime(2024, 1, 1, 9)))  # burst: one distinct
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {r["period_start_s"]: (r["n_active"], r["n_retained"])
+               for r in retention(df).collect()}
+        import datetime as _dt
+
+        d0 = int(_dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc).timestamp())
+        assert out == {d0: (3, 2), d0 + 86400: (3, 1), d0 + 172800: (1, 0)}
+
+    def test_null_users_excluded_and_validation(self, spark):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from cuckoofilter4j_spark.functions.events import retention
+
+        df = spark.createDataFrame(
+            [(None, dt.datetime(2024, 1, 1)), (1, dt.datetime(2024, 1, 1))],
+            "user_id long, ts timestamp",
+        )
+        out = retention(df).collect()
+        assert len(out) == 1 and out[0]["n_active"] == 1
+        with _pytest.raises(ValueError, match="period_seconds"):
+            retention(df, period_seconds=0)
