@@ -3135,6 +3135,35 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus census (functions/urls.py host_stats): five hosts
+    spelled three ways each (case, www, default port) plus a not-a-URL
+    class; host extraction + canonicalization collapse the spellings so
+    each host's n_urls counts every fetch while n_distinct_urls counts the
+    3 distinct canonical resources per host. Engine-exact closed-form
+    oracle from the residue arithmetic."""
+    from cuckoofilter4j_spark.functions.urls import host_stats
+
+    d = F.col("doc_id")
+    k = (d % 5).cast("string")
+    p = (d % 3).cast("string")
+    m = d % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://A"), k, F.lit(".Example.COM/p"), p))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://www.a"), k,
+                F.lit(".example.com/p"), p, F.lit("?utm_source=x"),
+            ),
+        )
+        .when(m == 2, F.concat(F.lit("https://a"), k, F.lit(".example.com:443/p"), p))
+        .otherwise(F.lit("not a url"))
+    )
+    fx = _docs(spark, sf_dir).select(url.alias("url"))
+    return host_stats(fx, "url")
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-keyed dedup (functions/urls.py url_dedup): keep min doc_id per
     canonical URL — the crawl-refetch collapse that runs BEFORE content
@@ -3676,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_code_corpus": q_prepare_code_corpus,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
+        "url_host_stats": q_url_host_stats,
         "weighted_sample": q_weighted_sample,
         "bottom_k_sample": q_bottom_k_sample,
         "corpus_diff": q_corpus_diff,
@@ -4504,6 +4534,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_canonicalize": _URL_CANON_SQL
         + "SELECT doc_id, url, url_canon FROM canon",
+        "url_host_stats": """
+            WITH fx AS (
+              SELECT CASE WHEN doc_id % 4 = 3 THEN ''
+                          ELSE 'a' || CAST(doc_id % 5 AS VARCHAR)
+                               || '.example.com' END AS host,
+                     CASE WHEN doc_id % 4 = 3 THEN -1
+                          ELSE doc_id % 3 END AS res
+              FROM documents)
+            SELECT host, count(*) AS n_urls,
+                   count(DISTINCT res) AS n_distinct_urls
+            FROM fx GROUP BY host
+        """,
         "url_dedup": _URL_CANON_SQL
         + "SELECT url_canon, min(doc_id) AS keeper_id FROM canon GROUP BY url_canon",
         # the identical digest arithmetic replayed in DuckDB: sha256 over the

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["canonicalize_url", "url_dedup", "TRACKING_PARAM_RE"]
+__all__ = ["canonicalize_url", "host_stats", "url_dedup", "url_host", "TRACKING_PARAM_RE"]
 
 # Query parameters that identify a *visit*, not a *resource*. Anchored
 # key-match (the '=' keeps 'utm_x' from matching a value containing it).
@@ -136,4 +136,39 @@ def url_dedup(
     )
     return agg.select(
         *[F.col(f"__row.{c}").alias(c) for c in cols], "url_canon"
+    )
+
+
+def url_host(col, *, strip_www: bool = True) -> Column:
+    """Lowercased host of an absolute URL (port stripped; leading ``www.``
+    optionally dropped) — the grouping key for per-site corpus composition
+    and crawl-budget policy. NULL-safe: rows without a ``scheme://`` yield
+    the empty string. Same pure-Catalyst extraction steps as
+    ``canonicalize_url`` (engine-exact under the identical regexes)."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, "#.*$", "")
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    has_scheme = F.regexp_extract(u, _SCHEME_RE, 1) != ""
+    authority = F.regexp_extract(rest, "^([^/?]*)", 1)
+    host = F.lower(F.regexp_replace(authority, ":[0-9]+$", ""))
+    if strip_www:
+        host = F.regexp_replace(host, "^www\\.", "")
+    return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(has_scheme, host).otherwise(F.lit(""))
+    ).alias("host")
+
+
+def host_stats(df: DataFrame, url_col: str, *, strip_www: bool = True) -> DataFrame:
+    """Per-host corpus composition: (host, n_urls, n_distinct_urls) in one
+    hash aggregation (map-side partials) over the canonical URL — the
+    per-site census a crawl-budget or domain-blocklist decision reads."""
+    canon = canonicalize_url(url_col, strip_www=strip_www)
+    return (
+        df.select(url_host(url_col, strip_www=strip_www).alias("host"),
+                  canon.alias("__c"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct(F.col("__c")).alias("n_distinct_urls"),
+        )
     )

@@ -105,3 +105,37 @@ def test_plan_is_pure_catalyst(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+class TestHostStats:
+    def test_host_extraction(self, spark):
+        from cuckoofilter4j_spark.functions.urls import url_host
+
+        df = spark.createDataFrame(
+            [
+                ("https://Example.COM:8080/x",),
+                ("http://www.a.org/y",),
+                ("not a url",),
+                (None,),
+            ],
+            "url string",
+        )
+        got = [r["host"] for r in df.select(url_host("url")).collect()]
+        assert got == ["example.com", "a.org", "", None]
+
+    def test_host_stats_collapse(self, spark):
+        from cuckoofilter4j_spark.functions.urls import host_stats
+
+        df = spark.createDataFrame(
+            [
+                ("https://A.com/p",),
+                ("https://www.a.com/p?utm_source=x",),
+                ("https://a.com:443/p",),
+                ("https://a.com/q",),
+                ("https://b.com/p",),
+            ],
+            "url string",
+        )
+        got = {r["host"]: (r["n_urls"], r["n_distinct_urls"])
+               for r in host_stats(df, "url").collect()}
+        assert got == {"a.com": (4, 2), "b.com": (1, 1)}
