@@ -1902,6 +1902,20 @@ def q_sliding_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel (functions/events.py conversion_rate):
+    of users whose first 'view' exists, how many 'purchase' within a day
+    of it — first-touch anchor via one filtered min-aggregate, the time
+    predicate on a semi-join, exact integer-micros arithmetic. All three
+    outputs engine-exact vs the identical SQL."""
+    from cuckoofilter4j_spark.functions.events import conversion_rate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return conversion_rate(
+        ev, "view", "purchase", window_seconds=86400
+    )
+
+
 def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (functions/events.py retention): per day, distinct
     active users and how many return the NEXT day. One distinct on
@@ -3662,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_rollup_events": q_tumbling_rollup_events,
         "sliding_rollup_events": q_sliding_rollup_events,
         "user_retention": q_user_retention,
+        "conversion_funnel": q_conversion_funnel,
         "window_anomalies": q_window_anomalies,
         "interval_join_events": q_interval_join_events,
         "stream_window_rollup": q_stream_window_rollup,
@@ -4228,6 +4243,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vmic) AS BIGINT) AS value_micro,
                    CAST(window_start_s AS BIGINT) AS window_start_s
             FROM x GROUP BY event_type, window_start_s
+        """,
+        "conversion_funnel": """
+            WITH a AS (
+              SELECT user_id, min(epoch_us(ts)) AS ta
+              FROM events
+              WHERE event_type = 'view' AND user_id IS NOT NULL
+              GROUP BY user_id),
+            c AS (
+              SELECT DISTINCT b.user_id
+              FROM events b JOIN a ON a.user_id = b.user_id
+              WHERE b.event_type = 'purchase'
+                AND epoch_us(b.ts) > a.ta
+                AND epoch_us(b.ts) <= a.ta + 86400000000)
+            SELECT (SELECT count(*) FROM a) AS n_did_a,
+                   (SELECT count(*) FROM c) AS n_converted,
+                   round((SELECT count(*) FROM c)::DOUBLE
+                         / (SELECT count(*) FROM a), 6) AS conversion_frac
         """,
         "user_retention": """
             WITH pu AS (

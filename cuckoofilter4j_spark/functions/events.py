@@ -509,3 +509,57 @@ def retention(
         "retention_frac",
         F.round(F.col("n_retained").cast("double") / F.col("n_active"), 6),
     )
+
+
+def conversion_rate(
+    df: DataFrame,
+    step_a: str,
+    step_b: str,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    window_seconds: Optional[int] = None,
+) -> DataFrame:
+    """Two-step conversion funnel: of the users who did ``step_a``, how
+    many did ``step_b`` STRICTLY AFTER their first ``step_a`` (optionally
+    within ``window_seconds`` of it).
+
+    Semantics (the standard first-touch attribution): anchor = each
+    user's FIRST step_a event; a user converts iff any step_b event lands
+    in (anchor, anchor + window] (no window: any time after the anchor).
+    Exact integer-micros arithmetic end to end.
+
+    Output: one row — (n_did_a, n_converted, conversion_frac).
+    Shape: one filtered min-aggregate per user for the anchor (map-side
+    partials), a semi-join of step_b events against the broadcast-size
+    anchor relation on user + the time predicate, one distinct, two tiny
+    counts. No windows, no per-user event lists.
+    """
+    t = micros_col(df, ts_col)
+    base = df.where(F.col(user_col).isNotNull()).select(
+        F.col(user_col).alias("__u"), F.col(type_col).alias("__ty"),
+        t.alias("__t"),
+    )
+    anchors = (
+        base.where(F.col("__ty") == step_a)
+        .groupBy("__u")
+        .agg(F.min("__t").alias("__ta"))
+    )
+    bs = base.where(F.col("__ty") == step_b).select("__u", F.col("__t").alias("__tb"))
+    cond = F.col("__tb") > F.col("__ta")
+    if window_seconds is not None:
+        cond = cond & (
+            F.col("__tb") <= F.col("__ta") + int(window_seconds) * 1_000_000
+        )
+    converted = (
+        bs.join(anchors, "__u").where(cond).select("__u").distinct()
+    )
+    n_a = anchors.count()
+    n_c = converted.count()
+    spark = df.sparkSession
+    frac = round(n_c / n_a, 6) if n_a else 0.0
+    return spark.createDataFrame(
+        [(n_a, n_c, frac)],
+        "n_did_a bigint, n_converted bigint, conversion_frac double",
+    )

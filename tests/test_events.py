@@ -653,3 +653,40 @@ class TestRetention:
         assert len(out) == 1 and out[0]["n_active"] == 1
         with _pytest.raises(ValueError, match="period_seconds"):
             retention(df, period_seconds=0)
+
+
+class TestConversionRate:
+    def _df(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, "signup", dt.datetime(2024, 1, 1, 0)),
+            (1, "purchase", dt.datetime(2024, 1, 1, 1)),   # converts
+            (2, "signup", dt.datetime(2024, 1, 1, 0)),
+            (2, "purchase", dt.datetime(2023, 12, 31)),    # BEFORE anchor
+            (3, "signup", dt.datetime(2024, 1, 1, 0)),     # never purchases
+            (4, "purchase", dt.datetime(2024, 1, 1)),      # no signup
+            (5, "signup", dt.datetime(2024, 1, 1, 0)),
+            (5, "purchase", dt.datetime(2024, 1, 3)),      # outside 1d window
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+
+    def test_unwindowed_and_windowed(self, spark):
+        from cuckoofilter4j_spark.functions.events import conversion_rate
+
+        r = conversion_rate(self._df(spark), "signup", "purchase").collect()[0]
+        assert (r["n_did_a"], r["n_converted"]) == (4, 2)
+        r2 = conversion_rate(
+            self._df(spark), "signup", "purchase", window_seconds=86400
+        ).collect()[0]
+        assert (r2["n_did_a"], r2["n_converted"], r2["conversion_frac"]) == (
+            4, 1, 0.25,
+        )
+
+    def test_empty_anchor_set(self, spark):
+        from cuckoofilter4j_spark.functions.events import conversion_rate
+
+        r = conversion_rate(self._df(spark), "nosuch", "purchase").collect()[0]
+        assert (r["n_did_a"], r["n_converted"], r["conversion_frac"]) == (0, 0, 0.0)
