@@ -1,0 +1,322 @@
+"""Round-6 optimization harness (guide §1): per-query isolation of every
+bench.py section with noop sinks and labelled jobs, WITHOUT touching the
+frozen bench.py. Also captures .explain("formatted") per query.
+
+Usage:
+  python bench_extra.py [--plans DIR] [--only name,name] [--reps N]
+
+Prints one JSON line per query: {"query": ..., "sec": [...], "best": ...}.
+Timing methodology mirrors bench.py (same session confs, same warmup,
+best-of-interleaved-reps) so numbers are comparable; the noop sink times the
+computation, not the sink, for queries whose bench form is a count()/collect
+anyway (our outputs are tiny aggregates, so count() == full compute there —
+noop is used for the row-returning ones).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEED = 42
+FPP = 0.01
+
+
+def _session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(4 * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .appName("cuckoofilter4j-spark-bench-extra")
+        .getOrCreate()
+    )
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_queries(spark):
+    """(name -> (fn, plan_fn)) covering every timed path in bench.py.
+    fn(state) runs the query to completion; plan_fn() returns a DataFrame
+    whose .explain is representative (None when the op is multi-action)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.functions import (
+        bm25_search,
+        brute_force_topk_vectorized,
+        corpus_checksum,
+        corpus_diff,
+        duplicate_spans,
+        minhash_dup_pairs,
+        pagerank,
+        profile_table,
+        punct_count,
+        token_count,
+    )
+    from cuckoofilter4j_spark.functions.events import (
+        asof_join,
+        session_stats,
+        tumbling_rollup,
+    )
+    from cuckoofilter4j_spark.functions.pii import scan_entropy_secrets
+    from cuckoofilter4j_spark.functions.pq import pq_encode, pq_topk_refined, train_pq
+    from cuckoofilter4j_spark.operators import (
+        build_filter_salted,
+        build_filter_sharded,
+        delete_keys,
+        might_contain_sharded,
+        sha256_key,
+    )
+    from cuckoofilter4j_spark.sources import bm25_from_index, build_text_index
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_li = li.count()
+
+    keyed = li.select(
+        "l_returnflag",
+        sha256_key(F.concat_ws("|", "l_orderkey", "l_linenumber")).alias("key"),
+    )
+    state: dict = {}
+
+    def mk_global():
+        return build_filter_sharded(
+            keyed.select("key"), "key", num_shards=32, max_keys=n_li,
+            fpp=FPP, seed=SEED, sizing="paper",
+        )
+
+    def mk_salted():
+        return build_filter_salted(
+            keyed, "key", ["l_returnflag"], max_keys=n_li, fpp=FPP,
+            seed=SEED, salt_buckets=32,
+        )
+
+    def q_build_global(st):
+        merged = mk_global().cache()
+        merged.count()
+        st["global"] = merged
+
+    def q_build_grouped_salted(st):
+        sk = mk_salted().cache()
+        sk.count()
+        st["grouped"] = sk
+
+    def q_probe_members(st):
+        probed = might_contain_sharded(keyed.select("key"), st["global"], "key")
+        n = probed.filter(F.col("might_contain")).count()
+        assert n == n_li
+
+    def q_probe_absent_fpp(st):
+        absent = li.select(
+            sha256_key(F.concat_ws("|", "l_orderkey", "l_linenumber", F.lit("x"))).alias("key")
+        )
+        might_contain_sharded(absent, st["global"], "key").filter(
+            F.col("might_contain")
+        ).count()
+
+    def q_delete_tenth(st):
+        tenth = keyed.filter(F.crc32(F.col("key")) % 10 == 0)
+        delete_keys(st["grouped"], tenth, "key", ["l_returnflag"]).count()
+
+    def p_text_rollup():
+        return docs.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            F.sum(punct_count("text")).alias("total_punct"),
+        )
+
+    def p_minhash():
+        return minhash_dup_pairs(
+            docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.7,
+            method="scan_local",
+        )
+
+    def p_ann():
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return brute_force_topk_vectorized(emb, q, k=10)
+
+    # event ops
+    def p_sessionize():
+        return session_stats(ev, ts_col="ts", key_cols=["user_id"],
+                             gap_seconds=21600, order_cols=["event_id"])
+
+    def p_asof():
+        dim = ev.filter(F.col("event_id") % 7 == 0).select(
+            "user_id", "ts", (F.col("event_id") % 5).cast("int").alias("tier")
+        )
+        return asof_join(ev.select("event_id", "user_id", "ts"), dim, on=["user_id"])
+
+    def p_tumbling():
+        return tumbling_rollup(ev, ts_col="ts", window_seconds=86400,
+                               group_cols=["event_type"], value_col="value")
+
+    # pipeline ops
+    def p_spans():
+        return duplicate_spans(docs, "text", "doc_id", min_tokens=20, mark="all")
+
+    def q_pq(st):
+        books = st.get("books")
+        if books is None:
+            books = st["books"] = train_pq(emb, "embedding", m=16, nbits=8, seed=7, max_iter=8)
+        coded = pq_encode(emb, books)
+        q = emb.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        _noop(pq_topk_refined(coded, q, books, k=10, refine_factor=4))
+
+    def p_bm25_direct():
+        return bm25_search(docs, "text", "doc_id", ["hash", "stream", "vector"])
+
+    def q_bm25_indexed(st):
+        idx = st.get("idx_dir")
+        if idx is None:
+            idx = st["idx_dir"] = tempfile.mkdtemp(prefix="ckf_bx_tidx_")
+            build_text_index(docs, "text", "doc_id", idx)
+        _noop(bm25_from_index(spark, idx, ["hash", "stream", "vector"]))
+
+    # audit ops
+    d = F.col("doc_id")
+    old = docs.select("doc_id", "text")
+    new = old.filter(d % 10 != 0).unionByName(
+        old.filter(d % 10 == 2).select(
+            (d + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("new:"), F.col("text")).alias("text"),
+        )
+    )
+    edges = docs.select((d % 997).alias("src"), ((d * d + 3) % 1999).alias("dst"))
+
+    def p_checksum():
+        return corpus_checksum(docs, ["doc_id", "text"], group_cols=["lang"])
+
+    def p_profile():
+        return profile_table(docs)
+
+    def p_diff():
+        return corpus_diff(old, new, ["doc_id"], "text")
+
+    def p_secrets():
+        return scan_entropy_secrets(docs, "text", ["doc_id"])
+
+    def q_pagerank(st):
+        _noop(pagerank(edges, n_iter=3))
+
+    def wrap(plan_fn):
+        def run(_st):
+            _noop(plan_fn())
+        return run
+
+    qs = {
+        "build_global": (q_build_global, mk_global),
+        "build_grouped_salted": (q_build_grouped_salted, mk_salted),
+        "probe_members": (q_probe_members,
+                          lambda: might_contain_sharded(keyed.select("key"), state["global"], "key")),
+        "probe_absent_fpp": (q_probe_absent_fpp, None),
+        "delete_tenth": (q_delete_tenth, None),
+        "text_rollup": (wrap(p_text_rollup), p_text_rollup),
+        "minhash_dedup": (wrap(p_minhash), p_minhash),
+        "ann_topk": (wrap(p_ann), p_ann),
+        "sessionize_stats": (wrap(p_sessionize), p_sessionize),
+        "asof_join": (wrap(p_asof), p_asof),
+        "tumbling_rollup": (wrap(p_tumbling), p_tumbling),
+        "substring_spans": (wrap(p_spans), p_spans),
+        "pq_encode_search": (q_pq, None),
+        "bm25_direct": (wrap(p_bm25_direct), p_bm25_direct),
+        "bm25_indexed": (q_bm25_indexed, None),
+        "corpus_checksum": (wrap(p_checksum), p_checksum),
+        "table_profile": (wrap(p_profile), p_profile),
+        "corpus_diff": (wrap(p_diff), p_diff),
+        "entropy_secrets": (wrap(p_secrets), p_secrets),
+        "pagerank_3iter": (q_pagerank, None),
+    }
+    return qs, state, keyed, n_li
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--plans", default=None, help="dir to write explain() files")
+    ap.add_argument("--suffix", default="before", help="plan file suffix")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.operators import build_filter_sharded
+
+    spark = _session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, state, keyed, n_li = build_queries(spark)
+    only = set(args.only.split(",")) if args.only else None
+
+    # same warmup as bench.py
+    build_filter_sharded(
+        keyed.select("key").sample(0.02, seed=1), "key", num_shards=8,
+        max_keys=max(n_li // 50, 1000), fpp=FPP, seed=SEED, sizing="paper",
+    ).agg(F.sum("count")).collect()
+
+    if args.plans:
+        os.makedirs(args.plans, exist_ok=True)
+
+    results: dict = {}
+    for rep in range(max(1, args.reps)):
+        if rep:
+            for k in ("global", "grouped"):
+                if k in state:
+                    state[k].unpersist()
+        for name, (fn, _plan) in qs.items():
+            if only and name not in only:
+                continue
+            spark.sparkContext.setJobDescription(f"bx:{name}")
+            t0 = time.perf_counter()
+            fn(state)
+            dt = round(time.perf_counter() - t0, 3)
+            results.setdefault(name, []).append(dt)
+            spark.sparkContext.setJobDescription(None)
+
+    for name, secs in results.items():
+        print(json.dumps({"query": name, "sec": secs, "best": min(secs)}))
+
+    if args.plans:
+        for name, (_fn, plan) in qs.items():
+            if only and name not in only:
+                continue
+            if plan is None:
+                continue
+            try:
+                df = plan()
+                txt = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+            except Exception:
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    plan().explain("formatted")
+                txt = buf.getvalue()
+            with open(os.path.join(args.plans, f"{name}_{args.suffix}.txt"), "w") as f:
+                f.write(txt)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

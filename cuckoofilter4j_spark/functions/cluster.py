@@ -20,6 +20,7 @@ round (no driver-side data).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -58,6 +59,39 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+@contextmanager
+def _adaptive_shuffle_width(spark, n_rows: int, rows_per_partition: int = 2_000_000):
+    """Scope in which ``spark.sql.shuffle.partitions`` is NARROWED to a
+    width derived from the input size (guide §2.2: size partitions from the
+    data). Iterative operators run many tiny shuffles per round; when the
+    relation has ``n_rows`` rows, scheduling ``shuffle.partitions`` (e.g.
+    128) near-empty tasks per exchange dominates the wall time — AQE's
+    partition coalescing would fix this automatically, but sessions that
+    disable it (to protect Python-heavy grouped stages from being collapsed)
+    still need the iterative loops sized sanely. The width is
+    ``ceil(n_rows / rows_per_partition)`` clamped to
+    ``[1, 200 × defaultParallelism]`` and NEVER exceeds the session's own
+    setting (this scope only narrows — at 10^10 edges it is a no-op unless
+    the session width is even larger). The session value is restored on
+    exit; the change is visible to other threads of the same session for
+    the duration of the scope (document at call sites that run concurrent
+    jobs)."""
+    dp = max(1, spark.sparkContext.defaultParallelism)
+    target = max(1, min(200 * dp, (int(n_rows) + rows_per_partition - 1) // rows_per_partition))
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — e.g. "auto" on some builds
+        cur = None
+    if cur is None or target >= cur:
+        yield
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cur))
 
 
 def dup_clusters(
@@ -136,36 +170,40 @@ def dup_clusters(
     )
     converged = False
     try:
-        for _ in range(int(max_iter)):
-            # each node adopts min(own label, neighbors' labels): labels flow
-            # one hop per round, so rounds = component diameter. Each round's
-            # labels are lineage-truncated (see _truncate_lineage) so round N
-            # plans against a leaf, not N stacked join/agg rounds.
-            neigh = und.join(
-                labels.withColumnRenamed("id", "__dst"), "__dst"
-            ).select(F.col("__src").alias("id"), "cluster_id")
-            new_labels = _truncate_lineage(
-                labels.unionByName(neigh)
-                .groupBy("id")
-                .agg(F.min("cluster_id").alias("cluster_id"))
-            )
-            try:
-                changed = (
-                    labels.withColumnRenamed("cluster_id", "__old")
-                    .join(new_labels, "id")
-                    .filter(F.col("__old") != F.col("cluster_id"))
-                    .limit(1)
-                    .count()
+        # round 6: per-round exchanges sized from |E| (see
+        # _adaptive_shuffle_width — narrows only, no-op at real scale)
+        with _adaptive_shuffle_width(pairs.sparkSession, und.count()):
+            for _ in range(int(max_iter)):
+                # each node adopts min(own label, neighbors' labels): labels
+                # flow one hop per round, so rounds = component diameter.
+                # Each round's labels are lineage-truncated
+                # (see _truncate_lineage) so round N plans against a leaf,
+                # not N stacked join/agg rounds.
+                neigh = und.join(
+                    labels.withColumnRenamed("id", "__dst"), "__dst"
+                ).select(F.col("__src").alias("id"), "cluster_id")
+                new_labels = _truncate_lineage(
+                    labels.unionByName(neigh)
+                    .groupBy("id")
+                    .agg(F.min("cluster_id").alias("cluster_id"))
                 )
-            except BaseException:
-                new_labels.unpersist()  # raise path: don't orphan the round
-                raise
-            prev = labels
-            labels = new_labels
-            prev.unpersist()
-            if changed == 0:
-                converged = True
-                return labels
+                try:
+                    changed = (
+                        labels.withColumnRenamed("cluster_id", "__old")
+                        .join(new_labels, "id")
+                        .filter(F.col("__old") != F.col("cluster_id"))
+                        .limit(1)
+                        .count()
+                    )
+                except BaseException:
+                    new_labels.unpersist()  # raise path: don't orphan the round
+                    raise
+                prev = labels
+                labels = new_labels
+                prev.unpersist()
+                if changed == 0:
+                    converged = True
+                    return labels
         raise ConvergenceError(
             f"dup_clusters did not converge in {max_iter} rounds — the pair "
             "graph has a longer diameter than near-dup clusters should; "
@@ -213,6 +251,20 @@ def _dup_clusters_star(
         )
         .dropDuplicates(["__u", "__v"])
     )
+    try:
+        # round 6: same adaptive shuffle width as the propagation loop
+        with _adaptive_shuffle_width(pairs.sparkSession, edges.count()):
+            return _star_rounds(edges, max_iter)
+    finally:
+        # the labels output (built from edges' materialized blocks) is
+        # persisted on its own, so the working edge set is always released
+        edges.unpersist()
+
+
+def _star_rounds(edges: DataFrame, max_iter: int) -> DataFrame:
+    """The large-star/small-star round loop of `_dup_clusters_star` (split
+    out so the adaptive-width scope wraps it cleanly). `edges` is the
+    big→small oriented, lineage-truncated edge set; the caller releases it."""
     try:
         for _ in range(int(max_iter)):
             # -- large-star over BOTH orientations -------------------------

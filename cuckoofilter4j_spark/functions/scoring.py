@@ -118,7 +118,22 @@ def unigram_logprob(
     """
     terms = doc_terms(df, text_col, id_col)
     lm = terms.groupBy("term").agg(F.count("*").alias("c"))
-    total = terms.count()
+    # corpus token total WITHOUT materializing the explode a second time:
+    # sum of per-doc token-array sizes == count of exploded rows (round 6)
+    total = int(
+        df.agg(
+            F.coalesce(
+                F.sum(
+                    F.size(
+                        F.regexp_extract_all(
+                            F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+                        )
+                    )
+                ),
+                F.lit(0),
+            )
+        ).collect()[0][0]
+    )
     if broadcast_lm:
         lm = F.broadcast(lm)
     per_doc = (
@@ -171,25 +186,30 @@ def bm25_search(
     100 TB design: the exploded (doc, term) relation is filtered to the
     query's terms BEFORE the tf shuffle, so the exchange carries only
     matching occurrences (a handful of rows per matching doc), not the
-    corpus. Per-document lengths take one more corpus-wide aggregation
-    (they are query-independent: precompute and persist them alongside the
-    corpus to amortize across queries). The document-frequency table is
-    <= |query| rows and broadcasts; corpus-level N/avgdl reduce to one
-    driver row.
+    corpus. Per-document lengths are a scan-local `size(regexp_extract_all)`
+    projection — NO explode and NO shuffle (they are query-independent:
+    precompute and persist them alongside the corpus to amortize across
+    queries). The document-frequency table is <= |query| rows and
+    broadcasts; corpus-level N/avgdl reduce to one driver row via one
+    cheap scan-local aggregate (round 6: previously this path exploded the
+    whole corpus and shuffled every token occurrence just to count
+    per-doc lengths — guide §2.3 "aggregate before you shuffle").
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if k1 < 0 or not 0 <= b <= 1:
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1} b={b}")
     q = sorted({t.lower() for t in query_terms})
-    terms = doc_terms(df, text_col, id_col)
-    # per-doc token length; zero-term docs restored so N and avgdl cover
-    # the whole corpus (BM25's N is corpus size, not matched-doc count)
-    dl = (
-        df.select(id_col)
-        .join(terms.groupBy(id_col).agg(F.count("*").alias("dl")), id_col, "left")
-        .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl"))
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+        ).alias("__toks"),
     )
+    # per-doc token length as a projection: size() of the token array is
+    # exactly count-of-exploded-rows, with zero-term docs yielding 0 —
+    # same values as the old explode+groupBy+left-join, no shuffle at all
+    dl = toks.select(F.col(id_col), F.size("__toks").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
@@ -197,10 +217,16 @@ def bm25_search(
     avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
     if avgdl == 0.0:
         raise ValueError("corpus has no tokens; BM25 is undefined")
-    qtf = (
-        terms.filter(F.col("term").isin(q))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+    # dl rides THROUGH the tf aggregation (constant per doc, so first() is
+    # exact) instead of a second corpus scan + join — the scoring side now
+    # tokenizes the corpus exactly once (round 6, guide §2.3/§2.4)
+    occ = toks.select(
+        F.col(id_col),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    ).where(F.col("term").isin(q))
+    qtf = occ.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
     dft = qtf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
     if broadcast_stats:
@@ -213,10 +239,8 @@ def bm25_search(
         F.col("tf")
         + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl))
     )
-    contrib = (
-        qtf.join(dft, "term")
-        .join(dl, id_col)
-        .select(id_col, "term", (idf * norm).alias("contrib"))
+    contrib = qtf.join(dft, "term").select(
+        id_col, "term", (idf * norm).alias("contrib")
     )
     out = (
         contrib.groupBy(id_col)

@@ -101,19 +101,33 @@ def _dup_windows(
     mark: str,
 ) -> DataFrame:
     """Window rows that are duplicated corpus-wide; mark='redundant' keeps
-    only non-canonical occurrences (first (id, pos) survives)."""
+    only non-canonical occurrences (first (id, pos) survives).
+
+    Round-6 shape (guide §2.4): occurrence count and canonical first
+    occurrence are window aggregates over ``partitionBy(wkey)``, so the
+    (scan + explode + md5) window relation is computed ONCE and shuffled
+    ONCE. The previous groupBy+HAVING+join-back form planned the window
+    relation as two independent subtrees — two full corpus scans, two
+    window-key hashes of every window, and two exchanges on wkey (the
+    aggregate's and the join's). Values are identical: count/min over the
+    whole wkey partition == the grouped aggregate joined back. Skew note:
+    a mega-hot window key lands on one task either way (the join form
+    shuffled both sides on wkey too); hot-key occurrences are bounded by
+    the corpus's duplication depth, and rows carried are (id, pos) only.
+    """
     if mark not in ("all", "redundant"):
         raise ValueError(f"mark must be 'all' or 'redundant', got {mark!r}")
+    from pyspark.sql import Window
+
     wins = substring_windows(df, text_col, id_col, min_tokens)
-    dup_keys = (
-        wins.groupBy("wkey")
-        .agg(
-            F.count("*").alias("occ"),
-            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ"),
-        )
-        .where(F.col("occ") > 1)
-    )
-    j = wins.join(dup_keys, "wkey")
+    w = Window.partitionBy("wkey")
+    j = wins.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("pos"),
+        F.count("*").over(w).alias("occ"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).over(w).alias("first_occ"),
+    ).where(F.col("occ") > 1)
     if mark == "redundant":
         j = j.where(
             (F.col(id_col) != F.col(f"first_occ.{id_col}"))
