@@ -1202,6 +1202,53 @@ class CuckooFilter:
         b, s = np.nonzero(self.table)
         return b.astype(np.int64), self.table[b, s].astype(np.uint64)
 
+    @classmethod
+    def fingerprint_stream(cls, data: bytes):
+        """(bucket_idx, tags, victim, count) straight from serialized bytes,
+        WITHOUT materializing the table when the blob uses the sparse codec
+        (the partial-sketch codec) — the merge path's decode then costs
+        O(stored fingerprints), not O(table slots). Other codecs fall back
+        to a full decode + nonzero scan. Pair order matches
+        `fingerprints()` in every case, so re-insertion order — and
+        therefore merged table bytes — is codec-independent. `victim` is
+        (has_victim, i1, i2, tag)."""
+        (magic, ver, _tag_bits, _num_buckets, _seed, count, itemsize,
+         has_victim, v1, v2, vt) = cls._HDR.unpack_from(data, 0)
+        if magic == MAGIC and ver >= 4 and data[cls._HDR.size + 1] == 2:
+            idx, vals = _unpack_sparse(
+                data, cls._HDR.size + 2, _DTYPE_CODES[itemsize]
+            )
+            b = idx // BUCKET_SIZE
+            return b, vals.astype(np.uint64), (bool(has_victim), v1, v2, vt), count
+        f = cls.from_bytes(data)  # also the magic/version error path
+        b, tags = f.fingerprints()
+        return b, tags, (f.has_victim, f.victim_i1, f.victim_i2, f.victim_tag), f.count
+
+    def merge_fingerprints_in_place(
+        self, b: np.ndarray, tags: np.ndarray, victim, count: int,
+        kicks: int = 0, failed_inserts: int = 0,
+    ) -> int:
+        """`merge_in_place` from a (bucket, tag) stream + victim tuple,
+        without the source filter object (same params precondition is the
+        CALLER's responsibility — build paths guarantee it). Bookkeeping
+        and insertion order are identical to merge_in_place, so the merged
+        table is byte-identical whichever entry point is used."""
+        alts = self.gen.alt(b, tags)
+        dropped = self._insert_fingerprints(
+            b.astype(np.int64, copy=False), alts, tags
+        )
+        has_v, v1, v2, vt = victim
+        if has_v:
+            dropped += self._insert_fingerprints(
+                np.array([v1], dtype=np.int64),
+                np.array([v2], dtype=np.int64),
+                np.array([vt], dtype=np.uint64),
+            )
+        self.count += int(count) - dropped
+        self.kicks += int(kicks)
+        self.failed_inserts += int(failed_inserts) + dropped
+        return dropped
+
     def merge_in_place(self, other: "CuckooFilter") -> int:
         """Fold `other`'s fingerprints into self by re-insertion.
 
@@ -1347,10 +1394,24 @@ class CuckooFilter:
         than "packed". Slot ORDER inside a bucket is not preserved (buckets
         are multisets; membership/count/delete/merge/__eq__ are all
         order-insensitive), so re-serializing a round-tripped filter is
-        idempotent but not byte-equal to re-serializing the original."""
-        hdr_ver = {"packed": 3, "semisort": 4}.get(codec)
+        idempotent but not byte-equal to re-serializing the original.
+
+        codec="sparse" (ver=4, codec byte 2) stores only the OCCUPIED
+        slots as (flat slot index, tag) pairs in row-major table order —
+        the right codec for partial sketches whose tables are mostly empty
+        (e.g. the salted two-level build serializes per-(group, salt)
+        partials sized for the WHOLE group: density 1/salt_buckets, so the
+        packed stream is ~97% zeros at 32 salts). Round-trip is exact
+        (slot-exact, not just multiset-exact), and the stored pair order
+        equals `fingerprints()` order, so merges consuming either codec
+        re-insert in the identical sequence. Size: 9-10 bytes per stored
+        fingerprint vs tag_bits/8 bytes per SLOT — smaller than "packed"
+        whenever load < ~1/10, which is exactly the partial regime."""
+        hdr_ver = {"packed": 3, "semisort": 4, "sparse": 4}.get(codec)
         if hdr_ver is None:
-            raise ValueError(f"unknown codec {codec!r}; use 'packed' or 'semisort'")
+            raise ValueError(
+                f"unknown codec {codec!r}; use 'packed', 'semisort' or 'sparse'"
+            )
         hdr = self._HDR.pack(
             MAGIC, hdr_ver, self.tag_bits,
             self.num_buckets, int(self.seed) if self.seed < 2**63 else int(self.seed) - 2**64,
@@ -1361,6 +1422,8 @@ class CuckooFilter:
         algo = bytes([HASH_ALGOS.index(self.hash_algo)])
         if codec == "packed":
             return hdr + algo + _pack_bits(self.table, self.tag_bits)
+        if codec == "sparse":
+            return hdr + algo + b"\x02" + _pack_sparse(self.table)
         return hdr + algo + b"\x01" + _pack_semisort(self.table, self.tag_bits)
 
     @classmethod
@@ -1414,6 +1477,11 @@ class CuckooFilter:
             offset += 1
             if codec_byte == 1:
                 table = _unpack_semisort(data, offset, num_buckets, tag_bits, dt)
+            elif codec_byte == 2:
+                idx, vals = _unpack_sparse(data, offset, dt)
+                flat = np.zeros(num_buckets * BUCKET_SIZE, dtype=dt)
+                flat[idx] = vals
+                table = flat.reshape(num_buckets, BUCKET_SIZE)
             elif codec_byte == 0:
                 table = _unpack_bits(
                     data, offset, num_buckets * BUCKET_SIZE, tag_bits, dt
@@ -1427,6 +1495,31 @@ class CuckooFilter:
         return cls(num_buckets, tag_bits, seed & _M64, table=table, count=count,
                    has_victim=bool(has_victim), victim=(v1, v2, vt),
                    hash_algo=hash_algo)
+
+
+def _pack_sparse(table: np.ndarray) -> bytes:
+    """Occupied slots as `<u8 k` + flat indices `<u8[k]` + tags in the
+    table's dtype `[k]`, in row-major (== `fingerprints()`) order."""
+    flat = np.ascontiguousarray(table.reshape(-1))
+    idx = np.flatnonzero(flat)
+    vals = flat[idx]
+    return (
+        np.uint64(idx.size).tobytes()
+        + idx.astype("<u8").tobytes()
+        + np.ascontiguousarray(vals).astype(flat.dtype.newbyteorder("<")).tobytes()
+    )
+
+
+def _unpack_sparse(data: bytes, offset: int, dt) -> Tuple[np.ndarray, np.ndarray]:
+    """(flat slot indices, tags) of a sparse stream — no table materialized."""
+    k = int(np.frombuffer(data, dtype="<u8", count=1, offset=offset)[0])
+    offset += 8
+    idx = np.frombuffer(data, dtype="<u8", count=k, offset=offset).astype(np.int64)
+    offset += 8 * k
+    vals = np.frombuffer(
+        data, dtype=np.dtype(dt).newbyteorder("<"), count=k, offset=offset
+    ).astype(dt)
+    return idx, vals
 
 
 def _pack_bits(table: np.ndarray, tag_bits: int) -> bytes:

@@ -20,15 +20,28 @@ _BUCKET_COL = "__ckf_merge_bucket"
 
 
 def _merge_pdf(gvals: tuple, pdf: pd.DataFrame, gcols: Sequence[str]) -> pd.DataFrame:
-    filters = [CuckooFilter.from_bytes(b) for b in pdf["sketch"]]
-    acc = filters[0]
+    blobs = list(pdf["sketch"])
+    acc = CuckooFilter.from_bytes(blobs[0])
     # restore lineage counters lost by serde (codec stores state, not metrics)
     acc.kicks = int(pdf["kicks"].iloc[0])
     acc.failed_inserts = int(pdf["failed_inserts"].iloc[0])
-    for f, kicks, fails in zip(filters[1:], pdf["kicks"].iloc[1:], pdf["failed_inserts"].iloc[1:]):
-        f.kicks = int(kicks)
-        f.failed_inserts = int(fails)
-        acc.merge_in_place(f)
+    acc_params = (acc.num_buckets, acc.tag_bits, acc.seed, acc.hash_algo)
+    for blob, kicks, fails in zip(
+        blobs[1:], pdf["kicks"].iloc[1:], pdf["failed_inserts"].iloc[1:]
+    ):
+        # header-only param check (the merge_in_place precondition), then
+        # fold the fingerprint STREAM — sparse-codec partials (the salted
+        # build's level-1 output) never materialize their mostly-empty
+        # tables here; insertion order matches merge_in_place exactly
+        h = CuckooFilter.read_header(blob)
+        if (h.num_buckets, h.tag_bits, h.seed, h.hash_algo) != acc_params:
+            raise ValueError(
+                "merge requires identical (num_buckets, tag_bits, seed, hash_algo)"
+            )
+        b, tags, victim, count = CuckooFilter.fingerprint_stream(blob)
+        acc.merge_fingerprints_in_place(
+            b, tags, victim, count, int(kicks), int(fails)
+        )
     return _to_pdf([_sketch_row(gvals, acc, int(pdf["rows_in"].sum()))], gcols)
 
 

@@ -1,0 +1,126 @@
+"""Sparse partial codec (round 6): occupied-slots-only serialization for
+partial sketches whose tables are intentionally oversized (level 1 of the
+salted two-level build sizes every (group, salt) partial for the WHOLE
+group, so the packed stream is ~97% zeros at 32 salts). Round-trip is
+SLOT-exact, the stream order equals fingerprints() order (so merges are
+byte-identical whichever codec fed them), and fingerprint_stream() decodes
+it without materializing the table."""
+
+import numpy as np
+import pytest
+
+from cuckoofilter4j_spark.core import (
+    BUCKET_SIZE,
+    CuckooFilter,
+    validate_params,
+)
+
+
+def _filled(tag_bits=8, num_buckets=4096, n=800, seed=7, algo="mix64", rng_seed=11):
+    f = CuckooFilter(num_buckets, tag_bits, seed, hash_algo=algo, rng_seed=rng_seed)
+    keys = [f"key-{i}".encode() for i in range(n)]
+    f.put_batch(keys)
+    return f, keys
+
+
+@pytest.mark.parametrize("tag_bits", [5, 8, 13, 16, 17, 32, 47])
+def test_roundtrip_slot_exact_all_widths(tag_bits):
+    f, keys = _filled(tag_bits=tag_bits)
+    g = CuckooFilter.from_bytes(f.to_bytes(codec="sparse"))
+    # stronger than __eq__: the TABLE is byte-identical, not just the multiset
+    np.testing.assert_array_equal(g.table, f.table)
+    assert g == f and g.count == f.count
+    assert bool(g.contains_batch(keys).all())
+    # re-serializing with the default codec matches the original exactly
+    assert g.to_bytes() == f.to_bytes()
+
+
+def test_sparse_smaller_when_sparse_bigger_when_dense():
+    lo, _ = _filled(num_buckets=65536, n=2000)  # load ~0.8%
+    assert len(lo.to_bytes(codec="sparse")) < len(lo.to_bytes()) / 10
+    hi, _ = _filled(num_buckets=1024, n=3500)  # load ~85%
+    assert len(hi.to_bytes(codec="sparse")) > len(hi.to_bytes())
+
+
+def test_fingerprint_stream_matches_fingerprints_without_table():
+    f, _ = _filled()
+    for codec in ("packed", "semisort", "sparse"):
+        b, tags, victim, count = CuckooFilter.fingerprint_stream(
+            f.to_bytes(codec=codec)
+        )
+        assert count == f.count
+        eb, etags = f.fingerprints()
+        if codec == "semisort":  # slot order inside buckets not preserved
+            assert sorted(zip(b.tolist(), tags.tolist())) == sorted(
+                zip(eb.tolist(), etags.tolist())
+            )
+        else:
+            np.testing.assert_array_equal(b, eb)
+            np.testing.assert_array_equal(tags, etags)
+        assert victim == (f.has_victim, f.victim_i1, f.victim_i2, f.victim_tag)
+
+
+def test_stream_merge_byte_identical_to_merge_in_place():
+    nb, tb = validate_params(60000, 0.01, "reference")
+    parts = []
+    for p in range(4):
+        f = CuckooFilter(nb, tb, 42, rng_seed=100 + p)
+        f.put_batch([f"p{p}k{i}".encode() for i in range(900)])
+        parts.append(f)
+    acc_old = parts[0].copy()
+    for f in parts[1:]:
+        acc_old.merge_in_place(CuckooFilter.from_bytes(f.to_bytes()))
+    acc_new = parts[0].copy()
+    for f in parts[1:]:
+        b, tags, victim, count = CuckooFilter.fingerprint_stream(
+            f.to_bytes(codec="sparse")
+        )
+        acc_new.merge_fingerprints_in_place(b, tags, victim, count)
+    assert acc_old.to_bytes() == acc_new.to_bytes()
+    assert (acc_old.count, acc_old.kicks, acc_old.failed_inserts) == (
+        acc_new.count, acc_new.kicks, acc_new.failed_inserts
+    )
+
+
+def test_victim_survives_sparse_roundtrip_and_stream():
+    nb, tb = 8, 8
+    f = CuckooFilter(nb, tb, 42, rng_seed=3)
+    i = 0
+    while not f.has_victim and i < 5000:
+        f.put(f"v{i}".encode())
+        i += 1
+    assert f.has_victim
+    g = CuckooFilter.from_bytes(f.to_bytes(codec="sparse"))
+    assert g == f
+    _b, _t, victim, count = CuckooFilter.fingerprint_stream(
+        f.to_bytes(codec="sparse")
+    )
+    assert victim == (True, f.victim_i1, f.victim_i2, f.victim_tag)
+    assert count == f.count
+
+
+def test_salted_build_merged_output_unchanged(spark):
+    """End-to-end: the salted build (sparse partials since round 6) produces
+    the same merged metrics as a pre-round-6-style packed-partial pipeline
+    (the partials differ only in serialization, so the merged filters'
+    counts are identical and every inserted key still probes True)."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.operators import (
+        build_filter_salted,
+        might_contain,
+        sha256_key,
+    )
+
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keyed = docs_df.select("lang", sha256_key(F.col("text")).alias("key"))
+    n = keyed.count()
+    sk = build_filter_salted(
+        keyed, "key", ["lang"], max_keys=n, fpp=0.01, seed=42, salt_buckets=8
+    )
+    rows = sk.collect()
+    assert sum(r["count"] for r in rows) == n
+    assert all(r["failed_inserts"] == 0 for r in rows)
+    probed = might_contain(keyed, sk, "key", ["lang"])
+    n_found = probed.filter(F.col("might_contain")).count()
+    assert n_found == n
