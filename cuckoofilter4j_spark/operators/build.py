@@ -449,11 +449,20 @@ def build_filter_sharded(
     false negatives, fpp bound, delete) are identical because every key
     belongs to exactly one shard.
 
-    method="direct" (default): one shuffle of (key, shard) rows — Spark's
-    hash-aggregation shape — then each shard's filter is built whole in one
-    task. The shuffled payload is just the 32-byte keys; partials would
-    instead shuffle P×S sketch tables, which loses badly as the partition
-    count P grows (measured 7× slower at S=64, P=128 already).
+    method="direct" (default): one shuffle of (key, shard) rows, then each
+    shard's filter is built whole in one task. The shuffled payload is just
+    the 32-byte keys; partials would instead shuffle P×S sketch tables,
+    which loses badly as the partition count P grows (measured 7× slower at
+    S=64, P=128 already). Since round 6 "direct" executes as
+    repartition + mapInArrow with in-UDF numpy shard grouping (the former
+    "nosort" shape, now an alias): groupBy().applyInArrow SORTS every row
+    by group key JVM-side before the UDF sees it — pure overhead next to a
+    numpy argsort of the int32 shard column (measured ~2x the entire
+    Python kernel cost at 30M rows, and consistently slower at headline
+    scale too). Shard contents, sizing, per-shard RNG, and every
+    placement-invariant output (counts, membership, FPP, deletes) are
+    unchanged; only slot placement order inside a shard can differ from
+    the grouped-map form.
 
     method="scan_local": zero key shuffle — per-partition partials + per-shard
     single-level merge. Only preferable when keys are much wider than sketch
@@ -477,9 +486,11 @@ def build_filter_sharded(
         sizing=sizing,
         hash_algo=hash_algo,
     )
-    if method == "direct":
-        return _stamp_num_shards(build_filter(sharded, **common), num_shards)
-    if method == "nosort":
+    if method in ("direct", "nosort"):
+        if not isinstance(df.schema[key_col].dataType, BinaryType):
+            # the in-UDF grouping kernel reads raw Arrow binary buffers;
+            # non-binary keys take the grouped-map build (same results)
+            return _stamp_num_shards(build_filter(sharded, **common), num_shards)
         nb, tb = validate_params(max(per_shard, min_max_keys, 2), fpp, sizing)
         nparts = min(num_shards, df.sparkSession.sparkContext.defaultParallelism * 4)
         return _stamp_num_shards(
