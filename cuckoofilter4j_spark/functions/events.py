@@ -424,6 +424,7 @@ def window_anomalies(
     key_cols: Sequence[str] = (),
     window_seconds: int = 3600,
     z: int = 3,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Flag tumbling windows whose event COUNT is a z-score outlier
     against that key's other observed windows — the volume-anomaly pass
@@ -442,8 +443,15 @@ def window_anomalies(
     c·Q < 2⁶³ — far beyond any real per-key window census.
 
     Output: key_cols + (window_start_s, n_events, is_anomaly). One
-    tumbling aggregation + one tiny per-key stats aggregation + a
-    broadcast-size join back.
+    tumbling aggregation + one per-key stats aggregation + a join back.
+
+    `broadcast_stats` (default True) broadcasts the per-key stats table
+    into the join — right while the key cardinality fits an executor.
+    With HIGH-cardinality keys (per-URL / per-user at crawl scale) the
+    stats relation is one row per key and a forced broadcast is a
+    driver/executor memory wall: pass False for a plain shuffle join on
+    the keys (the scale-safe choice, same results) — the same pattern as
+    `bm25_search`'s `broadcast_stats`.
     """
     keys = list(key_cols)
     w = tumbling_rollup(df, ts_col, window_seconds, keys)
@@ -452,7 +460,9 @@ def window_anomalies(
         F.sum("n_events").alias("__s"),
         F.sum(F.col("n_events") * F.col("n_events")).alias("__q"),
     )
-    j = w.join(F.broadcast(stats), keys) if keys else w.crossJoin(F.broadcast(stats))
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    j = w.join(stats, keys) if keys else w.crossJoin(stats)
     lhs = F.col("n_events") * F.col("__c") - F.col("__s")
     rhs = F.lit(int(z) * int(z)) * (
         F.col("__c") * F.col("__q") - F.col("__s") * F.col("__s")

@@ -180,21 +180,24 @@ def pagerank(
         .dropDuplicates(["__src", "__dst"])
     )
     e = _truncate_lineage(e)
-    nodes = _truncate_lineage(
-        e.select(F.col("__src").alias("node"))
-        .unionByName(e.select(F.col("__dst").alias("node")))
-        .distinct()
-    )
-    n = nodes.count()
-    if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
-    deg = _truncate_lineage(
-        e.groupBy(F.col("__src").alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
-    )
-    d = float(damping)
     n_edges = e.count()  # cheap: e is checkpointed
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    with _adaptive_shuffle_width(edges.sparkSession, max(n_edges, n)):
+    d = float(damping)
+    # the scope covers SETUP too (nodes/deg are |V|-row aggregates of the
+    # same relation) — only e's own dedup shuffle runs at session width,
+    # since |E| is unknown before it materializes
+    with _adaptive_shuffle_width(edges.sparkSession, n_edges):
+        nodes = _truncate_lineage(
+            e.select(F.col("__src").alias("node"))
+            .unionByName(e.select(F.col("__dst").alias("node")))
+            .distinct()
+        )
+        n = nodes.count()
+        if n == 0:
+            return nodes.select("node", F.lit(0.0).alias("rank"))
+        deg = _truncate_lineage(
+            e.groupBy(F.col("__src").alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
+        )
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
         for _ in range(n_iter):
             ranks = _truncate_lineage(ranks)
             dangling = (

@@ -174,90 +174,81 @@ def bm25_search(
     its corpus mean. Tokenization is the module's lowercase [a-z]+ unit.
 
     Returns (id, n_matched, score) for documents matching >= 1 query term,
-    score rounded to 6 decimals. The per-document sum is a LEFT FOLD over
-    term-ASCENDING contributions (array_sort + aggregate), so the double
+    score rounded to 6 decimals. The per-document sum accumulates
+    contributions in term-ASCENDING order from 0.0, so the double
     accumulation order — and therefore the final bits — is engine- and
-    partitioning-independent (the same idiom DuckDB replays with
-    list_sort + list_reduce). `top_k` keeps the best k by (score desc, id
-    asc) via sort+limit, which Spark plans as TakeOrderedAndProject — the
-    distributed per-partition top-k + driver merge, NO single-partition
-    Exchange.
+    partitioning-independent (matching the DuckDB oracle's
+    list_sort + list_reduce replay). `top_k` keeps the best k by (score
+    desc, id asc) via sort+limit, which Spark plans as
+    TakeOrderedAndProject — the distributed per-partition top-k + driver
+    merge, NO single-partition Exchange.
 
-    100 TB design: the exploded (doc, term) relation is filtered to the
-    query's terms BEFORE the tf shuffle, so the exchange carries only
-    matching occurrences (a handful of rows per matching doc), not the
-    corpus. Per-document lengths are a scan-local `size(regexp_extract_all)`
-    projection — NO explode and NO shuffle (they are query-independent:
-    precompute and persist them alongside the corpus to amortize across
-    queries). The document-frequency table is <= |query| rows and
-    broadcasts; corpus-level N/avgdl reduce to one driver row via one
-    cheap scan-local aggregate (round 6: previously this path exploded the
-    whole corpus and shuffled every token occurrence just to count
-    per-doc lengths — guide §2.3 "aggregate before you shuffle").
+    100 TB design (round 6: ZERO-shuffle scoring): per-term frequencies
+    are native array-column expressions
+    (`size(toks) - size(array_remove(toks, t))` — whole-stage codegen, no
+    explode), so the scoring side is ONE corpus scan with no exchange at
+    all; at any corpus size the only movement is the TakeOrdered merge
+    when `top_k` is set. Corpus stats (N, avgdl) and the per-term document
+    frequencies reduce to a single 1-row eager aggregate over the same
+    projection — one stats pass total (the previous form paid a stats
+    pass PLUS an explode + two shuffles: tf by (doc, term), then the
+    per-doc regroup). The per-term column work is O(|query| × tokens) per
+    document — the right trade for keyword-sized queries (10²); for
+    thousand-term queries prefer `bm25_from_index`, which prunes by
+    posting list instead. `broadcast_stats` is retained for API
+    compatibility; the rewritten path has no stats join to broadcast.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if k1 < 0 or not 0 <= b <= 1:
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1} b={b}")
+    import math
+
     q = sorted({t.lower() for t in query_terms})
-    toks = df.select(
-        F.col(id_col),
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
-        ).alias("__toks"),
+    toks_col = F.coalesce(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0),
+        F.array().cast("array<string>"),  # NULL text scores like empty text
     )
-    # per-doc token length as a projection: size() of the token array is
-    # exactly count-of-exploded-rows, with zero-term docs yielding 0 —
-    # same values as the old explode+groupBy+left-join, no shuffle at all
-    dl = toks.select(F.col(id_col), F.size("__toks").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    base = df.select(F.col(id_col), toks_col.alias("__toks"))
+    tf_cols = [
+        (F.size("__toks") - F.size(F.array_remove("__toks", t))).alias(f"__tf{i}")
+        for i, t in enumerate(q)
+    ]
+    per_doc = base.select(F.col(id_col), F.size("__toks").alias("dl"), *tf_cols)
+    # ONE eager pass: corpus stats + per-term document frequencies
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(q))
+        ],
     ).collect()[0]
     n_docs = int(stats["n_docs"])
     avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
     if avgdl == 0.0:
         raise ValueError("corpus has no tokens; BM25 is undefined")
-    # dl rides THROUGH the tf aggregation (constant per doc, so first() is
-    # exact) instead of a second corpus scan + join — the scoring side now
-    # tokenizes the corpus exactly once (round 6, guide §2.3/§2.4)
-    occ = toks.select(
+    # Lucene idf as driver doubles (same IEEE ops as the in-plan form)
+    idf = [
+        math.log(1.0 + (float(n_docs) - float(stats[f"__df{i}"]) + 0.5)
+                 / (float(stats[f"__df{i}"]) + 0.5))
+        for i in range(len(q))
+    ]
+    # left fold from 0.0 in term-ascending order, skipping absent terms —
+    # identical accumulation order to the collected-and-sorted form
+    score = F.lit(0.0)
+    n_matched = F.lit(0)
+    for i in range(len(q)):
+        tf = F.col(f"__tf{i}")
+        norm = tf * (k1 + 1.0) / (
+            tf + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+        score = F.when(tf > 0, score + F.lit(idf[i]) * norm).otherwise(score)
+        n_matched = n_matched + (tf > 0).cast("int")
+    out = per_doc.where(n_matched > 0).select(
         F.col(id_col),
-        F.size("__toks").alias("dl"),
-        F.explode("__toks").alias("term"),
-    ).where(F.col("term").isin(q))
-    qtf = occ.groupBy(id_col, "term").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
-    )
-    dft = qtf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
-    if broadcast_stats:
-        dft = F.broadcast(dft)
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
-    )
-    norm = F.col("tf") * (k1 + 1.0) / (
-        F.col("tf")
-        + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl))
-    )
-    contrib = qtf.join(dft, "term").select(
-        id_col, "term", (idf * norm).alias("contrib")
-    )
-    out = (
-        contrib.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_matched"),
-            F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("_cs"),
-        )
-        .select(
-            id_col,
-            "n_matched",
-            F.round(
-                F.aggregate(
-                    "_cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]
-                ),
-                6,
-            ).alias("score"),
-        )
+        n_matched.cast("long").alias("n_matched"),
+        F.round(score, 6).alias("score"),
     )
     if top_k is not None:
         if top_k < 1:

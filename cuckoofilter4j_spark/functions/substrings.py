@@ -52,6 +52,39 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["substring_windows", "duplicate_spans", "dedup_substrings"]
 
 _TOKEN_RE = r"\S+"
+# ~30 B/row window relation: enough rows per task to amortize scheduling
+_ROWS_PER_PARTITION = 2_000_000
+
+
+def _window_width(df: DataFrame, text_col: str) -> int:
+    """Adaptive exchange width for the window relation (guide §2.2: size
+    shuffle partitions from the data — AQE's partition coalescing would do
+    this at runtime, but sessions that disable coalescing to protect
+    Python-heavy grouped stages otherwise run every tiny exchange at the
+    full session width; measured 2-3x the operator's wall time at
+    sub-million-window corpora). One cheap probe scan (count + byte
+    length, no regex) estimates the window count as ~bytes/6; the width is
+    that over _ROWS_PER_PARTITION, floored to keep small inputs parallel
+    (one task per ~20k rows up to defaultParallelism) and NEVER wider than
+    the session's own setting, so at real corpus scale the plan is
+    unchanged."""
+    spark = df.sparkSession
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.octet_length(F.col(text_col))), F.lit(0)).alias("b"),
+    ).collect()[0]
+    est_rows = max(int(row["n"]), int(row["b"]) // 6)
+    dp = max(1, spark.sparkContext.defaultParallelism)
+    width = max(
+        (est_rows + _ROWS_PER_PARTITION - 1) // _ROWS_PER_PARTITION,
+        min(dp, (est_rows + 19_999) // 20_000),
+        1,
+    )
+    try:
+        session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto"
+        return width
+    return min(width, session_width)
 
 
 def substring_windows(
@@ -99,6 +132,7 @@ def _dup_windows(
     id_col: str,
     min_tokens: int,
     mark: str,
+    width: int | None = None,
 ) -> DataFrame:
     """Window rows that are duplicated corpus-wide; mark='redundant' keeps
     only non-canonical occurrences (first (id, pos) survives).
@@ -120,6 +154,11 @@ def _dup_windows(
     from pyspark.sql import Window
 
     wins = substring_windows(df, text_col, id_col, min_tokens)
+    # pin the wkey exchange to the adaptive width (explicit repartition on
+    # the window's partition key — the Window reuses it, no extra exchange)
+    if width is None:
+        width = _window_width(df, text_col)
+    wins = wins.repartition(width, "wkey")
     w = Window.partitionBy("wkey")
     j = wins.select(
         F.col(id_col),
@@ -136,11 +175,17 @@ def _dup_windows(
     return j.select(id_col, "n_tokens", "pos")
 
 
-def _span_stats(dup: DataFrame, id_col: str, L: int) -> DataFrame:
+def _span_stats(
+    dup: DataFrame, id_col: str, L: int, width: int | None = None
+) -> DataFrame:
     """Per-document merged-span statistics from duplicated window
     positions. Union length of sorted fixed-width intervals [p, p+L-1]:
     L + sum(min(L, p[i+1] - p[i])); span count: 1 + count(diff > L).
-    Integer arithmetic only — engine-exact."""
+    Integer arithmetic only — engine-exact. `width` pins the per-document
+    regroup exchange to the operator's adaptive width (dup rows ≤ window
+    rows, so the same bound applies)."""
+    if width is not None:
+        dup = dup.repartition(width, id_col)
     per = dup.groupBy(id_col).agg(
         F.first("n_tokens").alias("n_tokens"),
         F.count("*").alias("n_dup_windows"),
@@ -197,9 +242,13 @@ def duplicate_spans(
     "how much of this doc exists elsewhere" signal); mark='redundant'
     counts only non-canonical occurrences (what `dedup_substrings` would
     remove). dup_fraction = dup_tokens / n_tokens rounded to 6 decimals.
+
+    Eagerness note (round 6): one cheap probe scan runs at CALL time to
+    size the window/regroup exchanges from the corpus (see _window_width).
     """
-    dup = _dup_windows(df, text_col, id_col, min_tokens, mark)
-    return _span_stats(dup, id_col, min_tokens).select(
+    width = _window_width(df, text_col)
+    dup = _dup_windows(df, text_col, id_col, min_tokens, mark, width=width)
+    return _span_stats(dup, id_col, min_tokens, width=width).select(
         id_col,
         "n_tokens",
         "n_dup_windows",
@@ -228,8 +277,9 @@ def dedup_substrings(
     space-rejoined, so the output text column is canonical for every row.
     """
     L = min_tokens
-    dup = _dup_windows(df, text_col, id_col, min_tokens, "redundant")
-    stats = _span_stats(dup, id_col, L)
+    width = _window_width(df, text_col)
+    dup = _dup_windows(df, text_col, id_col, min_tokens, "redundant", width=width)
+    stats = _span_stats(dup, id_col, L, width=width)
     # merged span bounds from the sorted position array: a position starts
     # a span iff it is first or gaps > L from its predecessor; a span ends
     # at p + L - 1 for the last position before the next gap

@@ -616,6 +616,26 @@ class TestWindowAnomalies:
         out = window_anomalies(df, "ts", [], 3600).collect()
         assert len(out) == 1 and out[0]["is_anomaly"] is False
 
+    def test_broadcast_stats_false_plans_no_broadcast_and_matches(self, spark):
+        """broadcast_stats=False is the high-key-cardinality scale path: the
+        stats join must plan WITHOUT a BroadcastExchange (initial plan; AQE
+        may still upgrade at runtime when sizes allow) and produce the same
+        rows as the broadcast form."""
+        import datetime as dt
+
+        from cuckoofilter4j_spark.functions.events import window_anomalies
+
+        rows = []
+        for h in range(6):
+            for i in range(3 + (h == 4) * 20):
+                rows.append((dt.datetime(2024, 1, 1, h, i % 60), "a"))
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+        bc = window_anomalies(df, "ts", ["event_type"], 3600)
+        nb = window_anomalies(df, "ts", ["event_type"], 3600, broadcast_stats=False)
+        assert "BroadcastExchange" in bc._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in nb._jdf.queryExecution().executedPlan().toString()
+        assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, nb.collect()))
+
 
 class TestRetention:
     def test_reference_counts(self, spark):
