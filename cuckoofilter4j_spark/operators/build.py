@@ -234,6 +234,92 @@ def build_filter(
     return grouped.applyInPandas(build, out_schema)
 
 
+def _build_grouped_nosort(
+    proj: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    max_keys,
+    fpp: float,
+    seed: int,
+    min_max_keys: int,
+    sizing: str,
+    hash_algo: str,
+    codec: str,
+) -> DataFrame:
+    """Grouped partial build as repartition + mapInArrow with in-UDF
+    composite-group numpy grouping — the group-generic form of
+    `_build_sharded_nosort` (same rationale: groupBy().applyInArrow SORTS
+    every row by group key JVM-side before the UDF runs; a dictionary-
+    encode + argsort of per-row group codes inside the worker replaces it
+    at a fraction of the cost). Binary keys only. Per-group sizing, RNG
+    seeds (`_rng_seed_for(seed, gvals)`), and emitted sketch rows match
+    the grouped-map build exactly (insertion order within a group is
+    shuffle-arrival order in both forms)."""
+    import pyarrow as pa
+    from typing import Iterator
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    gcols = list(group_cols)
+    out_schema = sketch_schema(proj, gcols)
+    fpp_, seed_, sizing_, algo_ = float(fpp), int(seed), str(sizing), str(hash_algo)
+    mk, floor_, kc, codec_ = max_keys, int(min_max_keys), key_col, str(codec)
+    spark = proj.sparkSession
+    nparts = spark.sparkContext.defaultParallelism * 4
+    try:
+        nparts = min(nparts, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        pass
+    routed = proj.repartition(nparts, *[F.col(c) for c in gcols])
+    key_idx = routed.columns.index(kc)
+    g_idx = [routed.columns.index(c) for c in gcols]
+
+    def build_groups(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        batch_list = [b for b in batches if b.num_rows]
+        if not batch_list:
+            return
+        table = pa.Table.from_batches(batch_list)
+        words = words_from_arrow_binary(table.column(key_idx))
+        n = table.num_rows
+        codes = np.zeros(n, dtype=np.int64)
+        dicts = []
+        for j in g_idx:
+            enc = table.column(j).combine_chunks().dictionary_encode()
+            ind = enc.indices.to_numpy(zero_copy_only=False)
+            dvals = enc.dictionary.to_pylist()
+            if ind.dtype.kind == "f":  # nulls surfaced as NaN
+                ind = np.where(np.isnan(ind), len(dvals), ind)
+                dvals = dvals + [None]
+            codes = codes * len(dvals) + ind.astype(np.int64)
+            dicts.append(dvals)
+        order = np.argsort(codes, kind="stable")
+        words, codes_s = words[order], codes[order]
+        bounds = np.flatnonzero(np.diff(codes_s)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [n]])
+        rows = []
+        for s, e in zip(starts, ends):
+            c = int(codes_s[s])
+            vals = []
+            for dvals in reversed(dicts):
+                c, r = divmod(c, len(dvals))
+                vals.append(dvals[r])
+            gvals = tuple(reversed(vals))
+            m = _resolve_max_keys(mk, gvals)
+            nb, tb = validate_params(max(m, floor_, 2), fpp_, sizing_)
+            filt = CuckooFilter(
+                nb, tb, seed_, rng_seed=_rng_seed_for(seed_, gvals), hash_algo=algo_
+            )
+            filt.put_batch(np.ascontiguousarray(words[s:e]))
+            rows.append(_sketch_row(gvals, filt, int(e - s), codec=codec_))
+        pdf = _to_pdf(rows, gcols)
+        yield pa.RecordBatch.from_pandas(
+            pdf, schema=to_arrow_schema(out_schema), preserve_index=False
+        )
+
+    return routed.mapInArrow(build_groups, out_schema)
+
+
 def build_filter_salted(
     df: DataFrame,
     key_col: str = "key",
@@ -278,18 +364,25 @@ def build_filter_salted(
                 ks = kt + (s,)
                 expanded[ks if len(ks) > 1 else ks[0]] = v
         max_keys = expanded
-    partials = build_filter(
-        salted,
-        key_col=key_col,
-        group_cols=group_cols + [_SALT_COL],
-        max_keys=max_keys,
-        fpp=fpp,
-        seed=seed,
-        min_max_keys=min_max_keys,
-        sizing=sizing,
-        hash_algo=hash_algo,
-        codec="sparse",
-    ).drop(_SALT_COL)
+    if isinstance(df.schema[key_col].dataType, BinaryType):
+        # round 6: in-UDF composite-group build — no JVM grouped sort
+        partials = _build_grouped_nosort(
+            salted, key_col, group_cols + [_SALT_COL], max_keys, fpp, seed,
+            min_max_keys, sizing, hash_algo, "sparse",
+        ).drop(_SALT_COL)
+    else:
+        partials = build_filter(
+            salted,
+            key_col=key_col,
+            group_cols=group_cols + [_SALT_COL],
+            max_keys=max_keys,
+            fpp=fpp,
+            seed=seed,
+            min_max_keys=min_max_keys,
+            sizing=sizing,
+            hash_algo=hash_algo,
+            codec="sparse",
+        ).drop(_SALT_COL)
     from cuckoofilter4j_spark.operators.merge import merge_sketches
 
     return merge_sketches(partials, group_cols)
