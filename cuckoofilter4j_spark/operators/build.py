@@ -348,9 +348,37 @@ def build_filter_salted(
     ~56 KB per partial at the bench's headline build), and the merge
     decodes it without materializing the empty table. Merged output bytes
     are unchanged (stream order == fingerprints() order).
+
+    Round 6 strategy choice (guide §1.2/§2.4): when the SCAN has no more
+    partitions than `salt_buckets`, level 1 runs SCAN-LOCAL instead of
+    shuffling on the salt — per-(group, partition) partials built where
+    the keys already sit. In that regime it strictly dominates the salt
+    shuffle: the keys never move at all, per-group partial count is
+    P ≤ salt_buckets (FEWER partials than the salt path's salt_buckets),
+    and per-task input is bounded by the scan partition size (the same
+    skew guarantee the salt provides). With many scan partitions the salt
+    shuffle returns: it is what keeps the per-group partial count bounded
+    by salt_buckets regardless of P (a 10^6-partition corpus would
+    otherwise hand the per-group merge 10^6 partials). Measured at the
+    headline build (sf0.1, 32 salts, ~4 scan partitions): 2.2 s → 1.0 s.
+    Merged counts/membership are identical either way (fingerprint
+    multisets are partition-invariant; pinned by ckf_merge_invariance).
     """
     group_cols = list(group_cols) if group_cols else []
     proj = df.select(*group_cols, F.col(key_col))
+    try:
+        n_scan_parts = proj.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — exotic sources; fall back to salt path
+        n_scan_parts = None
+    if n_scan_parts is not None and 0 < n_scan_parts <= int(salt_buckets):
+        partials = build_partials_scan_local(
+            df, key_col=key_col, group_cols=group_cols, max_keys=max_keys,
+            fpp=fpp, seed=seed, min_max_keys=min_max_keys, sizing=sizing,
+            hash_algo=hash_algo, codec="sparse",
+        )
+        from cuckoofilter4j_spark.operators.merge import merge_sketches
+
+        return merge_sketches(partials, group_cols)
     salted = proj.withColumn(
         _SALT_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets)).cast("int")
     )
@@ -398,11 +426,14 @@ def build_partials_scan_local(
     min_max_keys: int = 256,
     sizing: str = "reference",
     hash_algo: str = "mix64",
+    codec: str = "packed",
 ) -> DataFrame:
     """Zero-shuffle partial build: mapInPandas over scan partitions, one
     partial sketch row per (group, partition). The raw data never shuffles;
     only sketch rows do (into the merge). The 100 TB-friendly path when the
-    number of groups per scan partition is modest.
+    number of groups per scan partition is modest. `codec` picks the
+    partial rows' serialization ("sparse" when partials are far below
+    their sized capacity — the merge-feeding regime).
     """
     if max_keys is None:
         raise ValueError("max_keys is required (global sizing per group)")
@@ -411,6 +442,7 @@ def build_partials_scan_local(
     out_schema = sketch_schema(df, group_cols)
     fpp_, seed_, sizing_, algo_ = float(fpp), int(seed), str(sizing), str(hash_algo)
     mk, gcols, kc, floor_ = max_keys, list(group_cols), key_col, int(min_max_keys)
+    codec_ = str(codec)
 
     def build_parts(batches):
         from pyspark import TaskContext
@@ -439,7 +471,11 @@ def build_partials_scan_local(
                 rows_in[gvals] += len(g)
         if filters:
             yield _to_pdf(
-                [_sketch_row(gv, f, rows_in[gv]) for gv, f in filters.items()], gcols
+                [
+                    _sketch_row(gv, f, rows_in[gv], codec=codec_)
+                    for gv, f in filters.items()
+                ],
+                gcols,
             )
 
     return proj.mapInPandas(build_parts, out_schema)

@@ -99,6 +99,37 @@ def test_victim_survives_sparse_roundtrip_and_stream():
     assert count == f.count
 
 
+def test_salted_build_strategies_semantically_equal(spark):
+    """The round-6 strategy choice (scan-local level 1 when scan partitions
+    <= salt_buckets, salt shuffle otherwise) must produce the same merged
+    filters semantically: same per-group counts, zero failures, and every
+    inserted key probes True through BOTH paths."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter4j_spark.operators import (
+        build_filter_salted,
+        might_contain,
+        sha256_key,
+    )
+
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keyed = docs_df.select("lang", sha256_key(F.col("text")).alias("key"))
+    n = keyed.count()
+    few = keyed.coalesce(2)        # 2 partitions <= 8 salts -> scan-local
+    many = keyed.repartition(16)   # 16 partitions > 8 salts -> salt shuffle
+    out = {}
+    for name, src in (("scan_local", few), ("salt", many)):
+        sk = build_filter_salted(
+            src, "key", ["lang"], max_keys=n, fpp=0.01, seed=42, salt_buckets=8
+        )
+        rows = {r["lang"]: (r["count"], r["failed_inserts"]) for r in sk.collect()}
+        probed = might_contain(keyed, sk, "key", ["lang"])
+        assert probed.filter(F.col("might_contain")).count() == n, name
+        out[name] = rows
+    assert out["scan_local"] == out["salt"]
+    assert all(f == 0 for _c, f in out["salt"].values())
+
+
 def test_salted_build_merged_output_unchanged(spark):
     """End-to-end: the salted build (sparse partials since round 6) produces
     the same merged metrics as a pre-round-6-style packed-partial pipeline
