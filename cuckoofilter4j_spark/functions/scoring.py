@@ -31,6 +31,8 @@ tokenizer-faithful units).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["doc_terms", "tfidf_top_terms", "unigram_logprob", "bm25_search", "bigram_logprob"]
