@@ -341,6 +341,10 @@ def pq_topk(
         F.col(id_col).cast("long").alias(id_col), F.col(code_col)
     )
     partial = need.mapInPandas(score, schema)
+    # rank-window input is ≤ k rows per (query, task): pin the exchange to
+    # ≤ one partition per query instead of the session width (same
+    # narrow-exchange rationale as brute_force_topk_vectorized)
+    partial = partial.repartition(max(1, min(len(qids), 200)), query_id_col)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )

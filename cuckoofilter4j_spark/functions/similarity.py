@@ -376,6 +376,12 @@ def brute_force_topk_vectorized(
             yield pd.concat(out, ignore_index=True)
 
     local = corpus.select(id_col, vec_col).mapInPandas(score, schema)
+    # the rank window's input is ≤ k rows per (query, task) — pin its
+    # exchange to ≤ one partition per query instead of the session width
+    # (the window needs clustering by query_id; an explicit repartition on
+    # exactly that key is reused, so there is ONE narrow exchange)
+    nw = max(1, min(len(q_ids), 200))
+    local = local.repartition(nw, "query_id")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
