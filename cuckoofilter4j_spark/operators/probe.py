@@ -423,9 +423,67 @@ def _stacked_token(smap: Dict[tuple, bytes], num_shards: int) -> str:
     return digest.hexdigest()
 
 
-def _build_stack(blob_map: Dict[tuple, bytes], S: int):
+_SHM_STACK_MIN_BYTES = int(os.environ.get("CKF_STACK_SHM_MIN_BYTES", str(8 << 20)))
+_SHM_STACK_TTL_S = int(os.environ.get("CKF_STACK_SHM_TTL_S", "3600"))
+
+
+def _share_readonly(arr: "np.ndarray", token: str) -> "np.ndarray":
+    """Re-home a decoded stack in a page-cache-shared .npy file and return
+    a READ-ONLY memmap of it. Reused Python workers each hold the stacked
+    tables for the life of the probe; without sharing, W workers on a host
+    pin W private copies (e.g. 8 × 67 MB at the bench's scaling store) and
+    the random-access gather working set scales with W — at high
+    parallelism the probe turns memory-bandwidth/LLC-bound. A shared
+    mapping keeps ONE physical copy per host regardless of W. tmpfs
+    (/dev/shm) when present, else the system tempdir (page cache still
+    dedups read-only mappings). Writers race benignly: the content is a
+    deterministic function of the token (a content digest), so concurrent
+    builders produce identical bytes and `os.replace` keeps the path
+    atomic-complete. Stale files are reaped on a TTL so repeated
+    sessions cannot fill tmpfs. Any failure falls back to the private
+    in-memory array (correctness never depends on the share)."""
+    import tempfile
+    import time as _time
+
+    try:
+        base = os.environ.get("CKF_STACK_SHM_DIR")
+        if not base:
+            base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        now = _time.time()
+        try:
+            for name in os.listdir(base):
+                if name.startswith("ckf_stack_"):
+                    p = os.path.join(base, name)
+                    try:
+                        if now - os.path.getmtime(p) > _SHM_STACK_TTL_S:
+                            os.remove(p)
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+        path = os.path.join(base, f"ckf_stack_{token}.npy")
+        if not os.path.exists(path):
+            fd, tmp = tempfile.mkstemp(dir=base, prefix=f".ckf_stack_{token}.")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    np.save(f, arr)
+                os.replace(tmp, path)
+            except BaseException:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                raise
+        return np.load(path, mmap_mode="r")
+    except Exception:  # noqa: BLE001 — shm unavailable/full: private copy works
+        return arr
+
+
+def _build_stack(blob_map: Dict[tuple, bytes], S: int, token: str = None):
     """Decode all shard blobs into one (S, num_buckets, 4) table plus the
-    per-shard victim-cache vectors (runs once per worker, cached)."""
+    per-shard victim-cache vectors (runs once per worker, cached). Stacks
+    over `_SHM_STACK_MIN_BYTES` are re-homed in a page-cache-shared
+    mapping (see _share_readonly) when a `token` is available."""
     from cuckoofilter4j_spark.core import CuckooFilter, IndexTagGen
 
     first = CuckooFilter.from_bytes(next(iter(blob_map.values())))
@@ -445,6 +503,8 @@ def _build_stack(blob_map: Dict[tuple, bytes], S: int):
         if f.has_victim:
             hasv[sh] = True
             v1[sh], v2[sh], vt[sh] = f.victim_i1, f.victim_i2, np.uint64(f.victim_tag)
+    if token is not None and tables.nbytes >= _SHM_STACK_MIN_BYTES:
+        tables = _share_readonly(tables, token)
     gen = IndexTagGen(nb, tb, first.seed, first.hash_algo)
     return tables, gen, v1, v2, vt, hasv
 
@@ -555,7 +615,7 @@ def _probe_sharded_stacked(
     mode_ = mode
 
     def probe(batches):
-        stack = _stacked_cache_get(token, lambda: _build_stack(bc.value, S))
+        stack = _stacked_cache_get(token, lambda: _build_stack(bc.value, S, token))
         pa_type = pa.bool_() if mode_ == "contains" else pa.int64()
         seed_words = None
         for batch in batches:
@@ -629,7 +689,7 @@ def count_members_sharded(
     # the mapped frame is df.select(*gcols, key_col): groups first, key last
 
     def probe_counts(batches):
-        stack = _stacked_cache_get(token, lambda: _build_stack(bc.value, S))
+        stack = _stacked_cache_get(token, lambda: _build_stack(bc.value, S, token))
         seed_words = None
         total = members = 0
         totals: Dict[tuple, list] = {}
@@ -996,7 +1056,7 @@ def register_sharded_probe_udf(
     mode_ = mode
 
     def _probe_pd(keys: pd.Series) -> pd.Series:
-        stack = _stacked_cache_get(token, lambda: _build_stack(bc.value, S))
+        stack = _stacked_cache_get(token, lambda: _build_stack(bc.value, S, token))
         col = pa.Array.from_pandas(keys, type=pa.binary())
         res, _ = _batch_membership(col, stack, S, mode_)
         return pd.Series(res)
