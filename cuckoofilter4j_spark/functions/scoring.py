@@ -73,9 +73,13 @@ def tfidf_top_terms(
     terms = doc_terms(df, text_col, id_col)
     n_docs = df.count()
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    df_t = terms.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df_t")
-    )
+    # document frequency via the tf aggregate: tf has exactly one row per
+    # (doc, term), so a plain count-per-term over it equals
+    # countDistinct(doc) over the raw occurrences. The df_t branch's
+    # exchange now carries map-side-combined (doc, term) partials instead
+    # of every token occurrence keyed by term, and the expensive distinct
+    # aggregation disappears (round 6; guide §2.3)
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     if broadcast_df_table:
         df_t = F.broadcast(df_t)
     scored = tf.join(df_t, "term").select(
@@ -314,17 +318,17 @@ def bigram_logprob(
         .select(id_col, "p.pos", "p.a", "p.b")
     )
     bg = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
-    ctx = pairs.groupBy("a").agg(F.count("*").alias("c_a"))
+    # the context total is the bigram table's own marginal: attach
+    # c_a = Σ_b c_ab as a window over the |bigram vocab|-row table instead
+    # of re-exploding the corpus a third time for a separate groupBy(a) —
+    # one fewer corpus pass AND one fewer join (round 6; guide §2.3/§2.4)
+    bg = bg.withColumn("c_a", F.sum("c_ab").over(Window.partitionBy("a")))
     if broadcast_lm:
-        bg, ctx = F.broadcast(bg), F.broadcast(ctx)
-    contrib = (
-        pairs.join(bg, ["a", "b"])
-        .join(ctx, "a")
-        .select(
-            id_col,
-            "pos",
-            F.log(F.col("c_ab") / F.col("c_a")).alias("lp"),
-        )
+        bg = F.broadcast(bg)
+    contrib = pairs.join(bg, ["a", "b"]).select(
+        id_col,
+        "pos",
+        F.log(F.col("c_ab") / F.col("c_a")).alias("lp"),
     )
     per_doc = (
         contrib.groupBy(id_col)

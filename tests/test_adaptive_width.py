@@ -1,0 +1,45 @@
+"""_adaptive_shuffle_width (round 6): the narrow-only conf scope used by the
+iterative operators (pagerank, dup_clusters). Pins the three safety
+properties: restores on normal exit AND on exception, never widens past the
+session setting, and derives the width from the row count."""
+
+import pytest
+
+from cuckoofilter4j_spark.functions.cluster import _adaptive_shuffle_width
+
+
+def _width(spark):
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_narrows_and_restores(spark):
+    before = _width(spark)
+    assert before > 1
+    with _adaptive_shuffle_width(spark, 10):
+        assert _width(spark) == 1
+    assert _width(spark) == before
+
+
+def test_restores_on_exception(spark):
+    before = _width(spark)
+    with pytest.raises(RuntimeError, match="boom"):
+        with _adaptive_shuffle_width(spark, 10):
+            assert _width(spark) == 1
+            raise RuntimeError("boom")
+    assert _width(spark) == before
+
+
+def test_never_widens(spark):
+    before = _width(spark)
+    # a row count that would imply far more partitions than the session has
+    with _adaptive_shuffle_width(spark, 10_000_000_000):
+        assert _width(spark) == before
+    assert _width(spark) == before
+
+
+def test_width_scales_with_rows(spark):
+    before = _width(spark)
+    target_rows = 3 * 2_000_000  # -> 3 partitions at the default divisor
+    with _adaptive_shuffle_width(spark, target_rows):
+        assert _width(spark) == min(3, before)
+    assert _width(spark) == before
